@@ -1,0 +1,3 @@
+"""Vector similarity surface (SURVEY.md §2.10) — filled incrementally."""
+
+from __future__ import annotations

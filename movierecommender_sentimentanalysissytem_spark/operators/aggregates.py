@@ -1,0 +1,355 @@
+"""Aggregation operators (SURVEY.md §2.4).
+
+Scale notes: every groupBy here compiles to partial (map-side) +
+final hash aggregation — one shuffle keyed on the grouping columns.
+Grouping keys are low-cardinality categorical columns, so the reduce
+side is tiny regardless of input scale; AQE coalesces the post-shuffle
+partitions. ``count_distinct`` is the one genuinely expensive shape
+(expands before it contracts) — its approximate HLL twin
+(`agg_approx_count_distinct`) is the 100 TB substitute.
+
+Float rule (SURVEY.md §1.2): every floating aggregate is rounded to
+4 dp identically on both sides; distributed summation order never
+shows above 4 dp at fixture magnitudes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from movierecommender_sentimentanalysissytem_spark.registry import query
+from movierecommender_sentimentanalysissytem_spark.sources.tables import table
+
+
+@query(
+    "agg_global",
+    oracle="""
+    SELECT COUNT(*) AS n,
+           ROUND(SUM(l_quantity), 4) AS sum_qty,
+           ROUND(AVG(l_extendedprice), 4) AS avg_price,
+           ROUND(MIN(l_discount), 4) AS min_disc,
+           ROUND(MAX(l_tax), 4) AS max_tax,
+           COUNT(DISTINCT l_returnflag) AS n_flags
+    FROM lineitem
+    """,
+)
+def agg_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+        F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+        F.round(F.min("l_discount"), 4).alias("min_disc"),
+        F.round(F.max("l_tax"), 4).alias("max_tax"),
+        F.countDistinct("l_returnflag").alias("n_flags"),
+    )
+
+
+@query(
+    "agg_groupby",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           ROUND(SUM(l_quantity), 4) AS sum_qty,
+           ROUND(SUM(l_extendedprice), 4) AS sum_base_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 4) AS sum_charge,
+           ROUND(AVG(l_quantity), 4) AS avg_qty,
+           ROUND(AVG(l_extendedprice), 4) AS avg_price,
+           ROUND(AVG(l_discount), 4) AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2000-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def agg_groupby(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q1-like pricing summary: 2 grouping keys, 8 aggregates.
+
+    The workhorse shape of the recommender's exploratory analytics
+    (avg rating / rating count per movie) generalized per SURVEY §2.4.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2000-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 4).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 4).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 4).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@query(
+    "agg_having",
+    oracle="""
+    SELECT o_custkey, COUNT(*) AS n_orders,
+           ROUND(SUM(o_totalprice), 4) AS spend
+    FROM orders
+    GROUP BY o_custkey
+    HAVING COUNT(*) >= 12
+    """,
+)
+def agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 4).alias("spend"),
+        )
+        .filter(F.col("n_orders") >= 12)
+    )
+
+
+@query(
+    "agg_count_distinct",
+    oracle="""
+    SELECT event_type, COUNT(DISTINCT user_id) AS n_users, COUNT(*) AS n_events
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+@query("agg_approx_count_distinct")
+def agg_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL++ approximate distinct — the scan-once, no-expansion shape
+    that replaces exact COUNT(DISTINCT) at 100 TB. rows-only check
+    (approximation differs from any exact oracle by design)."""
+    e = table(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", 0.01).alias("approx_users")
+    )
+
+
+@query(
+    "agg_distinct",
+    oracle="""
+    SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+    """,
+)
+def agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    return li.select("l_returnflag", "l_linestatus").distinct()
+
+
+@query(
+    "agg_rollup",
+    oracle="""
+    SELECT r_name, n_name, COUNT(*) AS n, CAST(GROUPING(r_name) + 2 * GROUPING(n_name) AS INTEGER) AS gid
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY ROLLUP (r_name, n_name)
+    """,
+)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical totals region → nation → grand total."""
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region")
+    joined = c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey).join(
+        F.broadcast(r), n.n_regionkey == r.r_regionkey
+    )
+    return joined.rollup("r_name", "n_name").agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.grouping("r_name") + 2 * F.grouping("n_name")).cast("int").alias("gid"),
+    )
+
+
+@query(
+    "agg_cube",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+           ROUND(SUM(o_totalprice), 4) AS total,
+           CAST(GROUPING(o_orderstatus) + 2 * GROUPING(o_orderpriority) AS INTEGER) AS gid
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("o_totalprice"), 4).alias("total"),
+        (F.grouping("o_orderstatus") + 2 * F.grouping("o_orderpriority")).cast("int").alias("gid"),
+    )
+
+
+@query(
+    "agg_grouping_sets",
+    oracle="""
+    SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+           CAST(GROUPING(l_returnflag) + 2 * GROUPING(l_linestatus) AS INTEGER) AS gid
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    """,
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit grouping sets via the SQL path (Spark SQL supports
+    GROUPING SETS natively; the DataFrame API does not expose it)."""
+    table(spark, sf_dir, "lineitem").createOrReplaceTempView(
+        "mrsas_gs_lineitem"
+    )
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+               CAST(GROUPING(l_returnflag) + 2 * GROUPING(l_linestatus) AS INTEGER) AS gid
+        FROM mrsas_gs_lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        """
+    )
+
+
+@query(
+    "agg_pivot",
+    oracle="""
+    SELECT user_id,
+           ROUND(SUM(CASE WHEN event_type = 'view' THEN value ELSE 0 END), 4) AS view,
+           ROUND(SUM(CASE WHEN event_type = 'click' THEN value ELSE 0 END), 4) AS click,
+           ROUND(SUM(CASE WHEN event_type = 'purchase' THEN value ELSE 0 END), 4) AS purchase,
+           ROUND(SUM(CASE WHEN event_type = 'signup' THEN value ELSE 0 END), 4) AS signup,
+           ROUND(SUM(CASE WHEN event_type = 'error' THEN value ELSE 0 END), 4) AS error
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """event_type → columns. Uses ``pivot`` with explicit values (the
+    scalable form: no extra pass to discover the pivot domain) and a
+    0.0-filled sum so the result matches the CASE-WHEN oracle exactly.
+    """
+    e = table(spark, sf_dir, "events")
+    pivoted = (
+        e.groupBy("user_id")
+        .pivot("event_type", ["view", "click", "purchase", "signup", "error"])
+        .agg(F.sum("value"))
+    )
+    cols = [F.col("user_id")] + [
+        F.round(F.coalesce(F.col(c), F.lit(0.0)), 4).alias(c)
+        for c in ["view", "click", "purchase", "signup", "error"]
+    ]
+    return pivoted.select(*cols)
+
+
+@query(
+    "agg_filtered",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(SUM(CASE WHEN l_discount > 0.05 THEN l_extendedprice ELSE 0 END), 4)
+               AS hi_disc_revenue,
+           COUNT(CASE WHEN l_quantity >= 25 THEN 1 END) AS n_bulk,
+           ROUND(AVG(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 4) AS avg_qty_f
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional aggregates: sum/count/avg over CASE-filtered inputs."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(
+            F.sum(
+                F.when(F.col("l_discount") > 0.05, F.col("l_extendedprice")).otherwise(
+                    0.0
+                )
+            ),
+            4,
+        ).alias("hi_disc_revenue"),
+        F.count(F.when(F.col("l_quantity") >= 25, F.lit(1))).alias("n_bulk"),
+        F.round(
+            F.avg(F.when(F.col("l_linestatus") == "F", F.col("l_quantity"))), 4
+        ).alias("avg_qty_f"),
+    )
+
+
+@query(
+    "agg_collect",
+    oracle="""
+    SELECT o_orderstatus,
+           list_sort(list(DISTINCT o_orderpriority)) AS priorities
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group sorted distinct list (deterministic: collect order is
+    non-deterministic in a distributed agg, so sort + distinct pins it)."""
+    o = table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.sort_array(F.collect_set("o_orderpriority")).alias("priorities")
+    )
+
+
+@query(
+    "agg_percentile",
+    oracle="""
+    SELECT o_orderstatus,
+           ROUND(CAST(quantile_cont(o_totalprice, 0.5) AS DOUBLE), 4) AS median_price,
+           ROUND(CAST(quantile_cont(o_totalprice, 0.9) AS DOUBLE), 4) AS p90_price
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact linear-interpolated percentiles (Spark ``percentile`` and
+    DuckDB ``quantile_cont`` share the interpolation rule)."""
+    o = table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.round(F.expr("percentile(o_totalprice, 0.5)"), 4).alias("median_price"),
+        F.round(F.expr("percentile(o_totalprice, 0.9)"), 4).alias("p90_price"),
+    )
+
+
+@query(
+    "agg_stddev_var",
+    oracle="""
+    SELECT event_type,
+           ROUND(STDDEV_SAMP(value), 4) AS sd,
+           ROUND(VAR_SAMP(value), 4) AS var,
+           ROUND(STDDEV_POP(value), 4) AS sd_pop
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def agg_stddev_var(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.round(F.stddev_samp("value"), 4).alias("sd"),
+        F.round(F.var_samp("value"), 4).alias("var"),
+        F.round(F.stddev_pop("value"), 4).alias("sd_pop"),
+    )
+
+
+@query(
+    "agg_corr",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(CORR(l_quantity, l_extendedprice), 4) AS qty_price_corr,
+           ROUND(COVAR_SAMP(l_quantity, l_extendedprice), 4) AS qty_price_covar
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias("qty_price_corr"),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 4).alias(
+            "qty_price_covar"
+        ),
+    )

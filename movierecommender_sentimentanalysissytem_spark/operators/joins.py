@@ -1,0 +1,365 @@
+"""Join operators (SURVEY.md §2.3) — the full join matrix.
+
+Scale design notes (the 100 TB point):
+- Equi-joins on fact tables shuffle on the join key; Catalyst + AQE pick
+  sort-merge vs shuffled-hash and coalesce/skew-split partitions at
+  runtime. We express only logical joins and keep keys un-transformed so
+  pushdown and join reordering stay available.
+- ``region``/``nation`` are fixed-cardinality dims → always broadcast
+  (explicit ``F.broadcast``), eliminating their shuffle entirely.
+- The theta/range join is bounded to a broadcastable side — an unbounded
+  BroadcastNestedLoopJoin over two fact tables would be O(n²) and is
+  deliberately avoided.
+- The as-of join is expressed as the standard window formulation
+  (candidates ≤ key, rank 1) which shuffles once per side — the same
+  plan a native ASOF physical operator would produce.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from movierecommender_sentimentanalysissytem_spark.registry import query
+from movierecommender_sentimentanalysissytem_spark.sources.tables import table
+
+
+@query(
+    "join_inner_equi",
+    oracle="""
+    SELECT o_orderkey, c_custkey, c_name, c_mktsegment,
+           ROUND(o_totalprice, 4) AS total
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    WHERE o_orderstatus = 'O'
+    """,
+)
+def join_inner_equi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact ⋈ dim equi-join; Catalyst picks the physical strategy
+    (broadcast-hash at this SF; sort-merge+AQE at 100 TB)."""
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    return (
+        o.filter(F.col("o_orderstatus") == "O")
+        .join(c, o.o_custkey == c.c_custkey, "inner")
+        .select(
+            "o_orderkey",
+            "c_custkey",
+            "c_name",
+            "c_mktsegment",
+            F.round("o_totalprice", 4).alias("total"),
+        )
+    )
+
+
+@query(
+    "join_star_multiway",
+    oracle="""
+    SELECT n_name,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+           COUNT(*) AS n_items
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name IN ('ASIA', 'AMERICA', 'EUROPE', 'AFRICA', 'MIDDLE EAST')
+      AND o_orderstatus <> 'P'
+    GROUP BY n_name
+    """,
+)
+def join_star_multiway(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q5-like star join: lineitem⋈orders⋈customer⋈nation⋈region.
+
+    nation/region are broadcast explicitly; the lineitem⋈orders and
+    orders⋈customer joins shuffle on their keys — at scale AQE coalesces
+    the post-shuffle partitions and converts to broadcast when a side
+    fits after filtering.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") != "P")
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region").filter(
+        F.col("r_name").isin("ASIA", "AMERICA", "EUROPE", "AFRICA", "MIDDLE EAST")
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@query(
+    "join_broadcast",
+    oracle="""
+    SELECT n_name, COUNT(*) AS n_customers,
+           ROUND(SUM(c_acctbal), 4) AS total_acctbal
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY n_name
+    """,
+)
+def join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact ⋈ tiny dim with an explicit broadcast hint — zero shuffle on
+    the join itself (plan-asserted in tests/test_plans.py)."""
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.sum("c_acctbal"), 4).alias("total_acctbal"),
+        )
+    )
+
+
+@query(
+    "join_left_outer",
+    oracle="""
+    SELECT c_custkey, o_orderkey,
+           ROUND(COALESCE(o_totalprice, 0.0), 4) AS total
+    FROM customer LEFT JOIN orders
+      ON c_custkey = o_custkey AND o_orderstatus = 'F'
+    """,
+)
+def join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer with a join-side predicate (kept in the ON clause so
+    unmatched customers survive null-extended)."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    return c.join(
+        o, (c.c_custkey == o.o_custkey) & (o.o_orderstatus == "F"), "left"
+    ).select(
+        "c_custkey",
+        "o_orderkey",
+        F.round(F.coalesce(F.col("o_totalprice"), F.lit(0.0)), 4).alias("total"),
+    )
+
+
+@query(
+    "join_right_outer",
+    oracle="""
+    SELECT c_custkey, o_orderkey, o_orderstatus
+    FROM orders RIGHT JOIN customer ON o_custkey = c_custkey
+    """,
+)
+def join_right_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    return o.join(c, o.o_custkey == c.c_custkey, "right").select(
+        "c_custkey", "o_orderkey", "o_orderstatus"
+    )
+
+
+@query(
+    "join_full_outer",
+    oracle="""
+    WITH hi_cust AS (SELECT c_custkey, c_acctbal FROM customer WHERE c_acctbal > 8000),
+         hi_ord  AS (SELECT o_custkey, COUNT(*) AS n_orders
+                     FROM orders WHERE o_totalprice > 300000 GROUP BY o_custkey)
+    SELECT COALESCE(c_custkey, o_custkey) AS custkey,
+           ROUND(COALESCE(c_acctbal, -1.0), 4) AS acctbal,
+           COALESCE(n_orders, 0) AS n_orders
+    FROM hi_cust FULL JOIN hi_ord ON c_custkey = o_custkey
+    """,
+)
+def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join of two filtered sets with null-extension on both
+    sides (each side has keys the other lacks)."""
+    c = table(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 8000).select(
+        "c_custkey", "c_acctbal"
+    )
+    o = (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 300000)
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+    return c.join(o, c.c_custkey == o.o_custkey, "full").select(
+        F.coalesce(c.c_custkey, o.o_custkey).alias("custkey"),
+        F.round(F.coalesce(F.col("c_acctbal"), F.lit(-1.0)), 4).alias("acctbal"),
+        F.coalesce(F.col("n_orders"), F.lit(0)).alias("n_orders"),
+    )
+
+
+@query(
+    "join_left_semi",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_totalprice > 250000)
+    """,
+)
+def join_left_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers having at least one big order (semi join — probe side
+    never duplicated, only existence checked)."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 250000)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_name"
+    )
+
+
+@query(
+    "join_left_anti",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+)
+def join_left_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers with no orders at all (anti join)."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+@query(
+    "join_cross",
+    oracle="""
+    SELECT r_name, n_name
+    FROM region CROSS JOIN nation
+    """,
+)
+def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded cross product (5 × 25). Cross joins are only ever safe on
+    provably tiny inputs — never on fact tables."""
+    r = table(spark, sf_dir, "region")
+    n = table(spark, sf_dir, "nation")
+    return r.crossJoin(n).select("r_name", "n_name")
+
+
+@query(
+    "join_theta_range",
+    oracle="""
+    SELECT p_partkey, l_orderkey, l_linenumber,
+           ROUND(l_extendedprice, 4) AS price
+    FROM part JOIN lineitem
+      ON l_partkey = p_partkey
+     AND l_extendedprice BETWEEN p_retailprice * 20 AND p_retailprice * 30
+    WHERE p_size <= 3
+    """,
+)
+def join_theta_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid equi + range predicate: the equi part keeps it a hash join
+    (scales), the BETWEEN runs as a post-join filter — the scalable way
+    to express banded joins; a pure theta join would be O(n·m)."""
+    p = table(spark, sf_dir, "part").filter(F.col("p_size") <= 3)
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        p.join(
+            li,
+            (li.l_partkey == p.p_partkey)
+            & li.l_extendedprice.between(
+                p.p_retailprice * 20, p.p_retailprice * 30
+            ),
+        )
+        .select(
+            "p_partkey",
+            "l_orderkey",
+            "l_linenumber",
+            F.round("l_extendedprice", 4).alias("price"),
+        )
+    )
+
+
+@query(
+    "join_asof",
+    oracle="""
+    WITH candidates AS (
+        SELECT o_orderkey, e.event_id, e.value,
+               ROW_NUMBER() OVER (
+                   PARTITION BY o_orderkey
+                   ORDER BY date_trunc('second', e.ts) DESC, e.event_id DESC) AS rn
+        FROM (SELECT * FROM orders WHERE o_orderkey % 100 = 0) o
+        JOIN events e
+          ON e.user_id = o.o_custkey % 150
+         AND date_trunc('second', e.ts)
+             <= TIMESTAMP '2024-01-15 00:00:00' + INTERVAL (o.o_orderkey % 14) DAY
+    )
+    SELECT o_orderkey, event_id, ROUND(value, 4) AS last_value
+    FROM candidates WHERE rn = 1
+    """,
+)
+def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: latest event per (mapped) user at a per-order cutoff.
+
+    Batch Spark has no native ASOF; the idiomatic formulation is
+    candidates ≤ cutoff → row_number() → rn=1, which is exactly one
+    shuffle per side plus a window — the same data movement a native
+    as-of merge join needs. The oracle mirrors the identical windowed
+    SQL (not DuckDB's ASOF JOIN) so the semantics are pinned.
+    """
+    o = (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 100 == 0)
+        .select(
+            "o_orderkey",
+            (F.col("o_custkey") % 150).alias("u_key"),
+            (
+                F.to_timestamp(F.lit("2024-01-15 00:00:00"))
+                + (F.col("o_orderkey") % 14).cast("int") * F.expr("INTERVAL 1 DAY")
+            ).alias("cutoff"),
+        )
+    )
+    e = table(spark, sf_dir, "events").withColumn(
+        "ts_s", F.date_trunc("second", F.col("ts"))
+    )
+    cand = o.join(e, (e.user_id == o.u_key) & (e.ts_s <= o.cutoff))
+    w = Window.partitionBy("o_orderkey").orderBy(
+        F.col("ts_s").desc(), F.col("event_id").desc()
+    )
+    return (
+        cand.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("o_orderkey", "event_id", F.round("value", 4).alias("last_value"))
+    )
+
+
+@query(
+    "join_self",
+    oracle="""
+    SELECT a.event_id AS prev_id, b.event_id AS next_id, a.user_id,
+           a.event_type AS prev_type, b.event_type AS next_type
+    FROM events a JOIN events b
+      ON a.user_id = b.user_id AND b.event_id = a.event_id + 1
+    WHERE a.event_type = 'view' AND b.event_type = 'purchase'
+    """,
+)
+def join_self(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-join on consecutive event ids per user (view→purchase
+    conversion pairs)."""
+    e = table(spark, sf_dir, "events")
+    a = e.alias("a")
+    b = e.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("b.event_id") == F.col("a.event_id") + 1),
+        )
+        .filter(
+            (F.col("a.event_type") == "view")
+            & (F.col("b.event_type") == "purchase")
+        )
+        .select(
+            F.col("a.event_id").alias("prev_id"),
+            F.col("b.event_id").alias("next_id"),
+            F.col("a.user_id").alias("user_id"),
+            F.col("a.event_type").alias("prev_type"),
+            F.col("b.event_type").alias("next_type"),
+        )
+    )

@@ -1,0 +1,82 @@
+"""Set operations (SURVEY.md §2.7).
+
+Semantics pinned explicitly: UNION ALL (bag), UNION DISTINCT,
+INTERSECT (distinct), EXCEPT ALL (bag difference) — each mirrored with
+the same keyword on the DuckDB side so ALL-vs-DISTINCT never drifts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from movierecommender_sentimentanalysissytem_spark.registry import query
+from movierecommender_sentimentanalysissytem_spark.sources.tables import table
+
+
+def _urgent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_custkey")
+    )
+
+
+def _big(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 200000)
+        .select("o_custkey")
+    )
+
+
+@query(
+    "set_union_all",
+    oracle="""
+    SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+    UNION ALL
+    SELECT o_custkey FROM orders WHERE o_totalprice > 200000
+    """,
+)
+def set_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag union (duplicates preserved) — zero-shuffle concatenation."""
+    return _urgent(spark, sf_dir).unionByName(_big(spark, sf_dir))
+
+
+@query(
+    "set_union_distinct",
+    oracle="""
+    SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+    UNION
+    SELECT o_custkey FROM orders WHERE o_totalprice > 200000
+    """,
+)
+def set_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _urgent(spark, sf_dir).unionByName(_big(spark, sf_dir)).distinct()
+
+
+@query(
+    "set_intersect",
+    oracle="""
+    SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+    INTERSECT
+    SELECT o_custkey FROM orders WHERE o_totalprice > 200000
+    """,
+)
+def set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT (distinct semantics on both engines)."""
+    return _urgent(spark, sf_dir).intersect(_big(spark, sf_dir))
+
+
+@query(
+    "set_except",
+    oracle="""
+    SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+    EXCEPT ALL
+    SELECT o_custkey FROM orders WHERE o_totalprice > 200000
+    """,
+)
+def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT ALL (bag difference — ``exceptAll`` mirrors DuckDB's
+    EXCEPT ALL; plain ``subtract`` would be EXCEPT DISTINCT)."""
+    return _urgent(spark, sf_dir).exceptAll(_big(spark, sf_dir))

@@ -1,0 +1,241 @@
+"""Window functions (SURVEY.md §2.5).
+
+The archetype's "top-N movies per user" generalizes to the full window
+surface. Determinism rule: every ORDER BY inside a window carries a
+unique trailing tiebreaker key, otherwise rank/lag results are
+non-deterministic across partitions and the oracle hash diverges.
+
+Scale notes: a window = one shuffle on partitionBy keys + per-partition
+sort. Partition keys here are user/customer ids (high cardinality → even
+distribution). An unpartitioned window (global ORDER BY) funnels all
+data through one task and is deliberately absent from this surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from movierecommender_sentimentanalysissytem_spark.registry import query
+from movierecommender_sentimentanalysissytem_spark.sources.tables import table
+
+
+@query(
+    "win_row_number_topk",
+    oracle="""
+    SELECT o_custkey, o_orderkey, ROUND(o_totalprice, 4) AS total, rn
+    FROM (
+        SELECT o_custkey, o_orderkey, o_totalprice,
+               CAST(ROW_NUMBER() OVER (
+                   PARTITION BY o_custkey
+                   ORDER BY o_totalprice DESC, o_orderkey ASC) AS INTEGER) AS rn
+        FROM orders
+    ) t WHERE rn <= 3
+    """,
+)
+def win_row_number_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders per customer by price (the archetype's top-N
+    recommendations shape). o_orderkey is the deterministic tiebreaker.
+    """
+    o = table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        o.withColumn("rn", F.row_number().over(w).cast("int"))
+        .filter(F.col("rn") <= 3)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.round("o_totalprice", 4).alias("total"),
+            "rn",
+        )
+    )
+
+
+@query(
+    "win_rank_dense",
+    oracle="""
+    SELECT p_brand, p_partkey,
+           ROUND(p_retailprice, 4) AS price,
+           CAST(RANK() OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC, p_partkey) AS INTEGER) AS rnk,
+           CAST(DENSE_RANK() OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC, p_partkey) AS INTEGER) AS drnk
+    FROM part
+    WHERE p_size <= 10
+    """,
+)
+def win_rank_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = table(spark, sf_dir, "part").filter(F.col("p_size") <= 10)
+    w = Window.partitionBy("p_brand").orderBy(
+        F.col("p_retailprice").desc(), F.col("p_partkey")
+    )
+    return p.select(
+        "p_brand",
+        "p_partkey",
+        F.round("p_retailprice", 4).alias("price"),
+        F.rank().over(w).cast("int").alias("rnk"),
+        F.dense_rank().over(w).cast("int").alias("drnk"),
+    )
+
+
+@query(
+    "win_lag_lead",
+    oracle="""
+    SELECT user_id, event_id,
+           ROUND(value, 4) AS value,
+           ROUND(value - LAG(value) OVER w, 4) AS delta_prev,
+           ROUND(LEAD(value) OVER w - value, 4) AS delta_next
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
+    """,
+)
+def win_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user event value deltas. Ordered by the unique event_id (not
+    the ns timestamp — SURVEY §1.2 rule) so both engines sort identically.
+    """
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    return e.select(
+        "user_id",
+        "event_id",
+        F.round("value", 4).alias("value"),
+        F.round(F.col("value") - F.lag("value", 1).over(w), 4).alias("delta_prev"),
+        F.round(F.lead("value", 1).over(w) - F.col("value"), 4).alias("delta_next"),
+    )
+
+
+@query(
+    "win_running_sum",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           ROUND(SUM(o_totalprice) OVER (
+               PARTITION BY o_custkey
+               ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS running_spend
+    FROM orders
+    """,
+)
+def win_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative revenue per customer over order date (orderkey breaks
+    same-date ties deterministically)."""
+    o = table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.sum("o_totalprice").over(w), 4).alias("running_spend"),
+    )
+
+
+@query(
+    "win_moving_avg",
+    oracle="""
+    SELECT user_id, event_id,
+           ROUND(AVG(value) OVER (
+               PARTITION BY user_id ORDER BY event_id
+               ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS mavg3
+    FROM events
+    """,
+)
+def win_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(-2, Window.currentRow)
+    )
+    return e.select(
+        "user_id",
+        "event_id",
+        F.round(F.avg("value").over(w), 4).alias("mavg3"),
+    )
+
+
+@query(
+    "win_range_frame",
+    oracle="""
+    SELECT p_brand, p_partkey, p_size,
+           COUNT(*) OVER (
+               PARTITION BY p_brand ORDER BY p_size
+               RANGE BETWEEN 2 PRECEDING AND 2 FOLLOWING) AS n_similar_size
+    FROM part
+    """,
+)
+def win_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE frame on a numeric key: parts within ±2 size units of the
+    current row's size, per brand. (COUNT over a RANGE frame depends only
+    on values, not row order, so it's deterministic without a tiebreak.)
+    """
+    p = table(spark, sf_dir, "part")
+    w = Window.partitionBy("p_brand").orderBy("p_size").rangeBetween(-2, 2)
+    return p.select(
+        "p_brand",
+        "p_partkey",
+        "p_size",
+        F.count(F.lit(1)).over(w).alias("n_similar_size"),
+    )
+
+
+@query(
+    "win_ntile_percent",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(NTILE(4) OVER w AS INTEGER) AS quartile,
+           ROUND(PERCENT_RANK() OVER w, 4) AS prank,
+           ROUND(CUME_DIST() OVER w, 4) AS cdist
+    FROM orders
+    WINDOW w AS (ORDER BY o_totalprice, o_orderkey)
+    """,
+)
+def win_ntile_percent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quartiles / percent_rank / cume_dist over the full order set.
+
+    Note: a global (unpartitioned) window funnels through one task — at
+    100 TB this shape must be pre-bucketed or replaced with
+    approx-quantile cutoffs; it exists here for API parity.
+    """
+    o = table(spark, sf_dir, "orders")
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    return o.select(
+        "o_orderkey",
+        F.ntile(4).over(w).cast("int").alias("quartile"),
+        F.round(F.percent_rank().over(w), 4).alias("prank"),
+        F.round(F.cume_dist().over(w), 4).alias("cdist"),
+    )
+
+
+@query(
+    "win_first_last",
+    oracle="""
+    SELECT user_id, event_id, event_type,
+           FIRST_VALUE(event_type) OVER w AS first_type,
+           LAST_VALUE(event_type) OVER w AS last_type,
+           CAST(NTH_VALUE(event_id, 2) OVER w AS BIGINT) AS second_event
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+)
+def win_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first/last/nth value over the full partition frame (explicit
+    UNBOUNDED FOLLOWING — the default frame would make LAST_VALUE the
+    current row)."""
+    e = table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return e.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.first("event_type").over(w).alias("first_type"),
+        F.last("event_type").over(w).alias("last_type"),
+        F.nth_value("event_id", 2).over(w).alias("second_event"),
+    )

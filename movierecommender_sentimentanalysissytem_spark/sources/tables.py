@@ -1,0 +1,69 @@
+"""Parquet source layer.
+
+All fixture tables (FIXTURES.md) load through here so that scale-aware
+settings live in one place. At 100 TB the same code path works: Spark's
+vectorized parquet reader handles partition discovery, predicate
+pushdown and column pruning on the datasource level — we only ever
+express *logical* plans downstream, never per-file logic.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES: tuple[str, ...] = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Dimension tables small enough to always broadcast in joins (the 100 TB
+# design point: region/nation are fixed-size; customer/supplier/part grow
+# with SF and must NOT be assumed broadcastable).
+BROADCAST_DIMS: frozenset[str] = frozenset({"region", "nation"})
+
+
+def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one fixture table as a DataFrame (lazy parquet scan).
+
+    ``events.ts`` is parquet TIMESTAMP(NANOS), which Spark's reader
+    rejects outright (PARQUET_TYPE_ILLEGAL). We read it as raw int64
+    nanoseconds (``spark.sql.legacy.parquet.nanosAsLong``) and rebuild a
+    microsecond TimestampType column with integer arithmetic — ``div``
+    on longs, never double division, which loses sub-µs precision at
+    epoch-nanosecond magnitudes (~1.7e18 > 2^53).
+    """
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        return spark.read.parquet(path).withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000"))
+        )
+    return spark.read.parquet(path)
+
+
+def load_tables(
+    spark: SparkSession, sf_dir: str, register_views: bool = True
+) -> dict[str, DataFrame]:
+    """Load all fixture tables; optionally register temp views so both
+    the DataFrame API and ``spark.sql`` formulations are available
+    (SURVEY.md §3.2)."""
+    dfs: dict[str, DataFrame] = {}
+    for name in TABLES:
+        df = table(spark, sf_dir, name)
+        if register_views:
+            df.createOrReplaceTempView(name)
+        dfs[name] = df
+    return dfs
