@@ -1,3 +1,312 @@
-"""Scalar function surface (SURVEY.md §2.8) — filled incrementally."""
+"""Scalar function surface (SURVEY.md §2.8).
+
+All functions here are built-in ``pyspark.sql.functions`` — JVM-side,
+inside whole-stage codegen, no Python round-trip. Cross-engine rules:
+regexes stay in the RE2 ∩ Java-regex common subset; date functions that
+return engine-dependent widths are cast to INTEGER on both sides;
+temporal outputs are projected as DATE or formatted strings, never raw
+timestamps (SURVEY.md §1.2).
+"""
 
 from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from movierecommender_sentimentanalysissytem_spark.functions.rounding import round4
+from movierecommender_sentimentanalysissytem_spark.registry import query
+from movierecommender_sentimentanalysissytem_spark.sources.tables import table
+
+
+@query(
+    "fn_string",
+    oracle="""
+    SELECT c_custkey,
+           LOWER(c_name) AS name_lower,
+           UPPER(c_mktsegment) AS seg_upper,
+           SUBSTR(c_name, 1, 8) AS name_prefix,
+           CONCAT(c_mktsegment, ':', c_name) AS seg_name,
+           TRIM(CONCAT('  ', c_name, ' ')) AS name_trim,
+           CAST(LENGTH(c_name) AS INTEGER) AS name_len,
+           REPLACE(c_name, 'Customer', 'Cust') AS name_short,
+           LPAD(CAST(c_custkey AS VARCHAR), 10, '0') AS key_padded
+    FROM customer
+    """,
+)
+def fn_string(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.lower("c_name").alias("name_lower"),
+        F.upper("c_mktsegment").alias("seg_upper"),
+        F.substring("c_name", 1, 8).alias("name_prefix"),
+        F.concat(F.col("c_mktsegment"), F.lit(":"), F.col("c_name")).alias("seg_name"),
+        F.trim(F.concat(F.lit("  "), F.col("c_name"), F.lit(" "))).alias("name_trim"),
+        F.length("c_name").alias("name_len"),
+        F.replace(F.col("c_name"), F.lit("Customer"), F.lit("Cust")).alias(
+            "name_short"
+        ),
+        F.lpad(F.col("c_custkey").cast("string"), 10, "0").alias("key_padded"),
+    )
+
+
+@query(
+    "fn_string_regexp",
+    oracle="""
+    SELECT p_partkey, p_brand,
+           regexp_extract(p_brand, '#([0-9]+)', 1) AS brand_num,
+           regexp_replace(p_type, '[aeiou]', '_', 'g') AS type_devoweled,
+           regexp_matches(p_type, '^(ECONOMY|PROMO)') AS is_cheap_line
+    FROM part
+    """,
+)
+def fn_string_regexp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regexes kept in the RE2 ∩ Java common subset: character classes,
+    anchors, alternation, capture groups — no lookaround/backrefs.
+    Note Spark regexp_replace is global by default; DuckDB needs 'g'."""
+    p = table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        "p_brand",
+        F.regexp_extract("p_brand", "#([0-9]+)", 1).alias("brand_num"),
+        F.regexp_replace("p_type", "[aeiou]", "_").alias("type_devoweled"),
+        F.col("p_type").rlike("^(ECONOMY|PROMO)").alias("is_cheap_line"),
+    )
+
+
+@query(
+    "fn_split_explode",
+    oracle="""
+    SELECT doc_id, u.word
+    FROM documents, unnest(string_split(text, ' ')) AS u(word)
+    WHERE lang = 'en' AND doc_id < 50
+    """,
+)
+def fn_split_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenize documents.text → one row per word (fixture text is
+    single-space separated, so plain split is a clean tokenizer)."""
+    d = table(spark, sf_dir, "documents")
+    return (
+        d.filter((F.col("lang") == "en") & (F.col("doc_id") < 50))
+        .select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+    )
+
+
+@query(
+    "fn_date",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(year(o_orderdate) AS INTEGER) AS order_year,
+           CAST(month(o_orderdate) AS INTEGER) AS order_month,
+           CAST(day(o_orderdate) AS INTEGER) AS order_day,
+           CAST(date_trunc('month', o_orderdate) AS DATE) AS order_month_start,
+           CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '2000-01-01') AS INTEGER)
+               AS days_to_y2k,
+           strftime(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH, '%Y-%m-%d') AS plus3m,
+           CAST(quarter(o_orderdate) AS INTEGER) AS order_quarter
+    FROM orders
+    """,
+)
+def fn_date(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date part extraction / truncation / arithmetic on o_orderdate.
+
+    dayofweek is deliberately absent (Spark 1=Sunday vs DuckDB 0=Sunday
+    — SURVEY §2.8 pitfall); quarter/year/month/day agree. add_months
+    output is formatted to a string so both engines' month-end clamping
+    is compared textually.
+    """
+    o = table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("order_year"),
+        F.month("o_orderdate").alias("order_month"),
+        F.dayofmonth("o_orderdate").alias("order_day"),
+        F.date_trunc("month", F.col("o_orderdate")).cast("date").alias(
+            "order_month_start"
+        ),
+        F.datediff(F.lit("2000-01-01").cast("date"), F.col("o_orderdate").cast("date"))
+        .alias("days_to_y2k"),
+        F.date_format(F.add_months(F.col("o_orderdate").cast("date"), 3), "yyyy-MM-dd")
+        .alias("plus3m"),
+        F.quarter("o_orderdate").alias("order_quarter"),
+    )
+
+
+@query(
+    "fn_math",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           FLOOR(ABS(l_extendedprice - 30000) * 10000 + 0.5) / 10000 AS abs_dev,
+           CEIL(l_quantity / 7) AS qty_ceil7,
+           FLOOR(l_quantity / 7) AS qty_floor7,
+           FLOOR(SQRT(l_extendedprice) * 10000 + 0.5) / 10000 AS price_sqrt,
+           FLOOR(LN(l_extendedprice) * 10000 + 0.5) / 10000 AS price_ln,
+           FLOOR(LOG10(l_extendedprice) * 10000 + 0.5) / 10000 AS price_log10,
+           FLOOR(POW(l_discount, 2) * 10000 + 0.5) / 10000 AS disc_sq,
+           CAST(l_orderkey % 97 AS BIGINT) AS key_mod
+    FROM lineitem
+    WHERE l_linenumber = 1
+    """,
+)
+def fn_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """round/abs/ceil/floor/sqrt/ln/log10/pow/mod — all whole-stage
+    codegen'd JVM intrinsics; transcendentals IEEE-identical to DuckDB
+    (both call libm double versions), pinned by stable floor-rounding."""
+    li = table(spark, sf_dir, "lineitem").filter(F.col("l_linenumber") == 1)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        round4(F.abs(F.col("l_extendedprice") - 30000)).alias("abs_dev"),
+        F.ceil(F.col("l_quantity") / 7).alias("qty_ceil7"),
+        F.floor(F.col("l_quantity") / 7).alias("qty_floor7"),
+        round4(F.sqrt("l_extendedprice")).alias("price_sqrt"),
+        round4(F.log(F.col("l_extendedprice"))).alias("price_ln"),
+        round4(F.log10("l_extendedprice")).alias("price_log10"),
+        round4(F.pow("l_discount", F.lit(2))).alias("disc_sq"),
+        (F.col("l_orderkey") % 97).alias("key_mod"),
+    )
+
+
+@query(
+    "fn_conditional",
+    oracle="""
+    SELECT s_suppkey,
+           CASE WHEN s_acctbal < 0 THEN 'debt'
+                WHEN s_acctbal < 5000 THEN 'low'
+                ELSE 'high' END AS bal_band,
+           COALESCE(NULLIF(s_name, ''), 'unknown') AS name_nz,
+           GREATEST(s_acctbal, 0.0) AS bal_floor0,
+           LEAST(s_acctbal, 9999.0) AS bal_cap
+    FROM supplier
+    """,
+)
+def fn_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = table(spark, sf_dir, "supplier")
+    return s.select(
+        "s_suppkey",
+        F.when(F.col("s_acctbal") < 0, "debt")
+        .when(F.col("s_acctbal") < 5000, "low")
+        .otherwise("high")
+        .alias("bal_band"),
+        F.coalesce(F.nullif(F.col("s_name"), F.lit("")), F.lit("unknown")).alias(
+            "name_nz"
+        ),
+        F.greatest(F.col("s_acctbal"), F.lit(0.0)).alias("bal_floor0"),
+        F.least(F.col("s_acctbal"), F.lit(9999.0)).alias("bal_cap"),
+    )
+
+
+@query(
+    "fn_array",
+    oracle="""
+    SELECT vec_id, label,
+           CAST(len(embedding) AS INTEGER) AS n_dims,
+           FLOOR(CAST(list_max(embedding) AS DOUBLE) * 10000 + 0.5) / 10000 AS max_elem,
+           FLOOR(CAST(list_min(embedding) AS DOUBLE) * 10000 + 0.5) / 10000 AS min_elem,
+           FLOOR(CAST(embedding[1] AS DOUBLE) * 10000 + 0.5) / 10000 AS first_elem,
+           CAST(len(list_distinct(embedding)) AS INTEGER) AS n_distinct
+    FROM embeddings
+    """,
+)
+def fn_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array functions over the fp32 embedding column. Raw float arrays
+    are never projected (fp32 repr drift); every extracted element is
+    cast to double — exact widening on both engines — then stably
+    rounded."""
+    e = table(spark, sf_dir, "embeddings")
+    return e.select(
+        "vec_id",
+        "label",
+        F.size("embedding").alias("n_dims"),
+        round4(F.array_max("embedding").cast("double")).alias("max_elem"),
+        round4(F.array_min("embedding").cast("double")).alias("min_elem"),
+        round4(F.element_at("embedding", 1).cast("double")).alias("first_elem"),
+        F.size(F.array_distinct("embedding")).alias("n_distinct"),
+    )
+
+
+@query(
+    "fn_array_transform",
+    oracle="""
+    SELECT vec_id,
+           FLOOR(SQRT(list_reduce(
+                     list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+                     (a, b) -> a + b)) * 10000 + 0.5) / 10000 AS l2_norm,
+           FLOOR((list_reduce(list_transform(embedding, x -> CAST(x AS DOUBLE)),
+                              (a, b) -> a + b) / len(embedding)) * 10000 + 0.5) / 10000
+               AS mean_elem,
+           CAST(len(list_filter(embedding, x -> x > 0)) AS INTEGER) AS n_positive
+    FROM embeddings
+    """,
+)
+def fn_array_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array functions: transform/aggregate/filter compute
+    the L2 norm, mean and positive-count of each embedding JVM-side.
+
+    Both sides fold in array order (Spark ``aggregate``, DuckDB
+    ``list_reduce``), so the float sums are bit-identical.
+    """
+    e = table(spark, sf_dir, "embeddings")
+    sq_sum = F.expr(
+        "aggregate(transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),"
+        " 0.0D, (a, b) -> a + b)"
+    )
+    el_sum = F.expr(
+        "aggregate(transform(embedding, x -> CAST(x AS DOUBLE)), 0.0D, (a, b) -> a + b)"
+    )
+    return e.select(
+        "vec_id",
+        round4(F.sqrt(sq_sum)).alias("l2_norm"),
+        round4(el_sum / F.size("embedding")).alias("mean_elem"),
+        F.size(F.filter("embedding", lambda x: x > 0)).alias("n_positive"),
+    )
+
+
+@query(
+    "fn_map_json",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(props->>'$.k' AS INTEGER)) AS BIGINT) AS k_sum,
+           CAST(MAX(CAST(props->>'$.k' AS INTEGER)) AS INTEGER) AS k_max
+    FROM events
+    WHERE CAST(props->>'$.k' AS INTEGER) >= 50
+    GROUP BY event_type
+    """,
+)
+def fn_map_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured access: extract props.k from the JSON payload,
+    filter and aggregate on it (the archetype's tweet-JSON shape)."""
+    e = table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        e.withColumn("k", k)
+        .filter(F.col("k") >= 50)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").alias("k_sum"),
+            F.max("k").alias("k_max"),
+        )
+    )
+
+
+@query(
+    "fn_hash",
+    oracle="""
+    SELECT doc_id,
+           md5(text) AS text_md5,
+           sha256(text) AS text_sha256
+    FROM documents
+    WHERE doc_id < 100
+    """,
+)
+def fn_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cryptographic digests of document text (exact-dedup support:
+    hash once, group on the fixed-width digest instead of long text)."""
+    d = table(spark, sf_dir, "documents")
+    return d.filter(F.col("doc_id") < 100).select(
+        "doc_id",
+        F.md5("text").alias("text_md5"),
+        F.sha2("text", 256).alias("text_sha256"),
+    )

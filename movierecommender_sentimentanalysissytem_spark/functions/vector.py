@@ -1,3 +1,291 @@
-"""Vector similarity surface (SURVEY.md §2.10) — filled incrementally."""
+"""Similarity search over the embedding column (SURVEY.md §2.10,
+PAPERS.md top-k similarity search).
+
+Cosine kernels are computed with in-order JVM folds
+(``zip_with``/``aggregate`` on elements cast fp32→fp64, an exact
+widening), mirrored in DuckDB by ``list_reduce``/``list_transform`` over
+the same index order — bit-identical doubles, so brute-force variants
+are fully SQL-checked. LSH / IVF variants are the 100 TB scale path and
+rows-checked (bucketing internals are engine-specific).
+
+Scale design: brute-force k-NN is O(|Q|·|C|·d) — fine for a bounded
+query set against a broadcast candidate block, wrong for all-pairs.
+The threshold join blocks on label (exact) or LSH buckets (approx);
+IVF prunes candidates to the nearest coarse centroids. All three keep
+the pairwise kernel identical and swap only the candidate generator.
+"""
 
 from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from movierecommender_sentimentanalysissytem_spark.functions.rounding import round4
+from movierecommender_sentimentanalysissytem_spark.registry import query
+from movierecommender_sentimentanalysissytem_spark.sources.tables import table
+
+# Spark-side kernels (columns named a / b hold the two embeddings).
+_DOT = (
+    "aggregate(zip_with(a, b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),"
+    " 0.0D, (acc, v) -> acc + v)"
+)
+_NORM = (
+    "sqrt(aggregate(transform({v}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),"
+    " 0.0D, (acc, u) -> acc + u))"
+)
+
+# DuckDB-side kernels over tables aliased a / b.
+_DDOT = (
+    "list_reduce(list_transform(range(1, 65),"
+    " i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)),"
+    " (x, y) -> x + y)"
+)
+_DNORM = (
+    "sqrt(list_reduce(list_transform({v}.embedding,"
+    " x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (p, q) -> p + q))"
+)
+_DCOS = f"({_DDOT} / ({_DNORM.format(v='a')} * {_DNORM.format(v='b')}))"
+
+
+def _cos_expr():
+    return F.expr(_DOT) / (F.expr(_NORM.format(v="a")) * F.expr(_NORM.format(v="b")))
+
+
+@query(
+    "sim_cosine_pairwise",
+    oracle=f"""
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           FLOOR({_DCOS} * 10000 + 0.5) / 10000 AS cos_sim,
+           FLOOR({_DDOT} * 10000 + 0.5) / 10000 AS dot,
+           FLOOR({_DNORM.format(v='a')} * 10000 + 0.5) / 10000 AS norm_a
+    FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1
+    """,
+)
+def sim_cosine_pairwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cosine / dot / norm for consecutive vec_id pairs — the pairwise
+    kernel in isolation, SQL-checked bit-for-bit."""
+    e = table(spark, sf_dir, "embeddings")
+    a = e.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("a"))
+    b = e.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("b"))
+    return (
+        a.join(b, F.col("vec_b") == F.col("vec_a") + 1)
+        .select(
+            "vec_a",
+            "vec_b",
+            round4(_cos_expr()).alias("cos_sim"),
+            round4(F.expr(_DOT)).alias("dot"),
+            round4(F.expr(_NORM.format(v="a"))).alias("norm_a"),
+        )
+    )
+
+
+@query(
+    "sim_topk_neighbors",
+    oracle=f"""
+    SELECT query_id, neighbor_id, cos_sim, rn FROM (
+        SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+               FLOOR({_DCOS} * 10000 + 0.5) / 10000 AS cos_sim,
+               CAST(ROW_NUMBER() OVER (
+                   PARTITION BY a.vec_id
+                   ORDER BY {_DCOS} DESC, b.vec_id ASC) AS INTEGER) AS rn
+        FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+        WHERE a.vec_id < 10
+    ) t WHERE rn <= 3
+    """,
+)
+def sim_topk_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-3 neighbors for a bounded query set
+    (vec_id < 10) — the correctness baseline for ANN variants.
+
+    The query block is tiny → Catalyst broadcasts it; candidates stream
+    through the kernel without shuffling; the window ranks per query.
+    Ranking happens on the raw double (not the rounded value), with
+    vec_id as the deterministic tiebreak.
+    """
+    e = table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("a")
+    )
+    c = e.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("b"))
+    cos = _cos_expr()
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_raw").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        F.broadcast(q)
+        .join(c, F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cos_raw", cos)
+        .withColumn("rn", F.row_number().over(w).cast("int"))
+        .filter(F.col("rn") <= 3)
+        .select(
+            "query_id",
+            "neighbor_id",
+            round4(F.col("cos_raw")).alias("cos_sim"),
+            "rn",
+        )
+    )
+
+
+@query(
+    "sim_threshold_join",
+    oracle=f"""
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           FLOOR({_DCOS} * 10000 + 0.5) / 10000 AS cos_sim
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE {_DCOS} >= 0.4
+    """,
+)
+def sim_threshold_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All pairs with cosine ≥ 0.4, brute force (SQL-checked ground
+    truth for the LSH variant below)."""
+    e = table(spark, sf_dir, "embeddings")
+    a = e.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("a"))
+    b = e.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("b"))
+    cos = _cos_expr()
+    return (
+        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .filter(cos >= 0.4)
+        .select("vec_a", "vec_b", round4(cos).alias("cos_sim"))
+    )
+
+
+@query("sim_threshold_join_lsh")
+def sim_threshold_join_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-pruned similarity join: normalize to unit vectors, bucket
+    with random hyperplane projections (BucketedRandomProjectionLSH,
+    seeded), and approx-join on euclidean distance — for unit vectors
+    ``d² = 2(1 − cos)``, so cos ≥ 0.4 ⇔ d ≤ sqrt(1.2).
+
+    This is the 100 TB path for sim_threshold_join: candidate pairs
+    come from bucket collisions (near-linear), not the n² cross join.
+    rows-checked; recall vs the brute-force oracle is asserted in
+    tests/test_vectors.py.
+    """
+    from pyspark.ml.feature import BucketedRandomProjectionLSH, Normalizer
+    from pyspark.ml.functions import array_to_vector
+
+    e = table(spark, sf_dir, "embeddings").select(
+        "vec_id", array_to_vector(F.col("embedding").cast("array<double>")).alias("v")
+    )
+    unit = Normalizer(inputCol="v", outputCol="unit", p=2.0).transform(e)
+    lsh = BucketedRandomProjectionLSH(
+        inputCol="unit", outputCol="hashes", bucketLength=0.5, numHashTables=4, seed=42
+    )
+    model = lsh.fit(unit)
+    thresh = float(2.0 * (1.0 - 0.4)) ** 0.5
+    joined = model.approxSimilarityJoin(unit, unit, thresh, distCol="dist")
+    return (
+        joined.filter(F.col("datasetA.vec_id") < F.col("datasetB.vec_id"))
+        .select(
+            F.col("datasetA.vec_id").alias("vec_a"),
+            F.col("datasetB.vec_id").alias("vec_b"),
+            round4(1.0 - F.col("dist") * F.col("dist") / 2.0).alias("cos_sim"),
+        )
+    )
+
+
+@query("sim_topk_ivf")
+def sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: KMeans coarse quantizer (seeded) partitions the
+    corpus; each query probes only its 2 nearest centroids' inverted
+    lists, then exact cosine top-3 within the probed cells.
+
+    At scale the corpus is written partitioned by centroid id
+    (partition pruning does the probe), queries broadcast. rows-checked
+    (centroid assignment is implementation-specific); recall vs brute
+    force is asserted in tests/test_vectors.py.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    e = table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "embedding",
+        array_to_vector(F.col("embedding").cast("array<double>")).alias("v"),
+    )
+    kmeans = KMeans(k=8, seed=42, featuresCol="v", predictionCol="cell")
+    model = kmeans.fit(e)
+    assigned = model.transform(e).select(
+        "vec_id", F.col("embedding").alias("b"), "cell"
+    )
+
+    centers = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
+        ["cell", "center"],
+    )
+    # nearest 2 cells per query vector (distance to centroid, JVM fold)
+    q = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("a")
+    )
+    dist2 = F.expr(
+        "aggregate(zip_with(a, center, (x, y) -> (CAST(x AS DOUBLE) - y) *"
+        " (CAST(x AS DOUBLE) - y)), 0.0D, (acc, v) -> acc + v)"
+    )
+    wcell = Window.partitionBy("query_id").orderBy(F.col("d2").asc(), F.col("cell"))
+    probes = (
+        q.crossJoin(F.broadcast(centers))
+        .withColumn("d2", dist2)
+        .withColumn("cr", F.row_number().over(wcell))
+        .filter(F.col("cr") <= 2)
+        .select("query_id", "a", "cell")
+    )
+    cos = _cos_expr()
+    wtop = Window.partitionBy("query_id").orderBy(
+        F.col("cos_raw").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        probes.join(assigned, "cell")
+        .filter(F.col("query_id") != F.col("vec_id"))
+        .withColumn("cos_raw", cos)
+        .withColumnRenamed("vec_id", "neighbor_id")
+        .withColumn("rn", F.row_number().over(wtop).cast("int"))
+        .filter(F.col("rn") <= 3)
+        .select(
+            "query_id",
+            "neighbor_id",
+            round4(F.col("cos_raw")).alias("cos_sim"),
+            "rn",
+        )
+    )
+
+
+@query(
+    "multimodal_columns",
+    oracle=f"""
+    WITH b AS (SELECT embedding FROM embeddings WHERE vec_id = 0)
+    SELECT d.doc_id, d.lang, d.n_chars, a.label,
+           FLOOR({_DCOS} * 10000 + 0.5) / 10000 AS cos_to_query
+    FROM documents d
+    JOIN embeddings a ON a.vec_id = d.doc_id
+    CROSS JOIN b
+    WHERE d.lang IN ('en', 'de')
+    ORDER BY {_DCOS} DESC, d.doc_id ASC
+    LIMIT 20
+    """,
+)
+def multimodal_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixed-modality row: text metadata ⋈ vector column, filtered by
+    lang, ranked by cosine to a fixed query vector (vec_id 0). The
+    embeddings join is keyed doc_id = vec_id; the 1-row query block is
+    a broadcast cross join."""
+    d = table(spark, sf_dir, "documents")
+    e = table(spark, sf_dir, "embeddings")
+    qv = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("b"))
+    a = e.select("vec_id", F.col("label").alias("label"), F.col("embedding").alias("a"))
+    cos = _cos_expr()
+    return (
+        d.filter(F.col("lang").isin("en", "de"))
+        .join(a, d.doc_id == a.vec_id)
+        .crossJoin(F.broadcast(qv))
+        .withColumn("cos_raw", cos)
+        .orderBy(F.col("cos_raw").desc(), F.col("doc_id").asc())
+        .limit(20)
+        .select(
+            "doc_id",
+            "lang",
+            "n_chars",
+            "label",
+            round4(F.col("cos_raw")).alias("cos_to_query"),
+        )
+    )

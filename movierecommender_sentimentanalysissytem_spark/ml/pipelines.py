@@ -1,3 +1,144 @@
-"""MLlib pipelines: ALS recommender + sentiment classifier (SURVEY.md §2.9)."""
+"""MLlib pipelines (SURVEY.md §2.9): the reference archetype's two
+model workflows — ALS collaborative filtering and a TF-IDF sentiment
+classifier — plus a relational RMSE evaluation.
+
+Model outputs are rows-checked (estimator internals aren't
+SQL-expressible); determinism is pinned with fixed seeds and
+train-on-full-data (randomSplit's row counts shift with partitioning,
+which would make row counts unstable between runs).
+
+Scale notes: ALS is the one genuinely iterative-distributed algorithm
+in the engine — MLlib's implementation block-partitions the rating
+matrix and alternates factor solves with a shuffle per iteration;
+``recommendForAllUsers`` is a blocked cross-product top-k. Both scale
+with executors; nothing here collects to the driver.
+"""
 
 from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from movierecommender_sentimentanalysissytem_spark.functions.rounding import round4
+from movierecommender_sentimentanalysissytem_spark.registry import query
+from movierecommender_sentimentanalysissytem_spark.sources.tables import table
+
+
+def _ratings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Derived ratings fixture (FIXTURES.md): user=o_custkey,
+    item=l_partkey, rating=l_quantity, averaged per (user, item)."""
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy(
+            F.col("o_custkey").cast("int").alias("user"),
+            F.col("l_partkey").cast("int").alias("item"),
+        )
+        .agg(F.avg("l_quantity").cast("float").alias("rating"))
+    )
+
+
+@query("ml_sentiment_pipeline")
+def ml_sentiment_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer → HashingTF → IDF → LogisticRegression on documents
+    (label: lang == 'en', the archetype's binary sentiment stand-in).
+
+    rows-checked: returns one prediction row per document with a stable
+    (doc_id, label, prediction) schema.
+    """
+    from pyspark.ml import Pipeline
+    from pyspark.ml.classification import LogisticRegression
+    from pyspark.ml.feature import IDF, HashingTF, Tokenizer
+
+    docs = table(spark, sf_dir, "documents").withColumn(
+        "label", (F.col("lang") == "en").cast("double")
+    )
+    pipeline = Pipeline(
+        stages=[
+            Tokenizer(inputCol="text", outputCol="words"),
+            HashingTF(inputCol="words", outputCol="tf", numFeatures=1024),
+            IDF(inputCol="tf", outputCol="features"),
+            LogisticRegression(maxIter=10, regParam=0.01),
+        ]
+    )
+    model = pipeline.fit(docs)
+    return model.transform(docs).select("doc_id", "label", "prediction")
+
+
+@query("ml_als_recommend")
+def ml_als_recommend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MLlib ALS matrix factorization on the derived ratings, top-5
+    recommendations per user (the archetype's headline workflow).
+
+    rows-checked: (user, rec_rank, item) — 5 rows per user with
+    factors seeded for run-to-run determinism.
+    """
+    from pyspark.ml.recommendation import ALS
+
+    ratings = _ratings(spark, sf_dir)
+    als = ALS(
+        rank=8,
+        maxIter=5,
+        regParam=0.1,
+        seed=42,
+        userCol="user",
+        itemCol="item",
+        ratingCol="rating",
+        coldStartStrategy="drop",
+    )
+    model = als.fit(ratings)
+    recs = model.recommendForAllUsers(5)
+    return recs.select(
+        "user",
+        F.posexplode("recommendations").alias("pos", "rec"),
+    ).select(
+        "user",
+        (F.col("pos") + 1).alias("rec_rank"),
+        F.col("rec.item").alias("item"),
+    )
+
+
+@query(
+    "ml_eval_rmse",
+    oracle="""
+    WITH ratings AS (
+        SELECT o_custkey AS u, l_partkey AS i, AVG(l_quantity) AS r
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY o_custkey, l_partkey
+    ),
+    item_mean AS (
+        SELECT i, SUM(r) / COUNT(*) AS pred FROM ratings GROUP BY i
+    )
+    SELECT COUNT(*) AS n,
+           FLOOR(SQRT(AVG(POW(r - pred, 2))) * 10000 + 0.5) / 10000 AS rmse
+    FROM ratings JOIN item_mean USING (i)
+    """,
+)
+def ml_eval_rmse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RMSE of the deterministic per-item-mean predictor against the
+    derived ratings — the SQL-checkable form of RegressionEvaluator
+    (the ALS model's own RMSE is seed-dependent, hence not oracled).
+    """
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    ratings = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy(
+            F.col("o_custkey").alias("u"),
+            F.col("l_partkey").alias("i"),
+        )
+        .agg(F.avg("l_quantity").alias("r"))
+    )
+    item_mean = ratings.groupBy("i").agg(
+        (F.sum("r") / F.count(F.lit(1))).alias("pred")
+    )
+    return (
+        ratings.join(item_mean, "i")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            round4(F.sqrt(F.avg(F.pow(F.col("r") - F.col("pred"), 2)))).alias(
+                "rmse"
+            ),
+        )
+    )
