@@ -1,3 +1,306 @@
-"""Streaming operators over the events table (SURVEY.md §2.11)."""
+"""Streaming operators over the events table (SURVEY.md §2.11).
+
+Two tiers:
+- Batch-equivalent formulations (tumbling / sliding / session windows)
+  are SQL-checked against DuckDB — they pin the exact window semantics.
+- True Structured Streaming variants (watermark, stateful dedup,
+  applyInPandasWithState counter) run ``readStream`` → memory sink with
+  ``Trigger.AvailableNow`` and are rows-checked; batch↔stream parity is
+  asserted in tests/test_streaming.py.
+
+Timestamp discipline (SURVEY §1.2): events.ts is ns — every formulation
+truncates to second before bucketing/comparing and projects buckets as
+formatted strings, never raw timestamps.
+
+Scale notes: windowed streaming aggs shuffle on (key, window) with
+watermark-bounded state; session windows and dropDuplicates keep
+per-key state in the state store (RocksDB at scale). The batch
+formulations shuffle once on user_id — the same movement pattern.
+"""
 
 from __future__ import annotations
+
+import os
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.window import Window
+
+from movierecommender_sentimentanalysissytem_spark.functions.rounding import round4
+from movierecommender_sentimentanalysissytem_spark.registry import query
+from movierecommender_sentimentanalysissytem_spark.sources.tables import table
+
+_BUCKET_FMT = "yyyy-MM-dd HH:mm:ss"
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return table(spark, sf_dir, "events").withColumn(
+        "ts_s", F.date_trunc("second", F.col("ts"))
+    )
+
+
+@query(
+    "stream_tumbling_window",
+    oracle="""
+    SELECT strftime(to_timestamp(floor(epoch(date_trunc('second', ts)) / 600) * 600),
+                    '%Y-%m-%d %H:%M:%S') AS bucket,
+           COUNT(*) AS n,
+           FLOOR(SUM(value) * 10000 + 0.5) / 10000 AS total_value
+    FROM events
+    GROUP BY bucket
+    """,
+)
+def stream_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-10-minute tumbling event counts/sums via ``window()`` — the
+    identical expression works under readStream (see the watermark
+    variant below). Spark's windows are epoch-aligned, mirrored in
+    DuckDB with explicit epoch-floor arithmetic."""
+    e = _events(spark, sf_dir)
+    return (
+        e.groupBy(F.window("ts_s", "10 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            round4(F.sum("value")).alias("total_value"),
+        )
+        .select(
+            F.date_format("w.start", _BUCKET_FMT).alias("bucket"),
+            "n",
+            "total_value",
+        )
+    )
+
+
+@query(
+    "stream_sliding_window",
+    oracle="""
+    WITH starts AS (
+        SELECT floor(epoch(date_trunc('second', ts)) / 300) * 300 AS s, value
+        FROM events
+        UNION ALL
+        SELECT floor(epoch(date_trunc('second', ts)) / 300) * 300 - 300 AS s, value
+        FROM events
+    )
+    SELECT strftime(to_timestamp(s), '%Y-%m-%d %H:%M:%S') AS bucket,
+           COUNT(*) AS n,
+           FLOOR(SUM(value) * 10000 + 0.5) / 10000 AS total_value
+    FROM starts
+    GROUP BY s
+    """,
+)
+def stream_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10-minute window sliding by 5: every event lands in exactly two
+    windows (starts floor(t/300)·300 and that minus 300) — the oracle
+    materializes the same two starts with a union of offsets."""
+    e = _events(spark, sf_dir)
+    return (
+        e.groupBy(F.window("ts_s", "10 minutes", "5 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            round4(F.sum("value")).alias("total_value"),
+        )
+        .select(
+            F.date_format("w.start", _BUCKET_FMT).alias("bucket"),
+            "n",
+            "total_value",
+        )
+    )
+
+
+@query(
+    "stream_session_window",
+    oracle="""
+    WITH ordered AS (
+        SELECT user_id, event_id, value,
+               CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS sec,
+               LAG(CAST(epoch(date_trunc('second', ts)) AS BIGINT)) OVER (
+                   PARTITION BY user_id
+                   ORDER BY date_trunc('second', ts), event_id) AS prev_sec
+        FROM events
+    ),
+    flagged AS (
+        SELECT *, CASE WHEN prev_sec IS NULL OR sec - prev_sec > 1800
+                       THEN 1 ELSE 0 END AS new_session
+        FROM ordered
+    ),
+    sessions AS (
+        SELECT *, SUM(new_session) OVER (
+                   PARTITION BY user_id ORDER BY sec, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+        FROM flagged
+    )
+    SELECT user_id, CAST(session_seq AS INTEGER) AS session_seq,
+           strftime(to_timestamp(MIN(sec)), '%Y-%m-%d %H:%M:%S') AS session_start,
+           COUNT(*) AS n_events,
+           FLOOR(SUM(value) * 10000 + 0.5) / 10000 AS total_value
+    FROM sessions
+    GROUP BY user_id, session_seq
+    """,
+)
+def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization with a 30-minute gap, batch formulation:
+    lag → gap flag → running sum (the classic sessionize idiom; the
+    streaming ``session_window`` equivalent is covered by parity tests).
+    """
+    e = _events(spark, sf_dir).withColumn(
+        "sec", F.unix_timestamp("ts_s")
+    )
+    worder = Window.partitionBy("user_id").orderBy("sec", "event_id")
+    flagged = e.withColumn(
+        "new_session",
+        F.when(
+            F.lag("sec").over(worder).isNull()
+            | ((F.col("sec") - F.lag("sec").over(worder)) > 1800),
+            1,
+        ).otherwise(0),
+    )
+    wrun = worder.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sessions = flagged.withColumn(
+        "session_seq", F.sum("new_session").over(wrun).cast("int")
+    )
+    return sessions.groupBy("user_id", "session_seq").agg(
+        F.date_format(F.timestamp_seconds(F.min("sec")), _BUCKET_FMT).alias(
+            "session_start"
+        ),
+        F.count(F.lit(1)).alias("n_events"),
+        round4(F.sum("value")).alias("total_value"),
+    )
+
+
+# ------------------------------------------------ true streaming variants
+
+_EVENTS_STREAM_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),  # nanosAsLong
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """readStream over the events parquet with the ns→µs rebuild.
+
+    The file source requires a directory; the fixture is a single file,
+    so it is staged (hard-link or copy) into a temp dir — at production
+    scale the source would already be a partitioned directory tree.
+    """
+    import shutil
+    import tempfile
+
+    src = os.path.join(sf_dir, "events.parquet")
+    stage = tempfile.mkdtemp(prefix="mrsas_stream_src_")
+    dst = os.path.join(stage, "events.parquet")
+    try:
+        os.link(src, dst)
+    except OSError:
+        shutil.copyfile(src, dst)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = spark.readStream.schema(_EVENTS_STREAM_SCHEMA).parquet(stage)
+    return raw.withColumn(
+        "ts", F.timestamp_micros(F.expr("ts div 1000"))
+    ).withColumn("ts_s", F.date_trunc("second", F.col("ts")))
+
+
+def _run_available_now(df: DataFrame, spark: SparkSession, output_mode: str) -> DataFrame:
+    """Execute a streaming DataFrame to completion into a memory sink
+    and return the materialized result."""
+    name = "mrsas_stream_" + uuid.uuid4().hex[:8]
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return df.sparkSession.table(name)
+
+
+@query("stream_watermark_late")
+def stream_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed streaming aggregation with a 10-minute watermark:
+    events later than the watermark are dropped from state; the
+    watermark also bounds state size (the 100 TB requirement — without
+    it, window state grows forever). Append mode only emits finalized
+    windows. rows-checked."""
+    e = _events_stream(spark, sf_dir)
+    agg = (
+        e.withWatermark("ts_s", "10 minutes")
+        .groupBy(F.window("ts_s", "10 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            round4(F.sum("value")).alias("total_value"),
+        )
+        .select(
+            F.date_format("w.start", _BUCKET_FMT).alias("bucket"),
+            "n",
+            "total_value",
+        )
+    )
+    return _run_available_now(agg, spark, "append")
+
+
+@query("stream_dedup")
+def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful streaming dedup on event_id with watermark-bounded
+    state, then a per-type count. rows-checked."""
+    e = _events_stream(spark, sf_dir)
+    deduped = (
+        e.withWatermark("ts_s", "10 minutes")
+        .dropDuplicates(["event_id"])
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return _run_available_now(deduped, spark, "complete")
+
+
+@query("stream_stateful_counter")
+def stream_stateful_counter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator: per-user running totals via
+    ``applyInPandasWithState`` (arbitrary state, Arrow-batched).
+    The state is one (count, total) pair per user — fixed width,
+    watermark-free GroupState with no timeout. rows-checked."""
+    import pandas as pd  # noqa: F401
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    e = _events_stream(spark, sf_dir).select("user_id", "value")
+
+    out_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("n_events", T.LongType()),
+            T.StructField("total_value", T.DoubleType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("n", T.LongType()),
+            T.StructField("total", T.DoubleType()),
+        ]
+    )
+
+    def update(key, pdfs, state: GroupState):
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        import pandas as pd
+
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_value": [total]}
+        )
+
+    counted = e.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    return _run_available_now(counted, spark, "update")

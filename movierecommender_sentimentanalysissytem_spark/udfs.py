@@ -1,3 +1,181 @@
-"""UDF surface (SURVEY.md §2.12) — filled incrementally."""
+"""UDF surface (SURVEY.md §2.12).
+
+UDFs are the engine's escape hatch, not its hot path: every operator
+that CAN be a built-in is a built-in (see functions/). This module
+demonstrates each UDF tier with functions deliberately chosen to be
+SQL-mirrorable so even the Python paths get full oracle checks:
+
+- scalar Python UDF: row-at-a-time, pickled — the slow tier
+- pandas UDF: Arrow-batched, vectorized — ~10-100× faster, the only
+  acceptable Python tier in hot paths at 100 TB
+- applyInPandas: grouped-map for per-group logic
+- UDTF: one-row → many-rows table function
+
+Float discipline: Python-side accumulation uses explicit sequential
+loops (not numpy pairwise summation) so the fold order — and hence the
+bits — match the oracle's list_reduce / windowed-agg formulations.
+"""
 
 from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from movierecommender_sentimentanalysissytem_spark.functions.rounding import round4
+from movierecommender_sentimentanalysissytem_spark.registry import query
+from movierecommender_sentimentanalysissytem_spark.sources.tables import table
+
+
+@query(
+    "udf_python_scalar",
+    oracle="""
+    SELECT doc_id,
+           regexp_replace(lower(text), '[aeiou]', '', 'g') AS text_devoweled
+    FROM documents
+    WHERE doc_id < 50
+    """,
+)
+def udf_python_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-at-a-time Python UDF (normalize: lowercase + strip vowels) —
+    mirrored by a pure-SQL regexp so the oracle still hash-checks it."""
+    import re
+
+    @F.udf(T.StringType())
+    def devowel(s: str) -> str:
+        return re.sub(r"[aeiou]", "", s.lower()) if s is not None else None
+
+    d = table(spark, sf_dir, "documents")
+    return d.filter(F.col("doc_id") < 50).select(
+        "doc_id", devowel("text").alias("text_devoweled")
+    )
+
+
+@query(
+    "udf_pandas_vectorized",
+    oracle="""
+    SELECT vec_id,
+           FLOOR(sqrt(list_reduce(list_transform(embedding,
+                     x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+                     (a, b) -> a + b)) * 10000 + 0.5) / 10000 AS l2_norm
+    FROM embeddings
+    """,
+)
+def udf_pandas_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched pandas UDF computing the embedding L2 norm.
+
+    The accumulation is an explicit sequential Python loop so the fold
+    order matches DuckDB's list_reduce exactly (numpy's pairwise
+    summation would differ in the last ulp and break the value hash).
+    """
+    import math
+
+    import pandas as pd
+
+    def _l2_norm_batch(col):
+        def norm(arr):
+            acc = 0.0
+            for x in arr:
+                xd = float(x)
+                acc += xd * xd
+            return math.sqrt(acc)
+
+        return col.map(norm)
+
+    # no inline type hints: `from __future__ import annotations` would
+    # stringify them and pandas_udf's hint parser rejects the strings
+    l2_norm = F.pandas_udf(_l2_norm_batch, T.DoubleType())
+    del pd  # silence unused-import linters; pandas is used at runtime
+
+    e = table(spark, sf_dir, "embeddings")
+    return e.select("vec_id", round4(l2_norm("embedding")).alias("l2_norm"))
+
+
+@query(
+    "udaf_pandas_grouped",
+    oracle="""
+    SELECT user_id, event_id,
+           FLOOR(((value - AVG(value) OVER w) / STDDEV_SAMP(value) OVER w)
+                 * 10000 + 0.5) / 10000 AS zscore
+    FROM events
+    WINDOW w AS (PARTITION BY user_id)
+    """,
+)
+def udaf_pandas_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map ``applyInPandas``: per-user z-score of event values.
+
+    Mean/stddev are computed with sequential loops (sum, then sum of
+    squared deviations — the numerically-stable two-pass form DuckDB's
+    STDDEV_SAMP also uses) so values hash-match the windowed-SQL oracle.
+    """
+    import math
+
+    import pandas as pd
+
+    schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_id", T.LongType()),
+            T.StructField("zscore", T.DoubleType()),
+        ]
+    )
+
+    def zscore(pdf: pd.DataFrame) -> pd.DataFrame:
+        vals = [float(v) for v in pdf["value"]]
+        n = len(vals)
+        mean = 0.0
+        for v in vals:
+            mean += v
+        mean /= n
+        if n > 1:
+            m2 = 0.0
+            for v in vals:
+                m2 += (v - mean) * (v - mean)
+            sd = math.sqrt(m2 / (n - 1))
+        else:
+            sd = float("nan")
+        z = [
+            math.floor(((v - mean) / sd) * 10000 + 0.5) / 10000 if sd == sd else None
+            for v in vals
+        ]
+        return pd.DataFrame(
+            {"user_id": pdf["user_id"], "event_id": pdf["event_id"], "zscore": z}
+        )
+
+    e = table(spark, sf_dir, "events").select("user_id", "event_id", "value")
+    return e.groupBy("user_id").applyInPandas(zscore, schema)
+
+
+@query(
+    "udtf",
+    oracle="""
+    SELECT event_id, 'k' AS key, CAST(props->>'$.k' AS VARCHAR) AS val
+    FROM events
+    WHERE event_id < 200
+    """,
+)
+def udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF exploding the props JSON object into (key, value)
+    rows via a lateral join — the one-row → many-rows tier."""
+    import json
+
+    from pyspark.sql.functions import udtf as udtf_dec
+
+    @udtf_dec(returnType="key: string, val: string")
+    class ParseProps:
+        def eval(self, props: str):
+            if props:
+                for k, v in json.loads(props).items():
+                    yield str(k), str(v)
+
+    spark.udtf.register("mrsas_parse_props", ParseProps)
+    e = table(spark, sf_dir, "events")
+    e.filter(F.col("event_id") < 200).select(
+        "event_id", "props"
+    ).createOrReplaceTempView("mrsas_udtf_events")
+    return spark.sql(
+        """
+        SELECT e.event_id, t.key, t.val
+        FROM mrsas_udtf_events e, LATERAL mrsas_parse_props(e.props) t
+        """
+    )
