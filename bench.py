@@ -1,0 +1,90 @@
+"""Benchmark harness (SURVEY.md §6): headline queries at sf0.1.
+
+Runs each headline query to full materialization (noop sink — forces
+every stage, no driver collect overhead) on local[$SPARK_GRAFT_CPUS],
+reading $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1), and prints
+ONE JSON line:
+  {"metric": "total_sec", "value": N, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": 0.1}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+# The headline set spans every heavy shape: scan+multiway join, wide
+# agg, window top-k, exploding text, TF-IDF joins, minhash LSH, knn
+# kernel, streaming buckets, JSON extraction, distinct, sessionize.
+HEADLINE = [
+    "agg_groupby",
+    "join_star_multiway",
+    "win_row_number_topk",
+    "agg_count_distinct",
+    "sort_multikey",
+    "text_wordcount",
+    "text_tfidf",
+    "dedup_near_minhash",
+    "sim_topk_neighbors",
+    "stream_tumbling_window",
+    "stream_session_window",
+    "fn_map_json",
+    "ml_eval_rmse",
+    "dedup_exact",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    try:
+        sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", ""))
+    except ValueError:
+        sf = -1.0
+
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("mrsas-bench")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.showConsoleProgress", "false")
+        .config("spark.driver.memory", "16g")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from movierecommender_sentimentanalysissytem_spark import registry
+
+    qs = registry.queries()
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = qs[name]
+        t0 = time.perf_counter()
+        df = fn(spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        print(f"# {name}: {timings[name]:.3f}s", file=sys.stderr)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "total_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

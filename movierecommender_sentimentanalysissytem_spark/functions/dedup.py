@@ -35,8 +35,25 @@ N_HASHES = 8          # minhash signature length
 N_BANDS = 4           # LSH bands (2 hashes per band)
 ROWS_PER_BAND = N_HASHES // N_BANDS
 
+# Affine minhash family over a single md5-derived base hash: one md5
+# per shingle (the expensive part), then h_j = (a_j·h + b_j) mod P on
+# 30-bit values — products stay < 2^61, so no bigint overflow on either
+# engine. The mod-P wraparound is essential: without it a_j·h + b_j is
+# monotone in h, all 8 "hashes" share one argmin, and LSH banding
+# degenerates to a single minhash (observed: band join exploded n²).
+_M = 1 << 30
+_P = (1 << 31) - 1  # Mersenne prime 2^31 − 1
+_AFFINE: tuple[tuple[int, int], ...] = (
+    (787_001_543, 101),
+    (654_435_761, 2027),
+    (948_227_881, 31337),
+    (521_870_003, 433494),
+    (370_248_451, 9176),
+    (812_279_237, 60493),
+    (293_085_509, 7368787),
+    (615_242_279, 122420729),
+)
 
-# ---------------------------------------------------------- hash family
 
 def _spark_h(seed: str, s_expr: str) -> str:
     """Spark SQL: 60-bit integer hash of ``s_expr`` under ``seed``."""
@@ -53,18 +70,23 @@ def _duck_h(seed: str, s_expr: str) -> str:
     )
 
 
-_SPARK_SHINGLES = (
-    "array_distinct(transform(sequence(1, size(split(text, ' ')) - 2),"
-    " i -> concat(element_at(split(text, ' '), i), ' ',"
-    "             element_at(split(text, ' '), i + 1), ' ',"
-    "             element_at(split(text, ' '), i + 2))))"
+# Shingling over a pre-split words column ``w`` — splitting text once
+# per row matters: an element_at(split(text),i) formulation re-splits
+# the text per shingle element (O(tokens²) string work, observed 70 s+
+# at sf0.1 vs ~2 s for this form).
+_SPARK_SHINGLES_W = (
+    "array_distinct(transform(sequence(1, size(w) - 2),"
+    " i -> concat_ws(' ', slice(w, i, 3))))"
 )
 
-_DUCK_SHINGLES = (
-    "list_distinct(list_transform(range(1, len(string_split(text, ' ')) - 1),"
-    " i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1]"
-    " || ' ' || string_split(text, ' ')[i+2]))"
+_DUCK_SHINGLES_W = (
+    "list_distinct(list_transform(range(1, len(w) - 1),"
+    " i -> array_to_string(w[i:i+2], ' ')))"
 )
+
+# Base hash of one shingle (md5 → 60 bits → 30 bits).
+_SPARK_BASE = f"({_spark_h('m', 's')} % {_M})"
+_DUCK_BASE = f"({_duck_h('m', 's')} % {_M})"
 
 
 # ------------------------------------------------------------ operators
@@ -94,8 +116,8 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _minhash_oracle() -> str:
     hs = ",\n           ".join(
-        f"list_min(list_transform(shingles, s -> {_duck_h(str(j), 's')})) AS h{j}"
-        for j in range(N_HASHES)
+        f"list_min(list_transform(hvals, x -> ({a} * x + {b}) % {_P})) AS h{j}"
+        for j, (a, b) in enumerate(_AFFINE)
     )
     def band_key(b: int) -> str:
         return "md5(concat(" + ", '_', ".join(
@@ -108,15 +130,23 @@ def _minhash_oracle() -> str:
         for b in range(N_BANDS)
     )
     return f"""
-    WITH sh AS (
-        SELECT doc_id, {_DUCK_SHINGLES} AS shingles
+    WITH words AS (
+        SELECT doc_id, string_split(text, ' ') AS w
         FROM documents
         WHERE len(string_split(text, ' ')) >= 3
+    ),
+    sh AS (
+        SELECT doc_id, {_DUCK_SHINGLES_W} AS shingles FROM words
+    ),
+    hashed AS (
+        SELECT doc_id, shingles,
+               list_transform(shingles, s -> {_DUCK_BASE}) AS hvals
+        FROM sh
     ),
     sig AS (
         SELECT doc_id, shingles,
            {hs}
-        FROM sh
+        FROM hashed
     ),
     bands AS (
         {band_union}
@@ -148,18 +178,30 @@ def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     band-collision self-join → exact Jaccard ≥ 0.5 on collided pairs.
     SQL-checked end-to-end thanks to the cross-engine md5 hash family.
     """
-    d = table(spark, sf_dir, "documents").filter(
-        F.size(F.split("text", " ")) >= 3
+    d = (
+        table(spark, sf_dir, "documents")
+        .withColumn("w", F.split("text", " "))
+        .filter(F.size("w") >= 3)
     )
-    sh = d.select("doc_id", F.expr(_SPARK_SHINGLES).alias("shingles"))
-    sig = sh
-    for j in range(N_HASHES):
-        sig = sig.withColumn(
-            f"h{j}",
+    # One md5 per shingle; cached because the shingle table is read
+    # three times (signatures + both sides of the Jaccard verify) and
+    # Spark CTE-like lineage would recompute it each time.
+    sh = d.select(
+        "doc_id", F.expr(_SPARK_SHINGLES_W).alias("shingles")
+    ).persist()
+    hashed = sh.withColumn(
+        "hvals", F.expr(f"transform(shingles, s -> {_SPARK_BASE})")
+    )
+    sig = hashed.select(
+        "doc_id",
+        "shingles",
+        *[
             F.expr(
-                "array_min(transform(shingles, s -> " + _spark_h(str(j), "s") + "))"
-            ),
-        )
+                f"array_min(transform(hvals, x -> ({a}L * x + {b}L) % {_P}L))"
+            ).alias(f"h{j}")
+            for j, (a, b) in enumerate(_AFFINE)
+        ],
+    )
     band_cols = [
         F.md5(
             F.concat_ws(
@@ -260,10 +302,13 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "dedup_ngram_jaccard",
     oracle=f"""
-    WITH sh AS (
-        SELECT doc_id, lang, n_chars, {_DUCK_SHINGLES} AS s
+    WITH words AS (
+        SELECT doc_id, lang, n_chars, string_split(text, ' ') AS w
         FROM documents
         WHERE len(string_split(text, ' ')) >= 3
+    ),
+    sh AS (
+        SELECT doc_id, lang, n_chars, {_DUCK_SHINGLES_W} AS s FROM words
     )
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
            FLOOR((CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
@@ -282,10 +327,14 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     language and a ±30-char length band (cheap blocking keys), then
     exact 3-gram Jaccard ≥ 0.3. The blocking keeps the pair count
     near-linear; the MinHash operator is the unblocked scale path."""
-    d = table(spark, sf_dir, "documents").filter(
-        F.size(F.split("text", " ")) >= 3
+    d = (
+        table(spark, sf_dir, "documents")
+        .withColumn("w", F.split("text", " "))
+        .filter(F.size("w") >= 3)
     )
-    sh = d.select("doc_id", "lang", "n_chars", F.expr(_SPARK_SHINGLES).alias("s"))
+    sh = d.select(
+        "doc_id", "lang", "n_chars", F.expr(_SPARK_SHINGLES_W).alias("s")
+    )
     a, b = sh.alias("a"), sh.alias("b")
     jacc = F.size(
         F.array_intersect(F.col("a.s"), F.col("b.s"))

@@ -1,0 +1,121 @@
+"""Per-operator unit tests on literal DataFrames + cross-operator
+invariants at sf0.001 (SURVEY.md §5.3)."""
+
+from __future__ import annotations
+
+import datetime
+
+from pyspark.sql import functions as F
+
+from movierecommender_sentimentanalysissytem_spark import registry
+from tests.conftest import SF_SMALL
+
+QS = registry.queries()
+
+
+def test_session_window_literal(spark):
+    """Sessionize semantics on a hand-computed 5-row frame: gaps of
+    10 min / 40 min / 5 min / 31 min → sessions {1,1}, {2,3}, {4,5}
+    for user 1 (40-min and 31-min gaps split; ties impossible)."""
+    base = datetime.datetime(2024, 1, 1, 0, 0, 0)
+
+    def ts(minutes):
+        return base + datetime.timedelta(minutes=minutes)
+
+    rows = [
+        (1, 1, ts(0), 1.0),
+        (1, 2, ts(10), 1.0),   # +10min  → same session
+        (1, 3, ts(50), 1.0),   # +40min  → new session
+        (1, 4, ts(55), 1.0),   # +5min   → same session
+        (1, 5, ts(86), 1.0),   # +31min  → new session
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "event_id", "ts", "value"])
+    df = df.withColumn("sec", F.unix_timestamp("ts"))
+    from pyspark.sql.window import Window
+
+    worder = Window.partitionBy("user_id").orderBy("sec", "event_id")
+    flagged = df.withColumn(
+        "new_session",
+        F.when(
+            F.lag("sec").over(worder).isNull()
+            | ((F.col("sec") - F.lag("sec").over(worder)) > 1800),
+            1,
+        ).otherwise(0),
+    )
+    wrun = worder.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    out = (
+        flagged.withColumn("session_seq", F.sum("new_session").over(wrun))
+        .groupBy("session_seq")
+        .agg(F.collect_set("event_id").alias("events"))
+        .orderBy("session_seq")
+        .collect()
+    )
+    sessions = [sorted(r.events) for r in out]
+    assert sessions == [[1, 2], [3, 4], [5]]
+
+
+def test_semi_plus_anti_partition(spark):
+    """left_semi ∪ left_anti on the same predicate partitions customer."""
+    semi = QS["join_left_semi"](spark, SF_SMALL)
+    anti = QS["join_left_anti"](spark, SF_SMALL)
+    from movierecommender_sentimentanalysissytem_spark.sources.tables import table
+
+    c = table(spark, SF_SMALL, "customer")
+    o = table(spark, SF_SMALL, "orders")
+    all_semi = c.join(o, c.c_custkey == o.o_custkey, "left_semi").count()
+    assert all_semi + anti.count() == c.count()
+    assert semi.count() <= all_semi
+
+
+def test_rollup_grand_total_matches_global(spark):
+    rollup = QS["agg_rollup"](spark, SF_SMALL)
+    grand = rollup.filter(F.col("gid") == 3).collect()
+    assert len(grand) == 1
+    from movierecommender_sentimentanalysissytem_spark.sources.tables import table
+
+    assert grand[0]["n"] == table(spark, SF_SMALL, "customer").count()
+
+
+def test_exceptall_bag_semantics(spark):
+    a = spark.createDataFrame([(1,), (1,), (2,)], ["x"])
+    b = spark.createDataFrame([(1,)], ["x"])
+    out = sorted(r.x for r in a.exceptAll(b).collect())
+    assert out == [1, 2]  # bag difference keeps one of the duplicate 1s
+
+
+def test_dedup_exact_idempotent(spark):
+    once = QS["dedup_exact"](spark, SF_SMALL)
+    n = once.count()
+    # applying exact dedup to already-unique texts is a fixpoint
+    assert once.select("text_md5").distinct().count() == n
+
+
+def test_topk_never_exceeds_k_per_group(spark):
+    topk = QS["win_row_number_topk"](spark, SF_SMALL)
+    mx = topk.groupBy("o_custkey").count().agg(F.max("count")).collect()[0][0]
+    assert mx <= 3
+
+
+def test_minhash_pairs_are_near_dups(spark):
+    """Every MinHash-surfaced pair must genuinely exceed the Jaccard
+    threshold (no false positives survive the verify stage)."""
+    pairs = QS["dedup_near_minhash"](spark, SF_SMALL).collect()
+    for r in pairs:
+        assert r.jaccard >= 0.5
+
+
+def test_tumbling_window_counts_sum_to_total(spark):
+    from movierecommender_sentimentanalysissytem_spark.sources.tables import table
+
+    buckets = QS["stream_tumbling_window"](spark, SF_SMALL)
+    total = buckets.agg(F.sum("n")).collect()[0][0]
+    assert total == table(spark, SF_SMALL, "events").count()
+
+
+def test_sliding_window_double_counts(spark):
+    from movierecommender_sentimentanalysissytem_spark.sources.tables import table
+
+    buckets = QS["stream_sliding_window"](spark, SF_SMALL)
+    total = buckets.agg(F.sum("n")).collect()[0][0]
+    # size 10min / slide 5min → every event in exactly 2 windows
+    assert total == 2 * table(spark, SF_SMALL, "events").count()

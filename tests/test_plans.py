@@ -1,0 +1,72 @@
+"""Physical-plan shape assertions (SURVEY.md §4): the optimizations we
+rely on for the 100 TB design must actually appear in the plans."""
+
+from __future__ import annotations
+
+from movierecommender_sentimentanalysissytem_spark import registry
+from tests.conftest import SF_SMALL
+
+QS = registry.queries()
+
+
+def _plan(spark, key: str) -> str:
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        QS[key](spark, SF_SMALL).explain("formatted")
+    return buf.getvalue()
+
+
+def test_filter_pushdown_reaches_parquet(spark):
+    plan = _plan(spark, "scan_projection_pushdown")
+    assert "PushedFilters: [" in plan
+    assert "GreaterThan(l_quantity" in plan
+
+
+def test_column_pruning(spark):
+    plan = _plan(spark, "scan_projection_pushdown")
+    # ReadSchema must only contain the three referenced columns
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "l_extendedprice" not in read_schema
+    assert "l_quantity" in read_schema
+
+
+def test_broadcast_join_used_for_tiny_dim(spark):
+    plan = _plan(spark, "join_broadcast")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_star_join_broadcasts_dims(spark):
+    plan = _plan(spark, "join_star_multiway")
+    assert "BroadcastHashJoin" in plan
+
+
+def test_topk_avoids_global_sort(spark):
+    plan = _plan(spark, "sort_multikey")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_no_cartesian_in_knn(spark):
+    """k-NN must broadcast the bounded query side, never a cartesian
+    of two unbounded relations."""
+    plan = _plan(spark, "sim_topk_neighbors")
+    assert "CartesianProduct" not in plan
+
+
+def test_semi_join_physical(spark):
+    plan = _plan(spark, "join_left_semi")
+    assert "LeftSemi" in plan
+
+
+def test_whole_stage_codegen_in_agg(spark):
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        QS["agg_groupby"](spark, SF_SMALL).explain(mode="codegen")
+    plan = buf.getvalue()
+    assert "WholeStageCodegen" in plan

@@ -1,0 +1,67 @@
+"""Batch ↔ streaming parity (SURVEY.md §5.3): the true Structured
+Streaming variants must agree with their batch formulations on the
+same input."""
+
+from __future__ import annotations
+
+from movierecommender_sentimentanalysissytem_spark import registry
+from tests.conftest import SF_SMALL
+
+QS = registry.queries()
+
+
+def test_stream_watermark_matches_batch_windows(spark):
+    batch = {
+        r.bucket: (r.n, r.total_value)
+        for r in QS["stream_tumbling_window"](spark, SF_SMALL).collect()
+    }
+    stream = {
+        r.bucket: (r.n, r.total_value)
+        for r in QS["stream_watermark_late"](spark, SF_SMALL).collect()
+    }
+    # append mode withholds unfinalized trailing windows; everything
+    # emitted must match the batch result exactly
+    assert stream, "stream produced no finalized windows"
+    for bucket, agg in stream.items():
+        assert batch[bucket] == agg
+
+
+def test_stream_dedup_matches_batch_counts(spark):
+    from pyspark.sql import functions as F
+
+    from movierecommender_sentimentanalysissytem_spark.sources.tables import table
+
+    batch = {
+        r.event_type: r.n
+        for r in table(spark, SF_SMALL, "events")
+        .dropDuplicates(["event_id"])
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    stream = {
+        r.event_type: r.n for r in QS["stream_dedup"](spark, SF_SMALL).collect()
+    }
+    assert stream == batch
+
+
+def test_stateful_counter_matches_batch_totals(spark):
+    from pyspark.sql import functions as F
+
+    from movierecommender_sentimentanalysissytem_spark.sources.tables import table
+
+    batch = {
+        r.user_id: r.n
+        for r in table(spark, SF_SMALL, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    # update mode may emit several rows per user; the last emission per
+    # user carries the final totals. The memory sink preserves batch
+    # order; with AvailableNow single-batch there is exactly one row.
+    stream = {
+        r.user_id: r.n_events
+        for r in QS["stream_stateful_counter"](spark, SF_SMALL).collect()
+    }
+    assert stream == batch

@@ -1,0 +1,49 @@
+"""Similarity-search quality assertions (SURVEY.md §5.3)."""
+
+from __future__ import annotations
+
+from movierecommender_sentimentanalysissytem_spark import registry
+from tests.conftest import SF_SMALL
+
+QS = registry.queries()
+
+
+def _pairs(df, ca, cb):
+    return {(r[ca], r[cb]) for r in df.collect()}
+
+
+def test_lsh_recall_against_brute_force(spark):
+    exact = _pairs(QS["sim_threshold_join"](spark, SF_SMALL), "vec_a", "vec_b")
+    approx = _pairs(
+        QS["sim_threshold_join_lsh"](spark, SF_SMALL), "vec_a", "vec_b"
+    )
+    if exact:
+        recall = len(exact & approx) / len(exact)
+        assert recall >= 0.9, f"LSH recall {recall:.2f} < 0.9"
+
+
+def test_ivf_topk_overlaps_brute_force(spark):
+    exact = QS["sim_topk_neighbors"](spark, SF_SMALL).collect()
+    ivf = QS["sim_topk_ivf"](spark, SF_SMALL).collect()
+    exact_top = {(r.query_id, r.neighbor_id) for r in exact}
+    ivf_top = {(r.query_id, r.neighbor_id) for r in ivf}
+    # IVF probes 2/8 cells; require ≥ 50% of true top-3 pairs recovered
+    recall = len(exact_top & ivf_top) / len(exact_top)
+    assert recall >= 0.5, f"IVF recall {recall:.2f} < 0.5"
+
+
+def test_cosine_kernel_self_similarity(spark):
+    """cos(v, v) must be exactly 1.0 (up to the stable rounding)."""
+    from pyspark.sql import functions as F
+
+    from movierecommender_sentimentanalysissytem_spark.functions.vector import (
+        _cos_expr,
+    )
+    from movierecommender_sentimentanalysissytem_spark.sources.tables import table
+
+    e = table(spark, SF_SMALL, "embeddings").limit(20)
+    df = e.select(
+        F.col("embedding").alias("a"), F.col("embedding").alias("b")
+    ).select(_cos_expr().alias("c"))
+    for r in df.collect():
+        assert abs(r.c - 1.0) < 1e-12
