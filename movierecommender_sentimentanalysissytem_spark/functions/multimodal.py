@@ -1,0 +1,160 @@
+"""Multimodal (binary) column plumbing for training-data pipelines.
+
+Images/audio/video are opaque ``binary`` columns with typed metadata;
+decode / feature-extract / frame-sample run as Arrow-batched pandas
+functions over ``mapInPandas``. The real media codecs are NOT in this
+container (SURVEY.md environment), so the decode step is STUBBED: a
+clearly-marked ``decode_media`` raises ``NotImplementedError`` for real
+codecs and a deterministic fake decoder stands in for tests. Everything
+Spark-side — schema, partitioning, UDF signatures, Arrow batch shapes —
+is real and tested.
+
+The fixture has no binary table, so a deterministic surrogate is built
+in-plan: ``media = unhex(md5(text) repeated)`` with metadata derived
+from doc columns. rows-checked (binary semantics aren't mirrored in the
+oracle), with invariants asserted in tests/test_multimodal.py.
+
+Scale notes: mapInPandas streams Arrow batches — peak memory is
+O(batch), not O(partition); decode parallelism equals input partitions
+(media blobs should be stored pre-partitioned by size class so batches
+stay balanced). Feature extraction emits fixed-width rows, so the
+shuffle after extraction is cheap regardless of blob size.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from movierecommender_sentimentanalysissytem_spark.registry import query
+from movierecommender_sentimentanalysissytem_spark.sources.tables import table
+
+
+def decode_media(blob: bytes, media_type: str) -> bytes:
+    """Decode a media blob to raw samples/pixels.
+
+    STUB: real decoding needs image/audio codecs (PIL, ffmpeg, …) that
+    are not installed in this environment. The fake ``media_type``
+    is handled deterministically so the surrounding Spark plumbing is
+    exercised end-to-end; any real codec request fails loudly.
+    """
+    if media_type == "fake":
+        return blob  # identity "decode" — deterministic stand-in
+    raise NotImplementedError(
+        f"decode for media_type={media_type!r} requires codec libraries "
+        "not present in this environment (PIL/ffmpeg/torchaudio)"
+    )
+
+
+def _media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents → surrogate media table: (doc_id, media binary,
+    media_type, meta struct<width,height,n_frames>)."""
+    d = table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.unhex(F.concat(F.md5("text"), F.md5(F.concat(F.lit("2:"), F.col("text"))))).alias(
+            "media"
+        ),
+        F.lit("fake").alias("media_type"),
+        F.struct(
+            (F.col("n_chars") % 64 + 1).cast("int").alias("width"),
+            (F.col("n_chars") % 48 + 1).cast("int").alias("height"),
+            (F.col("n_chars") % 8 + 1).cast("int").alias("n_frames"),
+        ).alias("meta"),
+    )
+
+
+_FEAT_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_bytes", T.IntegerType()),
+        T.StructField("byte_mean", T.DoubleType()),
+        T.StructField("byte_min", T.IntegerType()),
+        T.StructField("byte_max", T.IntegerType()),
+        T.StructField("feat", T.ArrayType(T.DoubleType())),
+    ]
+)
+
+
+@query("multimodal_feature_extract")
+def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode (stub) + feature-extract over Arrow batches: per-blob
+    byte statistics and an 8-bucket byte histogram as the "embedding".
+    The mapInPandas iterator shape (pdf-in → pdf-out generator) is the
+    real production plumbing for image/audio featurization."""
+    import pandas as pd
+
+    def extract(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            out = {
+                "doc_id": [],
+                "n_bytes": [],
+                "byte_mean": [],
+                "byte_min": [],
+                "byte_max": [],
+                "feat": [],
+            }
+            for doc_id, blob, mtype in zip(
+                pdf["doc_id"], pdf["media"], pdf["media_type"]
+            ):
+                raw = decode_media(bytes(blob), mtype)
+                n = len(raw)
+                acc = 0
+                hist = [0] * 8
+                for byte in raw:
+                    acc += byte
+                    hist[byte >> 5] += 1
+                out["doc_id"].append(doc_id)
+                out["n_bytes"].append(n)
+                out["byte_mean"].append(acc / n if n else 0.0)
+                out["byte_min"].append(min(raw) if n else 0)
+                out["byte_max"].append(max(raw) if n else 0)
+                out["feat"].append([h / n for h in hist] if n else [0.0] * 8)
+            yield pd.DataFrame(out)
+
+    media = _media_table(spark, sf_dir)
+    return media.mapInPandas(extract, _FEAT_SCHEMA)
+
+
+_FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("frame_bytes", T.IntegerType()),
+        T.StructField("frame_md5", T.StringType()),
+    ]
+)
+
+
+@query("multimodal_frame_sample")
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling for "video" blobs: split each blob into
+    meta.n_frames equal chunks and emit one row per sampled frame
+    (every 2nd frame) — the one-blob → many-rows explode pattern that
+    video pipelines need, with per-frame digests for downstream dedup."""
+    import hashlib
+
+    import pandas as pd
+
+    def sample(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            out = {"doc_id": [], "frame_idx": [], "frame_bytes": [], "frame_md5": []}
+            for doc_id, blob, mtype, meta in zip(
+                pdf["doc_id"], pdf["media"], pdf["media_type"], pdf["meta"]
+            ):
+                raw = decode_media(bytes(blob), mtype)
+                n_frames = int(meta["n_frames"])
+                size = max(1, len(raw) // n_frames)
+                for idx in range(0, n_frames, 2):  # sample every 2nd frame
+                    chunk = raw[idx * size : (idx + 1) * size]
+                    out["doc_id"].append(doc_id)
+                    out["frame_idx"].append(idx)
+                    out["frame_bytes"].append(len(chunk))
+                    out["frame_md5"].append(hashlib.md5(chunk).hexdigest())
+            yield pd.DataFrame(out)
+
+    media = _media_table(spark, sf_dir)
+    return media.mapInPandas(sample, _FRAME_SCHEMA)

@@ -1,0 +1,241 @@
+"""Text-analysis operators for large-scale training-data pipelines:
+language ID, quality scoring, token counting, document fingerprinting.
+All four are pure relational/higher-order-function plans (JVM-side,
+SQL-checked) — at 100 TB these run as single-pass scans with one
+low-cardinality shuffle at most.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from movierecommender_sentimentanalysissytem_spark.functions.rounding import round4
+from movierecommender_sentimentanalysissytem_spark.registry import query
+from movierecommender_sentimentanalysissytem_spark.sources.tables import table
+
+# Marker vocabularies for the n-gram language-ID heuristic. The fixture
+# corpus shares one synthetic vocabulary, so markers are arbitrary
+# disjoint word sets — the *mechanics* (marker-fraction scoring with a
+# deterministic argmax) are what the operator exercises; on real text
+# the lists would be per-language character n-grams.
+_LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "join", "table", "query"),
+    "es": ("data", "row", "fast", "value"),
+    "de": ("merge", "batch", "window", "column"),
+    "fr": ("filter", "scan", "small", "order"),
+    "zh": ("spark", "hash", "agg", "key"),
+}
+_LANG_ORDER = ("en", "es", "de", "fr", "zh")  # deterministic tie order
+
+_STOP = ("the", "a", "of", "and", "to", "in", "is", "on")
+
+# Rolling-hash modulus (shared with dedup's hash family design).
+_P = (1 << 31) - 1
+
+
+def _in_list_sql(col: str, words: tuple[str, ...]) -> str:
+    return f"{col} IN (" + ", ".join(f"'{w}'" for w in words) + ")"
+
+
+@query(
+    "text_langid",
+    oracle=f"""
+    WITH tokens AS (
+        SELECT doc_id, lang, u.word,
+               CAST(len(string_split(text, ' ')) AS DOUBLE) AS n_tok
+        FROM documents, unnest(string_split(text, ' ')) AS u(word)
+    ),
+    scores AS (
+        SELECT doc_id, ANY_VALUE(lang) AS lang,
+           {", ".join(
+               f"SUM(CASE WHEN {_in_list_sql('word', ws)} THEN 1 ELSE 0 END)"
+               f" / ANY_VALUE(n_tok) AS s_{lg}"
+               for lg, ws in _LANG_MARKERS.items())}
+        FROM tokens GROUP BY doc_id
+    )
+    SELECT doc_id, lang,
+           CASE {" ".join(
+               f"WHEN s_{lg} >= GREATEST({', '.join('s_' + o for o in _LANG_ORDER)})"
+               f" THEN '{lg}'"
+               for lg in _LANG_ORDER)}
+           END AS predicted_lang,
+           FLOOR(GREATEST({", ".join('s_' + lg for lg in _LANG_ORDER)})
+                 * 10000 + 0.5) / 10000 AS confidence
+    FROM scores
+    """,
+)
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-n-gram language ID: per-language marker-word fraction,
+    deterministic argmax (fixed tie order). One explode + one groupBy."""
+    d = table(spark, sf_dir, "documents")
+    tokens = d.select(
+        "doc_id",
+        "lang",
+        F.size(F.split("text", " ")).cast("double").alias("n_tok"),
+        F.explode(F.split("text", " ")).alias("word"),
+    )
+    score_cols = [
+        (
+            F.sum(F.when(F.col("word").isin(*ws), 1).otherwise(0))
+            / F.any_value("n_tok")
+        ).alias(f"s_{lg}")
+        for lg, ws in _LANG_MARKERS.items()
+    ]
+    scores = tokens.groupBy("doc_id").agg(
+        F.any_value("lang").alias("lang"), *score_cols
+    )
+    best = F.greatest(*[F.col(f"s_{lg}") for lg in _LANG_ORDER])
+    # CASE in _LANG_ORDER priority — first match wins, mirroring the
+    # oracle's WHEN ordering for deterministic tie-breaks
+    pred = F.when(F.col(f"s_{_LANG_ORDER[0]}") >= best, F.lit(_LANG_ORDER[0]))
+    for lg in _LANG_ORDER[1:]:
+        pred = pred.when(F.col(f"s_{lg}") >= best, F.lit(lg))
+    return scores.select(
+        "doc_id",
+        "lang",
+        pred.alias("predicted_lang"),
+        round4(best).alias("confidence"),
+    )
+
+
+@query(
+    "text_quality_score",
+    oracle=f"""
+    WITH tokens AS (
+        SELECT doc_id, u.word FROM documents,
+               unnest(string_split(text, ' ')) AS u(word)
+    ),
+    stats AS (
+        SELECT doc_id,
+               COUNT(*) AS n_tok,
+               COUNT(DISTINCT word) AS n_types,
+               SUM(CASE WHEN {_in_list_sql('word', _STOP)} THEN 1 ELSE 0 END)
+                   AS n_stop,
+               SUM(LENGTH(word)) AS sum_wlen
+        FROM tokens GROUP BY doc_id
+    )
+    SELECT s.doc_id,
+           CAST(s.n_tok AS BIGINT) AS n_tokens,
+           FLOOR((CAST(s.n_types AS DOUBLE) / s.n_tok) * 10000 + 0.5) / 10000
+               AS type_token_ratio,
+           FLOOR((CAST(s.n_stop AS DOUBLE) / s.n_tok) * 10000 + 0.5) / 10000
+               AS stopword_ratio,
+           FLOOR((CAST(s.sum_wlen AS DOUBLE) / s.n_tok) * 10000 + 0.5) / 10000
+               AS mean_word_len,
+           CASE WHEN s.n_tok BETWEEN 20 AND 1000
+                 AND CAST(s.n_stop AS DOUBLE) / s.n_tok BETWEEN 0.0 AND 0.6
+                 AND CAST(s.n_types AS DOUBLE) / s.n_tok >= 0.2
+                THEN 1 ELSE 0 END AS passes_filter
+    FROM stats s
+    """,
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic quality gates (the C4/Gopher-rule shape): token count
+    band, stopword ratio, type-token ratio, mean word length — one
+    explode + groupBy, emitting both the raw ratios and the boolean
+    keep/drop decision."""
+    d = table(spark, sf_dir, "documents")
+    tokens = d.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+    stats = tokens.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tok"),
+        F.countDistinct("word").alias("n_types"),
+        F.sum(F.when(F.col("word").isin(*_STOP), 1).otherwise(0)).alias("n_stop"),
+        F.sum(F.length("word")).alias("sum_wlen"),
+    )
+    ttr = F.col("n_types").cast("double") / F.col("n_tok")
+    stop_ratio = F.col("n_stop").cast("double") / F.col("n_tok")
+    mwl = F.col("sum_wlen").cast("double") / F.col("n_tok")
+    return stats.select(
+        "doc_id",
+        F.col("n_tok").alias("n_tokens"),
+        round4(ttr).alias("type_token_ratio"),
+        round4(stop_ratio).alias("stopword_ratio"),
+        round4(mwl).alias("mean_word_len"),
+        F.when(
+            F.col("n_tok").between(20, 1000)
+            & stop_ratio.between(0.0, 0.6)
+            & (ttr >= 0.2),
+            1,
+        )
+        .otherwise(0)
+        .alias("passes_filter"),
+    )
+
+
+@query(
+    "text_token_count",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS INTEGER) AS ws_tokens,
+           CAST(len(regexp_extract_all(text,
+               '[bcdfghjklmnpqrstvwxyz]*[aeiou]+|[bcdfghjklmnpqrstvwxyz]+| '))
+               AS INTEGER) AS subword_tokens,
+           CAST(CEIL(CAST(n_chars AS DOUBLE) / 4) AS BIGINT) AS est_tokens_c4
+    FROM documents
+    """,
+)
+def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting three ways: whitespace split, a BPE-ish regex
+    (consonant-cluster + vowel-run units — the common subword shape),
+    and the chars/4 estimator. Regex kept in the RE2 ∩ Java subset."""
+    d = table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(F.split("text", " ")).alias("ws_tokens"),
+        F.size(
+            F.regexp_extract_all(
+                F.col("text"),
+                F.lit("[bcdfghjklmnpqrstvwxyz]*[aeiou]+|[bcdfghjklmnpqrstvwxyz]+| "),
+                0,
+            )
+        ).alias("subword_tokens"),
+        F.ceil(F.col("n_chars").cast("double") / 4).alias("est_tokens_c4"),
+    )
+
+
+@query(
+    "text_fingerprint",
+    oracle=f"""
+    WITH hashed AS (
+        SELECT doc_id,
+               list_transform(string_split(text, ' '),
+                   s -> CAST('0x' || substr(md5(s), 1, 15) AS BIGINT)
+                        % 1073741824) AS hw
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(list_reduce(list_concat([CAST(0 AS BIGINT)], hw),
+                (h, x) -> (h * 31 + x) % {_P}) AS BIGINT) AS rolling_hash,
+           CAST(list_min(list_transform(range(1, len(hw) - 2),
+                i -> ((hw[i] * 31 + hw[i+1]) * 31 + hw[i+2]) % {_P}))
+               AS BIGINT) AS min_trigram_hash
+    FROM hashed
+    WHERE len(hw) >= 4
+    """,
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: a polynomial rolling hash over the
+    word-hash sequence (order-sensitive whole-doc fingerprint) plus the
+    minimum rolling trigram hash (winnowing-style local fingerprint).
+    Same md5-derived hash family as dedup — SQL-checked exactly."""
+    d = table(spark, sf_dir, "documents")
+    hashed = d.select(
+        "doc_id",
+        F.expr(
+            "transform(split(text, ' '),"
+            " s -> CAST(conv(substring(md5(s), 1, 15), 16, 10) AS BIGINT)"
+            " % 1073741824)"
+        ).alias("hw"),
+    ).filter(F.size("hw") >= 4)
+    return hashed.select(
+        "doc_id",
+        F.expr(f"aggregate(hw, 0L, (h, x) -> (h * 31 + x) % {_P})").alias(
+            "rolling_hash"
+        ),
+        F.expr(
+            "array_min(transform(sequence(1, size(hw) - 3),"
+            f" i -> ((element_at(hw, i) * 31 + element_at(hw, i + 1)) * 31"
+            f" + element_at(hw, i + 2)) % {_P}))"
+        ).alias("min_trigram_hash"),
+    )

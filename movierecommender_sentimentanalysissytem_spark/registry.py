@@ -54,6 +54,8 @@ def _load_all_modules() -> None:
     import movierecommender_sentimentanalysissytem_spark.functions.text  # noqa: F401
     import movierecommender_sentimentanalysissytem_spark.functions.vector  # noqa: F401
     import movierecommender_sentimentanalysissytem_spark.functions.dedup  # noqa: F401
+    import movierecommender_sentimentanalysissytem_spark.functions.text_analysis  # noqa: F401
+    import movierecommender_sentimentanalysissytem_spark.functions.multimodal  # noqa: F401
     import movierecommender_sentimentanalysissytem_spark.ml.pipelines  # noqa: F401
     import movierecommender_sentimentanalysissytem_spark.streaming.windows  # noqa: F401
     import movierecommender_sentimentanalysissytem_spark.udfs  # noqa: F401
