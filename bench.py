@@ -53,6 +53,11 @@ def main() -> None:
         .appName("mrsas-bench")
         .config("spark.sql.shuffle.partitions", cpus)
         .config("spark.sql.adaptive.enabled", "true")
+        # fixtures are single ~25 MB parquet files; the default 128 MB
+        # split size would scan them in ONE task — split small so the
+        # scan parallelizes across local cores (at production scale the
+        # input is many files and the default is right)
+        .config("spark.sql.files.maxPartitionBytes", "16m")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.driver.memory", "16g")
@@ -63,6 +68,12 @@ def main() -> None:
     from movierecommender_sentimentanalysissytem_spark import registry
 
     qs = registry.queries()
+
+    # Warmup: JIT/codegen/parquet-footer caches, so per-query timings
+    # measure the queries rather than JVM startup.
+    spark.range(1_000_000).count()
+    qs["agg_global"](spark, sf_dir).write.format("noop").mode("overwrite").save()
+
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = qs[name]
