@@ -353,3 +353,40 @@ def agg_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
             "qty_price_covar"
         ),
     )
+
+
+@query(
+    "agg_skew_salted",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(*) AS n,
+           ROUND(SUM(l_quantity), 4) AS sum_qty
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage salted aggregation — the manual skew-mitigation
+    pattern for hot grouping keys (l_returnflag has only 3 values, the
+    worst case: every row funnels to 3 reducers).
+
+    Stage 1 groups on (key, salt) — 16-way fan-out spreads each hot key
+    across reducers; stage 2 merges the partials per key. The result is
+    identical to the direct groupBy (the oracle IS the direct form);
+    sums here are integer-valued doubles, so re-association is exact.
+    At 100 TB this is the fallback when AQE skew handling can't split a
+    single hot key's hash partition.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    partial = (
+        li.withColumn("salt", (F.col("l_orderkey") % 16).cast("int"))
+        .groupBy("l_returnflag", "salt")
+        .agg(
+            F.count(F.lit(1)).alias("pn"),
+            F.sum("l_quantity").alias("pq"),
+        )
+    )
+    return partial.groupBy("l_returnflag").agg(
+        F.sum("pn").alias("n"),
+        F.round(F.sum("pq"), 4).alias("sum_qty"),
+    )

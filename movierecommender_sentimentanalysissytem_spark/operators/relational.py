@@ -67,13 +67,16 @@ def scan_projection_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("scan_csv")
+@query(
+    "scan_csv",
+    oracle="SELECT n_nationkey, n_name, n_regionkey FROM nation",
+)
 def scan_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CSV source (the reference archetype's actual input format).
 
     Round-trips a slice of ``nation`` through a temp CSV with an
     explicit schema (schema-on-read, no inference job at scale).
-    rows-only check: the fixture set has no CSV files for the oracle.
+    SQL-checked: the round-trip must reproduce the nation view exactly.
     """
     nation = table(spark, sf_dir, "nation")
     out = os.path.join(tempfile.mkdtemp(prefix="mrsas_csv_"), "nation_csv")
@@ -93,7 +96,10 @@ def scan_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("scan_json")
+@query(
+    "scan_json",
+    oracle="SELECT r_regionkey, r_name FROM region",
+)
 def scan_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON lines source (the archetype's tweet-stream format).
 
@@ -111,7 +117,13 @@ def scan_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.schema(schema).json(out).orderBy("r_regionkey")
 
 
-@query("sink_parquet")
+@query(
+    "sink_parquet",
+    oracle="""
+    SELECT o_orderstatus, COUNT(*) AS n, ROUND(SUM(o_totalprice), 4) AS total
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
 def sink_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Parquet write + re-read round-trip (results/model export path)."""
     orders = table(spark, sf_dir, "orders")
