@@ -1,0 +1,235 @@
+"""Archetype-parity composite queries (SURVEY.md §0.1): the concrete
+analytics a user of the reference repo runs daily, re-expressed on the
+fixture schema. Ratings are the derived fixture (user=o_custkey,
+item=l_partkey, rating=l_quantity — FIXTURES.md); "genres" are the
+reference's |-delimited multi-valued attribute, played here by the
+space-separated words of p_type.
+
+All SQL-checked: these are thin compositions of §2 operators, which is
+exactly what the reference's scripts are.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from movierecommender_sentimentanalysissytem_spark.registry import query
+from movierecommender_sentimentanalysissytem_spark.sources.tables import table
+
+
+def _ratings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    return li.join(o, li.l_orderkey == o.o_orderkey).select(
+        F.col("o_custkey").alias("user"),
+        F.col("l_partkey").alias("item"),
+        F.col("l_quantity").alias("rating"),
+    )
+
+
+@query(
+    "rec_top_items",
+    oracle="""
+    WITH ratings AS (
+        SELECT o_custkey AS user, l_partkey AS item, l_quantity AS rating
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    ),
+    stats AS (
+        SELECT item, COUNT(*) AS n_ratings,
+               FLOOR(AVG(rating) * 10000 + 0.5) / 10000 AS avg_rating
+        FROM ratings GROUP BY item HAVING COUNT(*) >= 10
+    )
+    SELECT item, n_ratings, avg_rating
+    FROM stats
+    ORDER BY avg_rating DESC, n_ratings DESC, item ASC
+    LIMIT 25
+    """,
+)
+def rec_top_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The archetype's "top movies by average rating with a minimum
+    rating count" — agg + HAVING + deterministic top-k. AVG of
+    integer-valued ratings is exact, so the stable round is safe."""
+    r = _ratings(spark, sf_dir)
+    stats = (
+        r.groupBy("item")
+        .agg(
+            F.count(F.lit(1)).alias("n_ratings"),
+            (F.floor(F.avg("rating") * 10000 + F.lit(0.5)) / 10000).alias(
+                "avg_rating"
+            ),
+        )
+        .filter(F.col("n_ratings") >= 10)
+    )
+    return (
+        stats.orderBy(
+            F.col("avg_rating").desc(), F.col("n_ratings").desc(), F.col("item").asc()
+        )
+        .limit(25)
+        .select("item", "n_ratings", "avg_rating")
+    )
+
+
+@query(
+    "rec_user_activity",
+    oracle="""
+    WITH ratings AS (
+        SELECT o_custkey AS user, l_quantity AS rating
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    ),
+    per_user AS (
+        SELECT user, COUNT(*) AS n FROM ratings GROUP BY user
+    )
+    SELECT CAST(FLOOR(n / 10) * 10 AS BIGINT) AS activity_band,
+           COUNT(*) AS n_users
+    FROM per_user
+    GROUP BY activity_band
+    """,
+)
+def rec_user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ratings-per-user histogram in bands of 10 (the archetype's
+    user-activity exploration)."""
+    r = _ratings(spark, sf_dir)
+    per_user = r.groupBy("user").agg(F.count(F.lit(1)).alias("n"))
+    return (
+        per_user.groupBy(
+            (F.floor(F.col("n") / 10) * 10).cast("long").alias("activity_band")
+        )
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+
+
+@query(
+    "rec_genre_explode",
+    oracle="""
+    WITH exploded AS (
+        SELECT l.l_partkey, u.genre, l.l_quantity
+        FROM part p
+        JOIN lineitem l ON l.l_partkey = p.p_partkey,
+        unnest(string_split(p.p_type, ' ')) AS u(genre)
+    )
+    SELECT genre, COUNT(*) AS n_ratings,
+           FLOOR(AVG(l_quantity) * 10000 + 0.5) / 10000 AS avg_rating
+    FROM exploded
+    GROUP BY genre
+    """,
+)
+def rec_genre_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's |-delimited genre explode: split the
+    multi-valued attribute, explode, join to the ratings fact, and
+    aggregate per genre. The explode happens on the small dim BEFORE
+    the fact join at the logical level, but Catalyst keeps the join
+    keyed on partkey either way."""
+    p = table(spark, sf_dir, "part").select(
+        "p_partkey", F.explode(F.split("p_type", " ")).alias("genre")
+    )
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .groupBy("genre")
+        .agg(
+            F.count(F.lit(1)).alias("n_ratings"),
+            (F.floor(F.avg("l_quantity") * 10000 + F.lit(0.5)) / 10000).alias(
+                "avg_rating"
+            ),
+        )
+    )
+
+
+@query(
+    "rec_user_topn_window",
+    oracle="""
+    WITH ratings AS (
+        SELECT o_custkey AS user, l_partkey AS item,
+               AVG(l_quantity) AS rating
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY o_custkey, l_partkey
+    )
+    SELECT user, item, FLOOR(rating * 10000 + 0.5) / 10000 AS rating, rn
+    FROM (
+        SELECT user, item, rating,
+               CAST(ROW_NUMBER() OVER (
+                   PARTITION BY user ORDER BY rating DESC, item ASC) AS INTEGER) AS rn
+        FROM ratings
+    ) t WHERE rn <= 5
+    """,
+)
+def rec_user_topn_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 already-rated items per user — the relational
+    (history-based) twin of ml_als_recommend's model-based top-N, and
+    the exact shape `recommendForAllUsers` computes internally."""
+    r = (
+        _ratings(spark, sf_dir)
+        .groupBy("user", "item")
+        .agg(F.avg("rating").alias("rating"))
+    )
+    w = Window.partitionBy("user").orderBy(
+        F.col("rating").desc(), F.col("item").asc()
+    )
+    return (
+        r.withColumn("rn", F.row_number().over(w).cast("int"))
+        .filter(F.col("rn") <= 5)
+        .select(
+            "user",
+            "item",
+            (F.floor(F.col("rating") * 10000 + F.lit(0.5)) / 10000).alias("rating"),
+            "rn",
+        )
+    )
+
+
+@query(
+    "sentiment_distribution",
+    oracle="""
+    WITH tokens AS (
+        SELECT doc_id, lang, u.word
+        FROM documents, unnest(string_split(text, ' ')) AS u(word)
+    ),
+    scored AS (
+        SELECT t.doc_id, ANY_VALUE(t.lang) AS lang,
+               SUM(lex.score) AS sent_sum
+        FROM tokens t
+        JOIN (VALUES ('fast', 3), ('small', 1), ('value', 2), ('join', 1),
+                     ('merge', 1), ('slow', -3), ('error', -4), ('fail', -4),
+                     ('big', -1), ('skew', -2)) AS lex(word, score)
+          ON t.word = lex.word
+        GROUP BY t.doc_id
+    )
+    SELECT lang,
+           CASE WHEN sent_sum > 0 THEN 'positive'
+                WHEN sent_sum < 0 THEN 'negative'
+                ELSE 'neutral' END AS sentiment,
+           COUNT(*) AS n_docs
+    FROM scored
+    GROUP BY lang, sentiment
+    """,
+)
+def sentiment_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The archetype's headline sentiment report: per-language
+    positive/negative/neutral document counts from the lexicon scores
+    (the classifier's output distribution, relationally)."""
+    from movierecommender_sentimentanalysissytem_spark.functions.text import (
+        _lexicon_df,
+        _words,
+    )
+
+    tokens = _words(spark, sf_dir).select("doc_id", "lang", "word")
+    scored = (
+        tokens.join(F.broadcast(_lexicon_df(spark)), "word")
+        .groupBy("doc_id")
+        .agg(
+            F.any_value("lang").alias("lang"),
+            F.sum("score").alias("sent_sum"),
+        )
+    )
+    return (
+        scored.withColumn(
+            "sentiment",
+            F.when(F.col("sent_sum") > 0, "positive")
+            .when(F.col("sent_sum") < 0, "negative")
+            .otherwise("neutral"),
+        )
+        .groupBy("lang", "sentiment")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
