@@ -1,0 +1,97 @@
+"""Storage-layout operators: partitioned sinks and bucketed co-located
+joins (SURVEY.md §4 — partition pruning and shuffle elimination, the
+two layout levers that matter most at 100 TB).
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from movierecommender_sentimentanalysissytem_spark.registry import query
+from movierecommender_sentimentanalysissytem_spark.sources.tables import table
+
+
+@query(
+    "sink_partitioned_parquet",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS n, ROUND(SUM(o_totalprice), 4) AS total
+    FROM orders
+    WHERE o_orderstatus = 'O'
+    GROUP BY o_orderpriority
+    """,
+)
+def sink_partitioned_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-style partitioned write + partition-pruned read-back.
+
+    orders is written partitioned by o_orderstatus; the read-back
+    filters one partition — the scan's PartitionFilters prune the other
+    directories without opening a single file (asserted in
+    tests/test_plans.py). At 100 TB partition layout IS the primary
+    index; this is the write side of that contract.
+    """
+    o = table(spark, sf_dir, "orders")
+    out = os.path.join(tempfile.mkdtemp(prefix="mrsas_part_"), "orders_by_status")
+    o.write.mode("overwrite").partitionBy("o_orderstatus").parquet(out)
+    return (
+        spark.read.parquet(out)
+        .filter(F.col("o_orderstatus") == "O")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("o_totalprice"), 4).alias("total"),
+        )
+    )
+
+
+@query(
+    "join_bucketed_colocated",
+    oracle="""
+    SELECT l_orderkey, o_orderstatus,
+           ROUND(SUM(l_extendedprice), 4) AS line_total
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE o_totalprice > 400000
+    GROUP BY l_orderkey, o_orderstatus
+    """,
+)
+def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed co-located join: both sides written with
+    ``bucketBy(8, join_key).sortBy(join_key)``, so the sort-merge join
+    consumes pre-bucketed, pre-sorted data — NO Exchange on either side
+    (asserted in tests/test_plans.py). This is the layout that turns
+    the daily fact⋈fact join from the cluster's biggest shuffle into a
+    local merge at 100 TB.
+    """
+    wh = tempfile.mkdtemp(prefix="mrsas_bkt_")
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice"
+    )
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    for name, df, key in (
+        ("mrsas_bkt_lineitem", li, "l_orderkey"),
+        ("mrsas_bkt_orders", o, "o_orderkey"),
+    ):
+        (
+            df.write.mode("overwrite")
+            .option("path", os.path.join(wh, name))
+            .bucketBy(8, key)
+            .sortBy(key)
+            .format("parquet")
+            .saveAsTable(name)
+        )
+    bli = spark.table("mrsas_bkt_lineitem")
+    bo = spark.table("mrsas_bkt_orders").filter(F.col("o_totalprice") > 400000)
+    # hint("merge"): at fixture scale Catalyst would broadcast the
+    # filtered side and never exercise the bucket layout; at the real
+    # fact⋈fact scale SMJ is chosen anyway. The hint pins the
+    # production plan shape so the no-Exchange property is testable.
+    return (
+        bli.join(bo.hint("merge"), bli.l_orderkey == bo.o_orderkey)
+        .groupBy("l_orderkey", "o_orderstatus")
+        .agg(F.round(F.sum("l_extendedprice"), 4).alias("line_total"))
+    )

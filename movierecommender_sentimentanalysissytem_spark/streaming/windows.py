@@ -304,3 +304,60 @@ def stream_stateful_counter(spark: SparkSession, sf_dir: str) -> DataFrame:
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
     return _run_available_now(counted, spark, "update")
+
+
+@query(
+    "stream_session_window_native",
+    oracle="""
+    WITH ordered AS (
+        SELECT user_id, value,
+               CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS sec,
+               LAG(CAST(epoch(date_trunc('second', ts)) AS BIGINT)) OVER (
+                   PARTITION BY user_id
+                   ORDER BY date_trunc('second', ts), event_id) AS prev_sec
+        FROM events
+    ),
+    flagged AS (
+        SELECT *, CASE WHEN prev_sec IS NULL OR sec - prev_sec >= 1800
+                       THEN 1 ELSE 0 END AS new_session
+        FROM ordered
+    ),
+    sessions AS (
+        SELECT *, SUM(new_session) OVER (
+                   PARTITION BY user_id ORDER BY sec
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+        FROM flagged
+    )
+    SELECT user_id,
+           strftime(to_timestamp(MIN(sec)), '%Y-%m-%d %H:%M:%S') AS session_start,
+           COUNT(*) AS n_events,
+           FLOOR(SUM(value) * 10000 + 0.5) / 10000 AS total_value
+    FROM sessions
+    GROUP BY user_id, session_seq
+    """,
+)
+def stream_session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark's native ``session_window`` operator (works identically
+    under readStream for true streaming sessionization). Gap semantics:
+    a session extends while the next event is STRICTLY within 30
+    minutes — the oracle's lag formulation uses ``>= 1800`` to split,
+    mirroring that boundary exactly.
+
+    SQL-checked against the same lag+running-sum formulation as the
+    manual variant, pinning that the native operator and the relational
+    idiom agree row-for-row.
+    """
+    e = _events(spark, sf_dir)
+    return (
+        e.groupBy("user_id", F.session_window("ts_s", "30 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            round4(F.sum("value")).alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.date_format("w.start", _BUCKET_FMT).alias("session_start"),
+            "n_events",
+            "total_value",
+        )
+    )

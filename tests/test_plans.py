@@ -70,3 +70,32 @@ def test_whole_stage_codegen_in_agg(spark):
         QS["agg_groupby"](spark, SF_SMALL).explain(mode="codegen")
     plan = buf.getvalue()
     assert "WholeStageCodegen" in plan
+
+
+def test_bucketed_join_has_no_exchange(spark):
+    """Both sides bucketed+sorted on the join key → the sort-merge join
+    must consume them without any Exchange (the shuffle-elimination
+    contract of bucketing)."""
+    import contextlib
+    import io
+
+    df = QS["join_bucketed_colocated"](spark, SF_SMALL)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    join_section = plan.split("HashAggregate")[0]  # up to the post-join agg
+    assert "SortMergeJoin" in plan
+    assert "Exchange hashpartitioning" not in join_section
+
+
+def test_partitioned_sink_prunes_partitions(spark):
+    import contextlib
+    import io
+
+    df = QS["sink_partitioned_parquet"](spark, SF_SMALL)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    assert "PartitionFilters: [isnotnull(o_orderstatus" in plan
