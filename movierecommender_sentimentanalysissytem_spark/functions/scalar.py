@@ -310,3 +310,32 @@ def fn_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5("text").alias("text_md5"),
         F.sha2("text", 256).alias("text_sha256"),
     )
+
+
+@query(
+    "fn_bitwise",
+    oracle="""
+    SELECT l_orderkey,
+           CAST(l_orderkey & 255 AS BIGINT) AS key_and,
+           CAST(l_orderkey | 4096 AS BIGINT) AS key_or,
+           CAST(xor(l_orderkey, 1365) AS BIGINT) AS key_xor,
+           CAST(l_orderkey << 2 AS BIGINT) AS key_shl,
+           CAST(l_orderkey >> 3 AS BIGINT) AS key_shr
+    FROM lineitem
+    WHERE l_linenumber = 1 AND l_orderkey < 5000
+    """,
+)
+def fn_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise and/or/xor/shifts on the key column (hash-partitioning
+    and bitmap-index building blocks)."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_linenumber") == 1) & (F.col("l_orderkey") < 5000)
+    ).select(
+        "l_orderkey",
+        F.expr("l_orderkey & 255").alias("key_and"),
+        F.expr("l_orderkey | 4096").alias("key_or"),
+        F.expr("l_orderkey ^ 1365").alias("key_xor"),
+        F.expr("shiftleft(l_orderkey, 2)").alias("key_shl"),
+        F.expr("shiftright(l_orderkey, 3)").alias("key_shr"),
+    )

@@ -281,17 +281,22 @@ def agg_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_collect",
     oracle="""
     SELECT o_orderstatus,
-           list_sort(list(DISTINCT o_orderpriority)) AS priorities
+           array_to_string(list_sort(list(DISTINCT o_orderpriority)), '|')
+               AS priorities
     FROM orders
     GROUP BY o_orderstatus
     """,
 )
 def agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-group sorted distinct list (deterministic: collect order is
-    non-deterministic in a distributed agg, so sort + distinct pins it)."""
+    non-deterministic in a distributed agg, so sort + distinct pins it).
+    Projected as a '|'-joined string: scalar outputs keep the oracle
+    hash format-independent of either engine's list representation."""
     o = table(spark, sf_dir, "orders")
     return o.groupBy("o_orderstatus").agg(
-        F.sort_array(F.collect_set("o_orderpriority")).alias("priorities")
+        F.concat_ws(
+            "|", F.sort_array(F.collect_set("o_orderpriority"))
+        ).alias("priorities")
     )
 
 

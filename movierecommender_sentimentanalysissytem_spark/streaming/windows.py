@@ -362,3 +362,38 @@ def stream_session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_value",
         )
     )
+
+
+@query("stream_foreach_batch_sink")
+def stream_foreach_batch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """foreachBatch sink: the production pattern for streaming into
+    arbitrary batch sinks (upserts, parquet compaction, JDBC). Each
+    micro-batch aggregates per event_type and appends to a parquet dir;
+    the returned DataFrame re-reads and re-aggregates the sink.
+    rows-checked; with AvailableNow + one source file there is exactly
+    one batch, so the result equals the batch groupBy."""
+    import tempfile
+
+    out = tempfile.mkdtemp(prefix="mrsas_feb_") + "/by_type"
+    e = _events_stream(spark, sf_dir)
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            batch_df.groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n"), round4(F.sum("value")).alias("total"))
+            .withColumn("batch_id", F.lit(batch_id))
+            .write.mode("append")
+            .parquet(out)
+        )
+
+    q = (
+        e.writeStream.foreachBatch(write_batch)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return (
+        spark.read.parquet(out)
+        .groupBy("event_type")
+        .agg(F.sum("n").alias("n"), F.round(F.sum("total"), 4).alias("total"))
+    )
