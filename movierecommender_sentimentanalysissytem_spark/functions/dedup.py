@@ -31,8 +31,11 @@ from movierecommender_sentimentanalysissytem_spark.functions.rounding import rou
 from movierecommender_sentimentanalysissytem_spark.registry import query
 from movierecommender_sentimentanalysissytem_spark.sources.tables import table
 
-N_HASHES = 8          # minhash signature length
-N_BANDS = 4           # LSH bands (2 hashes per band)
+# 16 hashes in 8 bands of 2: collision probability for a true pair at
+# Jaccard j is 1-(1-j²)^8 — 0.90 at j=0.5, ≈1 at j≥0.8. The md5 base
+# hash is computed once per shingle; extra affine functions are cheap.
+N_HASHES = 16         # minhash signature length
+N_BANDS = 8           # LSH bands (2 hashes per band)
 ROWS_PER_BAND = N_HASHES // N_BANDS
 
 # Affine minhash family over a single md5-derived base hash: one md5
@@ -52,6 +55,14 @@ _AFFINE: tuple[tuple[int, int], ...] = (
     (812_279_237, 60493),
     (293_085_509, 7368787),
     (615_242_279, 122420729),
+    (104_395_301, 882377),
+    (482_344_447, 1296) ,
+    (733_999_837, 5551559),
+    (198_491_329, 77687),
+    (928_799_431, 3739),
+    (351_772_903, 99990001),
+    (569_522_743, 41077),
+    (683_441_871, 6700417),
 )
 
 
