@@ -339,3 +339,28 @@ def fn_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("shiftleft(l_orderkey, 2)").alias("key_shl"),
         F.expr("shiftright(l_orderkey, 3)").alias("key_shr"),
     )
+
+
+@query(
+    "fn_levenshtein",
+    oracle="""
+    SELECT a.s_suppkey AS supp_a, b.s_suppkey AS supp_b,
+           CAST(levenshtein(a.s_name, b.s_name) AS INTEGER) AS edit_dist
+    FROM supplier a JOIN supplier b ON b.s_suppkey = a.s_suppkey + 1
+    """,
+)
+def fn_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit distance between consecutive supplier names — the
+    fuzzy-matching primitive for entity resolution (both engines
+    implement classic Levenshtein, so counts match exactly)."""
+    s = table(spark, sf_dir, "supplier")
+    a = s.select(F.col("s_suppkey").alias("supp_a"), F.col("s_name").alias("na"))
+    b = s.select(F.col("s_suppkey").alias("supp_b"), F.col("s_name").alias("nb"))
+    return (
+        a.join(b, F.col("supp_b") == F.col("supp_a") + 1)
+        .select(
+            "supp_a",
+            "supp_b",
+            F.levenshtein("na", "nb").alias("edit_dist"),
+        )
+    )

@@ -395,3 +395,56 @@ def agg_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("pn").alias("n"),
         F.round(F.sum("pq"), 4).alias("sum_qty"),
     )
+
+
+@query(
+    "agg_unpivot",
+    oracle="""
+    SELECT l_returnflag, measure, ROUND(val, 4) AS val
+    FROM (
+        SELECT l_returnflag, 'sum_qty' AS measure, SUM(l_quantity) AS val
+        FROM lineitem GROUP BY l_returnflag
+        UNION ALL
+        SELECT l_returnflag, 'sum_disc', SUM(l_discount)
+        FROM lineitem GROUP BY l_returnflag
+        UNION ALL
+        SELECT l_returnflag, 'sum_tax', SUM(l_tax)
+        FROM lineitem GROUP BY l_returnflag
+    ) t
+    """,
+)
+def agg_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (wide → long) via ``stack``: the inverse of agg_pivot,
+    melting three aggregate columns into (measure, val) rows. The
+    oracle mirrors with the portable UNION ALL formulation."""
+    li = table(spark, sf_dir, "lineitem")
+    wide = li.groupBy("l_returnflag").agg(
+        F.sum("l_quantity").alias("sum_qty"),
+        F.sum("l_discount").alias("sum_disc"),
+        F.sum("l_tax").alias("sum_tax"),
+    )
+    return wide.select(
+        "l_returnflag",
+        F.expr(
+            "stack(3, 'sum_qty', sum_qty, 'sum_disc', sum_disc,"
+            " 'sum_tax', sum_tax) AS (measure, raw_val)"
+        ),
+    ).select("l_returnflag", "measure", F.round("raw_val", 4).alias("val"))
+
+
+@query("agg_hll_sketch_union")
+def agg_hll_sketch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable HLL sketches (Datasketches): build one sketch per
+    event_type, then union the sketches for the overall estimate —
+    the re-aggregatable pattern that replaces raw COUNT(DISTINCT) in
+    100 TB rollup hierarchies (sketch once, merge everywhere).
+    rows-checked (sketch estimates are approximate by design)."""
+    e = table(spark, sf_dir, "events")
+    per_type = e.groupBy("event_type").agg(
+        F.hll_sketch_agg("user_id").alias("sk")
+    )
+    return per_type.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).cast("long").alias(
+            "approx_total_users"
+        )
+    )
