@@ -69,9 +69,16 @@ def main() -> None:
 
     qs = registry.queries()
 
-    # Warmup: JIT/codegen/parquet-footer caches, so per-query timings
-    # measure the queries rather than JVM startup.
+    # Warmup: JIT/codegen/parquet-footer caches and every table's read
+    # path, so per-query timings measure the queries, not JVM startup.
     spark.range(1_000_000).count()
+    from movierecommender_sentimentanalysissytem_spark.sources.tables import (
+        TABLES,
+        table,
+    )
+
+    for t in TABLES:
+        table(spark, sf_dir, t).count()
     qs["agg_global"](spark, sf_dir).write.format("noop").mode("overwrite").save()
 
     timings: dict[str, float] = {}
