@@ -16,6 +16,12 @@ Scale notes: windowed streaming aggs shuffle on (key, window) with
 watermark-bounded state; session windows and dropDuplicates keep
 per-key state in the state store (RocksDB at scale). The batch
 formulations shuffle once on user_id — the same movement pattern.
+
+Spark 4's ``transformWithStateInPandas`` was evaluated and does NOT run
+in this environment: its driver-side runner needs the ``protobuf``
+Python package, which is broken here (``cannot import name
+'descriptor'``) and installs are unavailable — ``applyInPandasWithState``
+is the custom-stateful path instead (same state semantics, stable API).
 """
 
 from __future__ import annotations
