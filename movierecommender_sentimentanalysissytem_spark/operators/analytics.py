@@ -1,0 +1,182 @@
+"""Product-analytics composites over the events stream: funnel
+conversion, cohort retention, upsert/merge — the operators an
+events-pipeline user reaches for daily, each a one-or-two-shuffle
+relational plan that scales with the user_id key space.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from movierecommender_sentimentanalysissytem_spark.functions.rounding import round4
+from movierecommender_sentimentanalysissytem_spark.registry import query
+from movierecommender_sentimentanalysissytem_spark.sources.tables import table
+
+
+@query(
+    "fn_from_json_map",
+    oracle="""
+    SELECT event_id, 'k' AS k, CAST(props->>'$.k' AS INTEGER) AS v
+    FROM events
+    WHERE event_id BETWEEN 200 AND 400
+    """,
+)
+def fn_from_json_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parse the JSON payload into a typed MapType and explode it to
+    key/value rows — the schema-on-read path for ragged JSON (vs
+    get_json_object's single-path extraction in fn_map_json)."""
+    e = table(spark, sf_dir, "events")
+    return (
+        e.filter(F.col("event_id").between(200, 400))
+        .select(
+            "event_id",
+            F.explode(F.from_json("props", "map<string,int>")).alias("k", "v"),
+        )
+    )
+
+
+@query(
+    "merge_upsert",
+    oracle="""
+    WITH updates AS (
+        SELECT o_custkey AS c_custkey,
+               SUM(o_totalprice) AS spend
+        FROM orders WHERE o_orderstatus = 'O' GROUP BY o_custkey
+    )
+    SELECT COALESCE(c.c_custkey, u.c_custkey) AS c_custkey,
+           COALESCE(c.c_name, 'NEW') AS c_name,
+           ROUND(COALESCE(c.c_acctbal, 0.0) + COALESCE(u.spend, 0.0), 4)
+               AS new_balance,
+           CASE WHEN c.c_custkey IS NULL THEN 'insert'
+                WHEN u.c_custkey IS NULL THEN 'keep'
+                ELSE 'update' END AS action
+    FROM customer c FULL JOIN updates u ON c.c_custkey = u.c_custkey
+    """,
+)
+def merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO emulation: full-outer join of the dimension with an
+    updates relation, coalescing matched/unmatched branches into
+    insert/update/keep actions — the upsert pattern for engines without
+    a native MERGE (one shuffle on the merge key; at scale the dim side
+    would be bucketed on it)."""
+    c = table(spark, sf_dir, "customer")
+    u = (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "O")
+        .groupBy(F.col("o_custkey").alias("u_custkey"))
+        .agg(F.sum("o_totalprice").alias("spend"))
+    )
+    return c.join(u, c.c_custkey == u.u_custkey, "full").select(
+        F.coalesce(c.c_custkey, F.col("u_custkey")).alias("c_custkey"),
+        F.coalesce(c.c_name, F.lit("NEW")).alias("c_name"),
+        F.round(
+            F.coalesce(c.c_acctbal, F.lit(0.0)) + F.coalesce(F.col("spend"), F.lit(0.0)),
+            4,
+        ).alias("new_balance"),
+        F.when(c.c_custkey.isNull(), "insert")
+        .when(F.col("u_custkey").isNull(), "keep")
+        .otherwise("update")
+        .alias("action"),
+    )
+
+
+@query(
+    "funnel_conversion",
+    oracle="""
+    WITH stages AS (
+        SELECT user_id,
+               MIN(CASE WHEN event_type = 'view' THEN date_trunc('second', ts) END) AS t_view,
+               MIN(CASE WHEN event_type = 'click' THEN date_trunc('second', ts) END) AS t_click,
+               MIN(CASE WHEN event_type = 'purchase' THEN date_trunc('second', ts) END) AS t_purchase
+        FROM events GROUP BY user_id
+    )
+    SELECT COUNT(*) AS n_users,
+           COUNT(t_view) AS n_viewed,
+           COUNT(CASE WHEN t_click > t_view THEN 1 END) AS n_clicked_after_view,
+           COUNT(CASE WHEN t_purchase > t_click AND t_click > t_view THEN 1 END)
+               AS n_full_funnel,
+           FLOOR((CAST(COUNT(CASE WHEN t_purchase > t_click AND t_click > t_view
+                                  THEN 1 END) AS DOUBLE)
+                  / COUNT(*)) * 10000 + 0.5) / 10000 AS conversion_rate
+    FROM stages
+    """,
+)
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """view → click → purchase funnel: first-occurrence timestamps per
+    stage per user (one conditional-MIN aggregation — no self-joins),
+    then ordered-stage counts and the end-to-end conversion rate."""
+    e = table(spark, sf_dir, "events").withColumn(
+        "ts_s", F.date_trunc("second", F.col("ts"))
+    )
+
+    def first_of(t: str):
+        return F.min(F.when(F.col("event_type") == t, F.col("ts_s")))
+
+    stages = e.groupBy("user_id").agg(
+        first_of("view").alias("t_view"),
+        first_of("click").alias("t_click"),
+        first_of("purchase").alias("t_purchase"),
+    )
+    full = (F.col("t_purchase") > F.col("t_click")) & (
+        F.col("t_click") > F.col("t_view")
+    )
+    return stages.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.count("t_view").alias("n_viewed"),
+        F.count(F.when(F.col("t_click") > F.col("t_view"), 1)).alias(
+            "n_clicked_after_view"
+        ),
+        F.count(F.when(full, 1)).alias("n_full_funnel"),
+        round4(
+            F.count(F.when(full, 1)).cast("double") / F.count(F.lit(1))
+        ).alias("conversion_rate"),
+    )
+
+
+@query(
+    "cohort_retention",
+    oracle="""
+    WITH firsts AS (
+        SELECT user_id, MIN(CAST(ts AS DATE)) AS cohort_day
+        FROM events GROUP BY user_id
+    ),
+    activity AS (
+        SELECT DISTINCT e.user_id, f.cohort_day,
+               date_diff('day', f.cohort_day, CAST(e.ts AS DATE)) AS day_offset
+        FROM events e JOIN firsts f ON e.user_id = f.user_id
+    )
+    SELECT strftime(cohort_day, '%Y-%m-%d') AS cohort,
+           CAST(day_offset AS INTEGER) AS day_offset,
+           COUNT(*) AS n_active_users
+    FROM activity
+    WHERE day_offset <= 7
+    GROUP BY cohort_day, day_offset
+    """,
+)
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users grouped by first-seen day, counted per
+    day-offset of subsequent activity (first week). Two shuffles on
+    user_id, one on (cohort, offset) — the classic retention triangle,
+    linear in events."""
+    e = table(spark, sf_dir, "events").withColumn(
+        "day", F.col("ts").cast("date")
+    )
+    firsts = e.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    activity = (
+        e.join(firsts, "user_id")
+        .select(
+            "user_id",
+            "cohort_day",
+            F.datediff(F.col("day"), F.col("cohort_day")).alias("day_offset"),
+        )
+        .distinct()
+    )
+    return (
+        activity.filter(F.col("day_offset") <= 7)
+        .groupBy(
+            F.date_format("cohort_day", "yyyy-MM-dd").alias("cohort"),
+            "day_offset",
+        )
+        .agg(F.count(F.lit(1)).alias("n_active_users"))
+    )
