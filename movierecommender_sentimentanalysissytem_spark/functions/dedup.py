@@ -430,3 +430,88 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(cos >= 0.4)
         .select("vec_a", "vec_b", "label", round4(cos).alias("cos_sim"))
     )
+
+
+def _clusters_oracle() -> str:
+    # Reuse the full minhash pair pipeline as the edge set, then run
+    # transitive closure via a recursive CTE: cluster id = min doc_id
+    # reachable through near-dup edges.
+    minhash_sql = _minhash_oracle()
+    pairs_body = minhash_sql.strip().rstrip()
+    return f"""
+    WITH RECURSIVE pairs AS (
+        {pairs_body}
+    ),
+    sym AS (
+        SELECT doc_a AS a, doc_b AS b FROM pairs
+        UNION
+        SELECT doc_b, doc_a FROM pairs
+    ),
+    reach(node, root) AS (
+        SELECT a, a FROM sym
+        UNION
+        SELECT s.b, r.root FROM reach r JOIN sym s ON s.a = r.node
+    )
+    SELECT CAST(node AS BIGINT) AS doc_id,
+           CAST(MIN(root) AS BIGINT) AS cluster_id
+    FROM reach GROUP BY node
+    """
+
+
+@query("dedup_clusters", oracle=_clusters_oracle())
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the near-dup pair graph: every doc in
+    at least one MinHash-verified pair gets a cluster id = the minimum
+    doc_id reachable through near-dup edges (the canonical
+    representative production dedup keeps).
+
+    Spark side: iterative min-label propagation over DataFrames —
+    the one genuinely iterative algorithm in the engine (ALS aside).
+    Each round joins labels to the symmetric edge list and takes the
+    elementwise min; near-dup components have tiny diameters, so the
+    loop converges in a handful of rounds (bounded at 10; at 100 TB
+    each round is one shuffle join and intermediate labels would be
+    checkpointed every few rounds to cut lineage). Oracle: DuckDB
+    recursive-CTE transitive closure — SQL-checked end-to-end.
+    """
+    pairs = dedup_near_minhash(spark, sf_dir).select("doc_a", "doc_b")
+    sym = (
+        pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+        .unionByName(
+            pairs.select(F.col("doc_b").alias("a"), F.col("doc_a").alias("b"))
+        )
+        .distinct()
+        .persist()
+    )
+    labels = sym.select(F.col("a").alias("node")).distinct().withColumn(
+        "root", F.col("node")
+    ).persist()
+    for _ in range(10):
+        neighbor_min = (
+            labels.join(sym, labels.node == sym.a)
+            .groupBy(F.col("b").alias("node"))
+            .agg(F.min("root").alias("nroot"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "node", "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("root"), F.coalesce(F.col("nroot"), F.col("root"))
+                ).alias("root"),
+            )
+            .persist()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.root") != F.col("o.root"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(
+        F.col("node").alias("doc_id"), F.col("root").alias("cluster_id")
+    )

@@ -364,3 +364,43 @@ def fn_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.levenshtein("na", "nb").alias("edit_dist"),
         )
     )
+
+
+@query(
+    "fn_null_semantics",
+    oracle="""
+    WITH j AS (
+        SELECT c.c_custkey, c.c_acctbal, o.o_orderkey, o.o_totalprice
+        FROM customer c LEFT JOIN orders o
+          ON c.c_custkey = o.o_custkey AND o.o_totalprice > 450000
+    )
+    SELECT c_custkey, o_orderkey,
+           (o_orderkey IS NOT DISTINCT FROM NULL) AS is_unmatched,
+           COALESCE(CAST(o_totalprice AS VARCHAR), 'none') AS total_str,
+           CASE WHEN o_totalprice IS NULL THEN -1.0
+                ELSE ROUND(o_totalprice, 4) END AS total_or_flag,
+           (CASE WHEN o_totalprice IS NULL THEN NULL
+                 ELSE o_totalprice END > 460000) AS big_or_null
+    FROM j
+    """,
+)
+def fn_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three-valued-logic surface: null-safe equality (``<=>`` /
+    IS NOT DISTINCT FROM), NULL propagation through comparisons and
+    CASE, and NULL-to-sentinel coalescing — exercised on the
+    null-extended side of an outer join."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 450000)
+    j = c.join(o, c.c_custkey == o.o_custkey, "left")
+    return j.select(
+        "c_custkey",
+        "o_orderkey",
+        F.col("o_orderkey").eqNullSafe(F.lit(None)).alias("is_unmatched"),
+        F.coalesce(F.col("o_totalprice").cast("string"), F.lit("none")).alias(
+            "total_str"
+        ),
+        F.when(F.col("o_totalprice").isNull(), -1.0)
+        .otherwise(F.round("o_totalprice", 4))
+        .alias("total_or_flag"),
+        (F.col("o_totalprice") > 460000).alias("big_or_null"),
+    )

@@ -448,3 +448,17 @@ def agg_hll_sketch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
             "approx_total_users"
         )
     )
+
+
+@query("agg_approx_percentile")
+def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_percentile (Greenwald-Khanna sketch): the bounded-memory
+    quantile path for 100 TB (exact percentile sorts each group).
+    Deterministic for a fixed accuracy but algorithm-specific, so
+    rows-checked; agg_percentile is the exact SQL-checked twin."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.expr(
+            "approx_percentile(l_extendedprice, array(0.5, 0.9, 0.99), 10000)"
+        ).alias("price_quantiles")
+    )
