@@ -267,3 +267,22 @@ def cast_types(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_orderkey").cast("string").alias("key_str"),
         F.col("l_shipdate").cast("date").alias("ship_day"),
     )
+
+
+@query(
+    "scan_orc",
+    oracle="SELECT s_suppkey, s_name, s_nationkey, ROUND(s_acctbal, 4) AS acctbal FROM supplier",
+)
+def scan_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC source round-trip (Spark's second first-class columnar
+    format; same vectorized reader + pushdown machinery as parquet).
+    SQL-checked: must reproduce the supplier view exactly."""
+    supplier = table(spark, sf_dir, "supplier")
+    out = os.path.join(tempfile.mkdtemp(prefix="mrsas_orc_"), "supplier_orc")
+    supplier.write.mode("overwrite").orc(out)
+    return spark.read.orc(out).select(
+        "s_suppkey",
+        "s_name",
+        "s_nationkey",
+        F.round("s_acctbal", 4).alias("acctbal"),
+    )
