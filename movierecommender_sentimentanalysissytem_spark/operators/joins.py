@@ -363,3 +363,76 @@ def join_self(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("b.event_type").alias("next_type"),
         )
     )
+
+
+@query(
+    "join_skew_salted",
+    oracle="""
+    SELECT l_returnflag, o_orderpriority, COUNT(*) AS n,
+           ROUND(SUM(l_quantity), 4) AS sum_qty
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY l_returnflag, o_orderpriority
+    """,
+)
+def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manually salted join — the skew-mitigation pattern for a hot
+    join key that AQE can't split (e.g. one customer with 10% of all
+    rows). The fact side carries a deterministic salt; the build side
+    is replicated once per salt value (explode of a literal range), and
+    the join runs on (key, salt) so the hot key spreads across
+    SALT_BUCKETS reducers. Result is provably identical to the plain
+    join — the oracle IS the plain join. Sums are integer-valued, so
+    re-association is exact.
+    """
+    n_salt = 8
+    li = table(spark, sf_dir, "lineitem").withColumn(
+        "salt", (F.col("l_linenumber") % n_salt).cast("int")
+    )
+    o = table(spark, sf_dir, "orders").withColumn(
+        "salt", F.explode(F.array(*[F.lit(i) for i in range(n_salt)]))
+    )
+    return (
+        li.join(o, (li.l_orderkey == o.o_orderkey) & (li.salt == o.salt))
+        .groupBy("l_returnflag", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+        )
+    )
+
+
+@query(
+    "join_runtime_prefilter",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, o_orderpriority,
+           ROUND(l_extendedprice, 4) AS price
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE o_totalprice > 450000
+    """,
+)
+def join_runtime_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runtime-filter pattern, made explicit: collect the (bounded,
+    highly selective) build side's join keys at the driver and push an
+    IN predicate into the fact scan — the scan's PushedFilters then
+    prunes row groups before the shuffle, which is mechanically what
+    Spark's DPP / InjectRuntimeFilter do. The result is provably
+    identical to the plain join (the filter is a superset-safe prune),
+    so the oracle IS the plain join.
+
+    Guard rails: only applied when the build side stays under a key
+    budget — a runtime filter that needs millions of literals belongs
+    in a Bloom filter (``bloom_filter_agg`` is not exposed as a SQL
+    function in Spark 4.1; evaluated and rejected here).
+    """
+    max_keys = 100_000
+    o = table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 450000)
+    keys = [r[0] for r in o.select("o_orderkey").distinct().limit(max_keys + 1).collect()]
+    li = table(spark, sf_dir, "lineitem")
+    if len(keys) <= max_keys:
+        li = li.filter(F.col("l_orderkey").isin(keys))
+    return li.join(o, li.l_orderkey == o.o_orderkey).select(
+        "l_orderkey",
+        "l_linenumber",
+        "o_orderpriority",
+        F.round("l_extendedprice", 4).alias("price"),
+    )

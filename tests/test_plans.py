@@ -99,3 +99,19 @@ def test_partitioned_sink_prunes_partitions(spark):
         df.explain("formatted")
     plan = buf.getvalue()
     assert "PartitionFilters: [isnotnull(o_orderstatus" in plan
+
+
+def test_window_topk_uses_group_limit(spark):
+    """Spark's InferWindowGroupLimit must turn rn<=k into a per-group
+    top-k (WindowGroupLimit) — without it every partition fully sorts
+    and materializes before filtering, which matters enormously at
+    100 TB."""
+    plan = _plan(spark, "win_row_number_topk")
+    assert "WindowGroupLimit" in plan
+
+
+def test_runtime_prefilter_pushes_in_predicate(spark):
+    """The collected build-side keys must reach the parquet scan as a
+    pushed In() filter (the explicit runtime-filter contract)."""
+    plan = _plan(spark, "join_runtime_prefilter")
+    assert "In(l_orderkey" in plan
