@@ -404,3 +404,28 @@ def fn_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("total_or_flag"),
         (F.col("o_totalprice") > 460000).alias("big_or_null"),
     )
+
+
+@query(
+    "fn_try_cast",
+    oracle="""
+    SELECT p_partkey,
+           TRY_CAST(regexp_extract(p_brand, '#([0-9]+)', 1) AS INTEGER) AS brand_num,
+           TRY_CAST(p_type AS INTEGER) AS type_as_int,
+           TRY_CAST(SUBSTR(p_name, 1, 2) AS DOUBLE) AS name_prefix_num
+    FROM part
+    """,
+)
+def fn_try_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error-safe casting under ANSI mode (Spark 4 default): try_cast
+    yields NULL where a plain CAST would raise — the ingestion-path
+    idiom for dirty columns. Mirrored by DuckDB's TRY_CAST."""
+    p = table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.try_to_number(
+            F.regexp_extract("p_brand", "#([0-9]+)", 1), F.lit("999")
+        ).cast("int").alias("brand_num"),
+        F.expr("TRY_CAST(p_type AS INT)").alias("type_as_int"),
+        F.expr("TRY_CAST(SUBSTR(p_name, 1, 2) AS DOUBLE)").alias("name_prefix_num"),
+    )
