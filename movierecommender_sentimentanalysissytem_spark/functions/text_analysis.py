@@ -239,3 +239,49 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
             f" + element_at(hw, i + 2)) % {_P}))"
         ).alias("min_trigram_hash"),
     )
+
+
+@query(
+    "text_pii_redaction",
+    oracle="""
+    SELECT doc_id,
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(text,
+                 '[a-z0-9._]+@[a-z0-9.-]+', '<EMAIL>', 'g'),
+               '\\b[0-9]{3}-[0-9]{3,4}-[0-9]{4}\\b', '<PHONE>', 'g'),
+             '\\b[0-9]{9,}\\b', '<ID>', 'g') AS redacted,
+           (regexp_replace(
+             regexp_replace(
+               regexp_replace(text,
+                 '[a-z0-9._]+@[a-z0-9.-]+', '<EMAIL>', 'g'),
+               '\\b[0-9]{3}-[0-9]{3,4}-[0-9]{4}\\b', '<PHONE>', 'g'),
+             '\\b[0-9]{9,}\\b', '<ID>', 'g') <> text) AS was_redacted
+    FROM documents
+    WHERE doc_id < 200
+    """,
+)
+def text_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII masking pass: email / phone / long-numeric-id patterns →
+    typed placeholders (the standard pre-training redaction op). A
+    single chained regexp_replace scan, JVM-side; regexes in the
+    RE2 ∩ Java common subset (char classes, \\b, bounded repetition).
+    The synthetic corpus contains no PII, so was_redacted is all false
+    — the operator's determinism is still fully SQL-checked."""
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(
+                F.col("text"), "[a-z0-9._]+@[a-z0-9.-]+", "<EMAIL>"
+            ),
+            r"\b[0-9]{3}-[0-9]{3,4}-[0-9]{4}\b",
+            "<PHONE>",
+        ),
+        r"\b[0-9]{9,}\b",
+        "<ID>",
+    )
+    return d.select(
+        "doc_id",
+        redacted.alias("redacted"),
+        (redacted != F.col("text")).alias("was_redacted"),
+    )
