@@ -1,0 +1,120 @@
+"""Time-series operators over the events stream: calendar gap-filling
+and last-observation-carried-forward interpolation — the two idioms
+that turn an irregular event stream into a regular series.
+
+Scale notes: the bucket grid is generated from a 1-row bounds
+aggregate (``sequence`` + ``explode``), so grid size is bounded by the
+time span, never the event count; LOCF is one window pass per user.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from movierecommender_sentimentanalysissytem_spark.functions.rounding import round4
+from movierecommender_sentimentanalysissytem_spark.registry import query
+from movierecommender_sentimentanalysissytem_spark.sources.tables import table
+
+
+@query(
+    "timeseries_gapfill",
+    oracle="""
+    WITH bounds AS (
+        SELECT CAST(floor(epoch(date_trunc('second', MIN(ts))) / 600) * 600 AS BIGINT) AS b0,
+               CAST(floor(epoch(date_trunc('second', MAX(ts))) / 600) * 600 AS BIGINT) AS b1
+        FROM events
+    ),
+    grid AS (
+        SELECT unnest(generate_series(b0, b1, 600)) AS s FROM bounds
+    ),
+    counts AS (
+        SELECT CAST(floor(epoch(date_trunc('second', ts)) / 600) * 600 AS BIGINT) AS s,
+               COUNT(*) AS n,
+               FLOOR(SUM(value) * 10000 + 0.5) / 10000 AS total_value
+        FROM events GROUP BY s
+    )
+    SELECT strftime(to_timestamp(g.s), '%Y-%m-%d %H:%M:%S') AS bucket,
+           COALESCE(c.n, 0) AS n,
+           COALESCE(c.total_value, 0.0) AS total_value,
+           (c.s IS NULL) AS was_gap
+    FROM grid g LEFT JOIN counts c ON g.s = c.s
+    """,
+)
+def timeseries_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense 10-minute series: generate the full bucket grid between
+    the stream's bounds (1-row aggregate → sequence → explode), left
+    join the sparse per-bucket aggregates, zero-fill the gaps."""
+    e = table(spark, sf_dir, "events").withColumn(
+        "sec", F.unix_timestamp(F.date_trunc("second", F.col("ts")))
+    )
+    bounds = e.agg(
+        (F.floor(F.min("sec") / 600) * 600).cast("long").alias("b0"),
+        (F.floor(F.max("sec") / 600) * 600).cast("long").alias("b1"),
+    )
+    grid = bounds.select(
+        F.explode(F.sequence("b0", "b1", F.lit(600))).alias("s")
+    )
+    counts = (
+        e.groupBy(((F.floor(F.col("sec") / 600)) * 600).cast("long").alias("s"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            round4(F.sum("value")).alias("total_value"),
+        )
+    )
+    c = counts.alias("c")
+    return (
+        grid.alias("g")
+        .join(c, F.col("g.s") == F.col("c.s"), "left")
+        .select(
+            F.date_format(
+                F.timestamp_seconds(F.col("g.s")), "yyyy-MM-dd HH:mm:ss"
+            ).alias("bucket"),
+            F.coalesce(F.col("c.n"), F.lit(0)).alias("n"),
+            F.coalesce(F.col("c.total_value"), F.lit(0.0)).alias("total_value"),
+            F.col("c.s").isNull().alias("was_gap"),
+        )
+    )
+
+
+@query(
+    "timeseries_locf",
+    oracle="""
+    WITH nulled AS (
+        SELECT user_id, event_id,
+               CASE WHEN event_type = 'error' THEN NULL ELSE value END AS v
+        FROM events
+    )
+    SELECT user_id, event_id,
+           FLOOR(COALESCE(last_value(v IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), -1.0)
+               * 10000 + 0.5) / 10000 AS v_filled
+    FROM nulled
+    """,
+)
+def timeseries_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-observation-carried-forward: error events null their value
+    and inherit the user's most recent valid reading (window ``last``
+    with ignorenulls; -1 sentinel when no prior observation exists)."""
+    e = table(spark, sf_dir, "events")
+    nulled = e.select(
+        "user_id",
+        "event_id",
+        F.when(F.col("event_type") == "error", F.lit(None)).otherwise(
+            F.col("value")
+        ).alias("v"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return nulled.select(
+        "user_id",
+        "event_id",
+        round4(
+            F.coalesce(F.last("v", ignorenulls=True).over(w), F.lit(-1.0))
+        ).alias("v_filled"),
+    )

@@ -55,6 +55,7 @@ def _load_all_modules() -> None:
     import movierecommender_sentimentanalysissytem_spark.operators.storage  # noqa: F401
     import movierecommender_sentimentanalysissytem_spark.operators.analytics  # noqa: F401
     import movierecommender_sentimentanalysissytem_spark.sources.pysource  # noqa: F401
+    import movierecommender_sentimentanalysissytem_spark.operators.timeseries  # noqa: F401
     import movierecommender_sentimentanalysissytem_spark.functions.scalar  # noqa: F401
     import movierecommender_sentimentanalysissytem_spark.functions.text  # noqa: F401
     import movierecommender_sentimentanalysissytem_spark.functions.vector  # noqa: F401
