@@ -75,3 +75,43 @@ def sample_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.sample(fraction=0.1, seed=42).select(
         "l_orderkey", "l_linenumber", "l_quantity"
     )
+
+
+@query("sample_train_test_split")
+def sample_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The archetype's train/test split (randomSplit 80/20, seeded)
+    summarized per split: row count and mean rating. rows-only (the
+    RNG is Spark-specific); ml/pipelines trains on full data instead
+    precisely because split sizes depend on partitioning."""
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    ratings = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        F.col("o_custkey").alias("user"),
+        F.col("l_partkey").alias("item"),
+        F.col("l_quantity").alias("rating"),
+    )
+    train, test = ratings.randomSplit([0.8, 0.2], seed=42)
+    return (
+        train.withColumn("split", F.lit("train"))
+        .unionByName(test.withColumn("split", F.lit("test")))
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("rating"), 4).alias("avg_rating"),
+        )
+    )
+
+
+@query("sample_stratified")
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified sampling (sampleBy): per-stratum fractions — keep all
+    rare 'error'/'signup' events, thin the dominant 'view' class. The
+    class-rebalancing primitive for training-data curation. rows-only
+    (seeded Spark RNG)."""
+    e = table(spark, sf_dir, "events")
+    sampled = e.sampleBy(
+        "event_type",
+        {"view": 0.1, "click": 0.5, "purchase": 1.0, "signup": 1.0, "error": 1.0},
+        seed=42,
+    )
+    return sampled.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
