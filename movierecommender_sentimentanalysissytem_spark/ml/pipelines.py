@@ -18,6 +18,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from movierecommender_sentimentanalysissytem_spark.functions.rounding import round4
 from movierecommender_sentimentanalysissytem_spark.registry import query
@@ -130,15 +131,16 @@ def ml_eval_rmse(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.avg("l_quantity").alias("r"))
     )
-    item_mean = ratings.groupBy("i").agg(
-        (F.sum("r") / F.count(F.lit(1))).alias("pred")
-    )
-    return (
-        ratings.join(item_mean, "i")
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            round4(F.sqrt(F.avg(F.pow(F.col("r") - F.col("pred"), 2)))).alias(
-                "rmse"
-            ),
-        )
+    # Per-item mean as a window over the single ratings lineage: no
+    # second aggregation, no ratings⋈item_mean shuffle join, and no
+    # double computation of the lineitem⋈orders upstream (the join
+    # formulation recomputed it once per branch). Two shuffles total:
+    # groupBy(u, i), then the window repartition on i.
+    wi = Window.partitionBy("i")
+    pred = F.sum("r").over(wi) / F.count(F.lit(1)).over(wi)
+    return ratings.withColumn("pred", pred).agg(
+        F.count(F.lit(1)).alias("n"),
+        round4(F.sqrt(F.avg(F.pow(F.col("r") - F.col("pred"), 2)))).alias(
+            "rmse"
+        ),
     )

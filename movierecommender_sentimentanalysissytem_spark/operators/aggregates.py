@@ -125,14 +125,35 @@ def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("agg_approx_count_distinct")
+@query(
+    "agg_approx_count_distinct",
+    oracle="""
+    SELECT event_type,
+           COUNT(DISTINCT user_id) AS exact_users,
+           (ABS(approx_count_distinct(user_id) - COUNT(DISTINCT user_id))
+              <= 0.05 * COUNT(DISTINCT user_id)) AS within_5pct_of_exact
+    FROM events GROUP BY event_type
+    """,
+)
 def agg_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HLL++ approximate distinct — the scan-once, no-expansion shape
-    that replaces exact COUNT(DISTINCT) at 100 TB. rows-only check
-    (approximation differs from any exact oracle by design)."""
+    that replaces exact COUNT(DISTINCT) at 100 TB.
+
+    SQL-checkable form: raw estimates differ across engines by design,
+    so each engine reports its OWN estimate only through the boolean
+    ``within_5pct_of_exact`` (HLL rsd 0.01 here, DuckDB's HLL there);
+    both engines agree on the exact count and on the boolean, which is
+    what the driver hashes."""
     e = table(spark, sf_dir, "events")
     return e.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id", 0.01).alias("approx_users")
+        F.count_distinct("user_id").alias("exact_users"),
+        (
+            F.abs(
+                F.approx_count_distinct("user_id", 0.01)
+                - F.count_distinct("user_id")
+            )
+            <= 0.05 * F.count_distinct("user_id")
+        ).alias("within_5pct_of_exact"),
     )
 
 
@@ -432,33 +453,85 @@ def agg_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("l_returnflag", "measure", F.round("raw_val", 4).alias("val"))
 
 
-@query("agg_hll_sketch_union")
+@query(
+    "agg_hll_sketch_union",
+    oracle="""
+    SELECT COUNT(DISTINCT user_id) AS exact_total_users,
+           (ABS(approx_count_distinct(user_id) - COUNT(DISTINCT user_id))
+              <= 0.05 * COUNT(DISTINCT user_id)) AS within_5pct_of_exact
+    FROM events
+    """,
+)
 def agg_hll_sketch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable HLL sketches (Datasketches): build one sketch per
     event_type, then union the sketches for the overall estimate —
     the re-aggregatable pattern that replaces raw COUNT(DISTINCT) in
     100 TB rollup hierarchies (sketch once, merge everywhere).
-    rows-checked (sketch estimates are approximate by design)."""
+
+    SQL-checkable form: the merged-sketch estimate is compared to the
+    exact distinct on the Spark side and reported as the boolean
+    ``within_5pct_of_exact``; DuckDB computes the same boolean with
+    its own HLL. Exact count + boolean hash-match across engines."""
     e = table(spark, sf_dir, "events")
     per_type = e.groupBy("event_type").agg(
         F.hll_sketch_agg("user_id").alias("sk")
     )
-    return per_type.agg(
+    merged = per_type.agg(
         F.hll_sketch_estimate(F.hll_union_agg("sk")).cast("long").alias(
             "approx_total_users"
         )
     )
+    exact = e.agg(F.count_distinct("user_id").alias("exact_total_users"))
+    return exact.crossJoin(F.broadcast(merged)).select(
+        "exact_total_users",
+        (
+            F.abs(F.col("approx_total_users") - F.col("exact_total_users"))
+            <= 0.05 * F.col("exact_total_users")
+        ).alias("within_5pct_of_exact"),
+    )
 
 
-@query("agg_approx_percentile")
+@query(
+    "agg_approx_percentile",
+    oracle="""
+    SELECT l_returnflag,
+           TRUE AS p50_within_1pct,
+           TRUE AS p90_within_1pct,
+           TRUE AS p99_within_1pct
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
 def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_percentile (Greenwald-Khanna sketch): the bounded-memory
     quantile path for 100 TB (exact percentile sorts each group).
-    Deterministic for a fixed accuracy but algorithm-specific, so
-    rows-checked; agg_percentile is the exact SQL-checked twin."""
+
+    Output is SCALAR columns only (an array<double> column crashes the
+    driver's canonicalizer — unhashable list). Sketch values are
+    algorithm-specific, so each quantile is reported as a boolean
+    "within 1% of the exact percentile_cont" computed entirely on the
+    Spark side; the oracle's exact-vs-exact comparison is identically
+    TRUE. agg_percentile remains the exact value-checked twin."""
     li = table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
+    agg = li.groupBy("l_returnflag").agg(
         F.expr(
-            "approx_percentile(l_extendedprice, array(0.5, 0.9, 0.99), 10000)"
-        ).alias("price_quantiles")
+            "approx_percentile(l_extendedprice, 0.5, 10000)"
+        ).alias("ap50"),
+        F.expr(
+            "approx_percentile(l_extendedprice, 0.9, 10000)"
+        ).alias("ap90"),
+        F.expr(
+            "approx_percentile(l_extendedprice, 0.99, 10000)"
+        ).alias("ap99"),
+        F.expr("percentile(l_extendedprice, 0.5)").alias("ep50"),
+        F.expr("percentile(l_extendedprice, 0.9)").alias("ep90"),
+        F.expr("percentile(l_extendedprice, 0.99)").alias("ep99"),
+    )
+    within = lambda a, e: (  # noqa: E731
+        F.abs(F.col(a) - F.col(e)) <= 0.01 * F.abs(F.col(e))
+    )
+    return agg.select(
+        "l_returnflag",
+        within("ap50", "ep50").alias("p50_within_1pct"),
+        within("ap90", "ep90").alias("p90_within_1pct"),
+        within("ap99", "ep99").alias("p99_within_1pct"),
     )

@@ -25,8 +25,8 @@ def test_feature_extract_schema_and_values(spark):
     for r in rows:
         assert r.n_bytes == 32  # two md5 digests
         assert 0 <= r.byte_min <= r.byte_max <= 255
-        assert len(r.feat) == 8
-        assert abs(sum(r.feat) - 1.0) < 1e-9  # histogram normalized
+        feat = [r[f"feat_{i}"] for i in range(8)]
+        assert abs(sum(feat) - 1.0) < 1e-9  # histogram normalized
 
 
 def test_feature_extract_deterministic(spark):

@@ -119,3 +119,31 @@ def test_sliding_window_double_counts(spark):
     total = buckets.agg(F.sum("n")).collect()[0][0]
     # size 10min / slide 5min → every event in exactly 2 windows
     assert total == 2 * table(spark, SF_SMALL, "events").count()
+
+
+def test_lsh_bucket_cap_keeps_dup_heavy_corpus_linear(spark):
+    """1k identical docs collide into one band bucket per band; the cap
+    must emit star pairs (n-1 per bucket), not the quadratic n(n-1)/2."""
+    from pyspark.sql import functions as F
+    from movierecommender_sentimentanalysissytem_spark.functions.dedup import (
+        LSH_BUCKET_CAP,
+        _lsh_candidate_pairs,
+    )
+
+    n = 1000
+    bands = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.lit(1).alias("band_id"),
+        F.lit("samekey").alias("band_key"),
+    )
+    pairs = _lsh_candidate_pairs(bands).collect()
+    assert n > LSH_BUCKET_CAP  # the cap is actually exercised
+    assert len(pairs) == n - 1  # star pairs: linear, not ~500k
+    assert all(p.doc_a == 0 for p in pairs)  # bucket-min is the hub
+    # below the cap: exact all-pairs
+    small = spark.range(5).select(
+        F.col("id").alias("doc_id"),
+        F.lit(1).alias("band_id"),
+        F.lit("k").alias("band_key"),
+    )
+    assert len(_lsh_candidate_pairs(small).collect()) == 10
