@@ -28,6 +28,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from movierecommender_sentimentanalysissytem_spark.functions.rounding import round4
+from movierecommender_sentimentanalysissytem_spark.plans.caching import scoped_persist
 from movierecommender_sentimentanalysissytem_spark.registry import query
 from movierecommender_sentimentanalysissytem_spark.sources.tables import table
 
@@ -246,13 +247,15 @@ def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # Compact cache: hashed shingle SET per doc — the only state the
     # signature branch and both Jaccard-verify sides need.
-    hv = d.select(
-        "doc_id",
-        F.expr(
-            f"array_distinct(transform({_SPARK_SHINGLES_W},"
-            f" s -> {_SPARK_BASE}))"
-        ).alias("hvals"),
-    ).persist()
+    hv = scoped_persist(
+        d.select(
+            "doc_id",
+            F.expr(
+                f"array_distinct(transform({_SPARK_SHINGLES_W},"
+                f" s -> {_SPARK_BASE}))"
+            ).alias("hvals"),
+        )
+    )
     sig = hv.select(
         "doc_id",
         *[
@@ -503,24 +506,25 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     recursive-CTE transitive closure — SQL-checked end-to-end.
     """
     pairs = dedup_near_minhash(spark, sf_dir).select("doc_a", "doc_b")
-    sym = (
+    sym = scoped_persist(
         pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
         .unionByName(
             pairs.select(F.col("doc_b").alias("a"), F.col("doc_a").alias("b"))
         )
         .distinct()
-        .persist()
     )
-    labels = sym.select(F.col("a").alias("node")).distinct().withColumn(
-        "root", F.col("node")
-    ).persist()
+    labels = scoped_persist(
+        sym.select(F.col("a").alias("node"))
+        .distinct()
+        .withColumn("root", F.col("node"))
+    )
     for _ in range(10):
         neighbor_min = (
             labels.join(sym, labels.node == sym.a)
             .groupBy(F.col("b").alias("node"))
             .agg(F.min("root").alias("nroot"))
         )
-        new_labels = (
+        new_labels = scoped_persist(
             labels.join(neighbor_min, "node", "left")
             .select(
                 "node",
@@ -528,7 +532,6 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("root"), F.coalesce(F.col("nroot"), F.col("root"))
                 ).alias("root"),
             )
-            .persist()
         )
         changed = (
             new_labels.alias("n")
@@ -537,9 +540,14 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             .limit(1)
             .count()
         )
+        # the convergence count materialized new_labels, so the old
+        # generation's cache is dead weight — drop it before looping
+        # (cache hygiene: a 10-round run must hold ≤1 label cache).
+        labels.unpersist()
         labels = new_labels
         if changed == 0:
             break
+    sym.unpersist()
     return labels.select(
         F.col("node").alias("doc_id"), F.col("root").alias("cluster_id")
     )

@@ -419,12 +419,14 @@ def join_runtime_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical to the plain join (the filter is a superset-safe prune),
     so the oracle IS the plain join.
 
-    Guard rails: only applied when the build side stays under a key
-    budget — a runtime filter that needs millions of literals belongs
-    in a Bloom filter (``bloom_filter_agg`` is not exposed as a SQL
-    function in Spark 4.1; evaluated and rejected here).
+    Guard rails: only applied when the build side stays under a small
+    key budget — an IN-list is a driver-memory and codegen liability
+    past a few thousand literals, so over budget this falls back to the
+    plain join and lets Spark's own InjectRuntimeFilter / DPP handle
+    the prune (a Bloom-filter pushdown would be the manual alternative;
+    ``bloom_filter_agg`` is not exposed as a SQL function in Spark 4.1).
     """
-    max_keys = 100_000
+    max_keys = 5_000
     o = table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 450000)
     keys = [r[0] for r in o.select("o_orderkey").distinct().limit(max_keys + 1).collect()]
     li = table(spark, sf_dir, "lineitem")

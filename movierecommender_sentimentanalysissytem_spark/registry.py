@@ -34,7 +34,22 @@ def query(key: str, oracle: Optional[str] = None) -> Callable[[QueryFn], QueryFn
     def deco(fn: QueryFn) -> QueryFn:
         if key in QUERIES:
             raise ValueError(f"duplicate query key: {key}")
-        QUERIES[key] = fn
+
+        def wrapper(spark: SparkSession, sf_dir: str) -> DataFrame:
+            # Cache hygiene: release the previous query's scoped caches
+            # so a sequential sweep holds at most one query's worth of
+            # persisted state (see plans/caching.py).
+            from movierecommender_sentimentanalysissytem_spark.plans.caching import (
+                release_scoped_caches,
+            )
+
+            release_scoped_caches()
+            return fn(spark, sf_dir)
+
+        wrapper.__name__ = fn.__name__
+        wrapper.__doc__ = fn.__doc__
+        wrapper.__wrapped__ = fn
+        QUERIES[key] = wrapper
         if oracle is not None:
             ORACLES[key] = oracle
         return fn
