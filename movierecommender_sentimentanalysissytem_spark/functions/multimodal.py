@@ -10,9 +10,11 @@ Spark-side — schema, partitioning, UDF signatures, Arrow batch shapes —
 is real and tested.
 
 The fixture has no binary table, so a deterministic surrogate is built
-in-plan: ``media = unhex(md5(text) repeated)`` with metadata derived
-from doc columns. rows-checked (binary semantics aren't mirrored in the
-oracle), with invariants asserted in tests/test_multimodal.py.
+in-plan: ``media = unhex(md5(text) || md5('2:' || text))`` with metadata
+derived from doc columns. Because the surrogate is md5-derived, BOTH
+operators are SQL-checked exactly: the DuckDB oracles reconstruct every
+byte from the hex digests and verify the Python UDFs' arithmetic
+value-for-value (plus invariants in tests/test_multimodal.py).
 
 Scale notes: mapInPandas streams Arrow batches — peak memory is
 O(batch), not O(partition); decode parallelism equals input partitions
@@ -79,12 +81,39 @@ _FEAT_SCHEMA = T.StructType(
 )
 
 
-@query("multimodal_feature_extract")
+_FEAT_ORACLE = """
+    WITH hexes AS (
+        SELECT doc_id, md5(text) || md5('2:' || text) AS hx FROM documents
+    ),
+    bytes AS (
+        SELECT doc_id, CAST('0x' || substr(hx, i*2 + 1, 2) AS INTEGER) AS b
+        FROM hexes, range(0, 32) t(i)
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS INTEGER) AS n_bytes,
+           AVG(b) AS byte_mean,
+           CAST(MIN(b) AS INTEGER) AS byte_min,
+           CAST(MAX(b) AS INTEGER) AS byte_max,
+""" + ",\n".join(
+    f"           SUM(CASE WHEN b >> 5 = {i} THEN 1 ELSE 0 END) / 32.0"
+    f" AS feat_{i}"
+    for i in range(8)
+) + """
+    FROM bytes GROUP BY doc_id
+"""
+
+
+@query("multimodal_feature_extract", oracle=_FEAT_ORACLE)
 def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decode (stub) + feature-extract over Arrow batches: per-blob
     byte statistics and an 8-bucket byte histogram as the "embedding".
     The mapInPandas iterator shape (pdf-in → pdf-out generator) is the
-    real production plumbing for image/audio featurization."""
+    real production plumbing for image/audio featurization.
+
+    SQL-checked exactly: the surrogate blob is md5-derived, so the
+    oracle reconstructs every byte from the hex digest in pure SQL —
+    the Python UDF's arithmetic is verified value-for-value against a
+    relational formulation (byte stats and all 8 histogram buckets)."""
     import pandas as pd
 
     def extract(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
@@ -139,12 +168,33 @@ _FRAME_SCHEMA = T.StructType(
 )
 
 
-@query("multimodal_frame_sample")
+_FRAME_ORACLE = """
+    WITH m AS (
+        SELECT doc_id, md5(text) || md5('2:' || text) AS hx,
+               (n_chars % 8 + 1) AS n_frames,
+               CAST(32 // (n_chars % 8 + 1) AS INTEGER) AS fsize
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(i AS INTEGER) AS frame_idx,
+           fsize AS frame_bytes,
+           md5(substr(hx, i*fsize*2 + 1, fsize*2)) AS frame_md5
+    FROM m, range(0, 8, 2) t(i)
+    WHERE i < n_frames
+"""
+
+
+@query("multimodal_frame_sample", oracle=_FRAME_ORACLE)
 def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame sampling for "video" blobs: split each blob into
     meta.n_frames equal chunks and emit one row per sampled frame
     (every 2nd frame) — the one-blob → many-rows explode pattern that
-    video pipelines need, with per-frame digests for downstream dedup."""
+    video pipelines need, with per-frame digests for downstream dedup.
+
+    The digest is md5 over the frame's lowercase-hex encoding (the
+    canonical string form), which makes the Python chunking logic
+    SQL-checkable exactly: the oracle re-derives every chunk from the
+    surrogate blob's hex digest and hashes the same string."""
     import hashlib
 
     import pandas as pd
@@ -163,7 +213,9 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
                     out["doc_id"].append(doc_id)
                     out["frame_idx"].append(idx)
                     out["frame_bytes"].append(len(chunk))
-                    out["frame_md5"].append(hashlib.md5(chunk).hexdigest())
+                    out["frame_md5"].append(
+                        hashlib.md5(chunk.hex().encode()).hexdigest()
+                    )
             yield pd.DataFrame(out)
 
     media = _media_table(spark, sf_dir)

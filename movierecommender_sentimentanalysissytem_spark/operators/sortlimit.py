@@ -11,6 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from movierecommender_sentimentanalysissytem_spark.functions.rounding import round4
 from movierecommender_sentimentanalysissytem_spark.registry import query
 from movierecommender_sentimentanalysissytem_spark.sources.tables import table
 
@@ -63,55 +64,102 @@ def limit_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("sample_deterministic")
+@query(
+    "sample_deterministic",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity
+    FROM lineitem
+    WHERE CAST('0x' || substr(md5('smp:' || l_orderkey || ':' || l_linenumber), 1, 15)
+               AS BIGINT) % 100 < 10
+    """,
+)
 def sample_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Seeded Bernoulli sample (rows-only: Spark's XORShift RNG and any
-    SQL engine's RNG pick different rows for the same seed by design).
+    """~10% Bernoulli sample keyed on a hash of the primary key — the
+    REPRODUCIBLE sampling pattern: row membership depends only on the
+    key, never on partitioning, executor count, or engine RNG, so the
+    sample is stable across reruns, re-partitions, and engines
+    (SQL-checked exactly via the cross-engine md5 hash family; a
+    seeded ``.sample`` by contrast picks different rows per engine).
 
-    At scale ``.sample`` is the right primitive — per-partition,
-    no shuffle, no coordination.
-    """
+    Per-partition, no shuffle, no coordination — same cost profile as
+    ``.sample`` at 100 TB, with auditability for free."""
     li = table(spark, sf_dir, "lineitem")
-    return li.sample(fraction=0.1, seed=42).select(
+    bucket = F.expr(
+        "CAST(conv(substring(md5(concat('smp:', l_orderkey, ':',"
+        " l_linenumber)), 1, 15), 16, 10) AS BIGINT) % 100"
+    )
+    return li.filter(bucket < 10).select(
         "l_orderkey", "l_linenumber", "l_quantity"
     )
 
 
-@query("sample_train_test_split")
+@query(
+    "sample_train_test_split",
+    oracle="""
+    SELECT CASE WHEN CAST('0x' || substr(md5('tts:' || l_orderkey || ':' || l_linenumber), 1, 15)
+                     AS BIGINT) % 100 < 80
+                THEN 'train' ELSE 'test' END AS split,
+           COUNT(*) AS n,
+           FLOOR(AVG(l_quantity) * 10000 + 0.5) / 10000 AS avg_rating
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY 1
+    """,
+)
 def sample_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The archetype's train/test split (randomSplit 80/20, seeded)
-    summarized per split: row count and mean rating. rows-only (the
-    RNG is Spark-specific); ml/pipelines trains on full data instead
-    precisely because split sizes depend on partitioning."""
+    """The archetype's train/test split, hash-keyed instead of
+    randomSplit: each rating row lands in train (80%) or test (20%) by
+    a hash of its primary key, so the split is identical across reruns,
+    partitionings, and engines (randomSplit resamples whenever the
+    upstream partitioning changes — a real leakage hazard in
+    production retrains). Summarized per split: row count and mean
+    rating, SQL-checked exactly."""
     li = table(spark, sf_dir, "lineitem")
     o = table(spark, sf_dir, "orders")
+    bucket = F.expr(
+        "CAST(conv(substring(md5(concat('tts:', l_orderkey, ':',"
+        " l_linenumber)), 1, 15), 16, 10) AS BIGINT) % 100"
+    )
     ratings = li.join(o, li.l_orderkey == o.o_orderkey).select(
-        F.col("o_custkey").alias("user"),
-        F.col("l_partkey").alias("item"),
         F.col("l_quantity").alias("rating"),
+        F.when(bucket < 80, "train").otherwise("test").alias("split"),
     )
-    train, test = ratings.randomSplit([0.8, 0.2], seed=42)
-    return (
-        train.withColumn("split", F.lit("train"))
-        .unionByName(test.withColumn("split", F.lit("test")))
-        .groupBy("split")
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.round(F.avg("rating"), 4).alias("avg_rating"),
-        )
+    return ratings.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n"),
+        round4(F.avg("rating")).alias("avg_rating"),
     )
 
 
-@query("sample_stratified")
+@query(
+    "sample_stratified",
+    oracle="""
+    SELECT event_type, COUNT(*) AS n
+    FROM events
+    WHERE CAST('0x' || substr(md5('str:' || event_id), 1, 15) AS BIGINT) % 100
+          < CASE event_type WHEN 'view' THEN 10 WHEN 'click' THEN 50
+                            ELSE 100 END
+    GROUP BY event_type
+    """,
+)
 def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Stratified sampling (sampleBy): per-stratum fractions — keep all
-    rare 'error'/'signup' events, thin the dominant 'view' class. The
-    class-rebalancing primitive for training-data curation. rows-only
-    (seeded Spark RNG)."""
+    """Stratified sampling with per-stratum fractions — keep all rare
+    'error'/'signup'/'purchase' events, thin the dominant classes
+    ('view' 10%, 'click' 50%). The class-rebalancing primitive for
+    training-data curation, hash-keyed on event_id (like
+    sample_deterministic) so the per-class sample is reproducible
+    across reruns, partitionings, and engines — ``sampleBy`` with a
+    seed re-picks rows whenever partitioning changes. SQL-checked."""
     e = table(spark, sf_dir, "events")
-    sampled = e.sampleBy(
-        "event_type",
-        {"view": 0.1, "click": 0.5, "purchase": 1.0, "signup": 1.0, "error": 1.0},
-        seed=42,
+    bucket = F.expr(
+        "CAST(conv(substring(md5(concat('str:', event_id)), 1, 15),"
+        " 16, 10) AS BIGINT) % 100"
     )
-    return sampled.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    threshold = (
+        F.when(F.col("event_type") == "view", 10)
+        .when(F.col("event_type") == "click", 50)
+        .otherwise(100)
+    )
+    return (
+        e.filter(bucket < threshold)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )

@@ -11,6 +11,7 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from movierecommender_sentimentanalysissytem_spark.functions.rounding import round4
 from movierecommender_sentimentanalysissytem_spark.registry import query
 from movierecommender_sentimentanalysissytem_spark.sources.tables import table
 
@@ -95,3 +96,55 @@ def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_orderkey", "o_orderstatus")
         .agg(F.round(F.sum("l_extendedprice"), 4).alias("line_total"))
     )
+
+
+@query(
+    "scd2_history",
+    oracle="""
+    WITH src AS (
+        SELECT o_custkey AS k,
+               FLOOR(SUM(o_totalprice) * 10000 + 0.5) / 10000 AS new_bal
+        FROM orders GROUP BY o_custkey
+    )
+    SELECT c.c_custkey,
+           FLOOR(c.c_acctbal * 10000 + 0.5) / 10000 AS acctbal,
+           '2024-01-01' AS valid_from,
+           CASE WHEN s.k IS NULL THEN NULL ELSE '2024-02-01' END AS valid_to,
+           (s.k IS NULL) AS is_current
+    FROM customer c LEFT JOIN src s ON c.c_custkey = s.k
+    UNION ALL
+    SELECT s.k, s.new_bal, '2024-02-01', NULL, TRUE
+    FROM src s JOIN customer c ON c.c_custkey = s.k
+    """,
+)
+def scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type 2: a day-2 snapshot (per-customer
+    spend as the new balance) closes the old version of each changed
+    key (valid_to set, is_current false) and opens a new current row;
+    untouched keys keep their open row. The dimension-versioning
+    pattern every warehouse load needs.
+
+    Scale notes: one key-partitioned join per load; history tables
+    should be partitioned by valid_from so current-state reads prune
+    to open partitions. SQL-checked across all three row classes.
+    """
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    src = o.groupBy(F.col("o_custkey").alias("k")).agg(
+        round4(F.sum("o_totalprice")).alias("new_bal")
+    )
+    old = c.join(src, c.c_custkey == src.k, "left").select(
+        "c_custkey",
+        round4(F.col("c_acctbal")).alias("acctbal"),
+        F.lit("2024-01-01").alias("valid_from"),
+        F.when(F.col("k").isNotNull(), "2024-02-01").alias("valid_to"),
+        F.col("k").isNull().alias("is_current"),
+    )
+    new = src.join(c, c.c_custkey == src.k).select(
+        F.col("k").alias("c_custkey"),
+        F.col("new_bal").alias("acctbal"),
+        F.lit("2024-02-01").alias("valid_from"),
+        F.lit(None).cast("string").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    return old.unionByName(new)

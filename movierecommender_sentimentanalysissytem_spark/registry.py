@@ -134,11 +134,26 @@ _SECTION2 = frozenset(
 )
 
 
+# Keys measured ≥ ~2 s at sf0.01 (model training, true streaming runs,
+# brute-force pair scans). Sorted after the cheap keys within their
+# priority group so a TIME-limited sweep still reaches the most keys.
+_EXPENSIVE = frozenset(
+    """
+    ml_sentiment_pipeline ml_als_recommend
+    stream_watermark_late stream_dedup stream_stateful_counter
+    sim_threshold_join sim_topk_ivf
+    dedup_clusters dedup_ngram_jaccard
+    scan_python_datasource
+    """.split()
+)
+
+
 def _sweep_order(keys: list[str]) -> list[str]:
     """Order keys so a budget-limited driver sweep maximizes coverage:
     (1) §2 keys with no driver-green row yet (incl. the rewritten approx
     keys), (2) extra keys with no green row, (3) already-green keys.
-    Within each group, registration order (stable, deterministic)."""
+    Within each group: cheap keys before expensive ones, then
+    registration order (stable, deterministic)."""
 
     def group(k: str) -> int:
         if k in _R1_DRIVER_GREEN:
@@ -146,7 +161,9 @@ def _sweep_order(keys: list[str]) -> list[str]:
         return 0 if k in _SECTION2 else 1
 
     indexed = {k: i for i, k in enumerate(keys)}
-    return sorted(keys, key=lambda k: (group(k), indexed[k]))
+    return sorted(
+        keys, key=lambda k: (group(k), k in _EXPENSIVE, indexed[k])
+    )
 
 
 def queries() -> dict[str, QueryFn]:

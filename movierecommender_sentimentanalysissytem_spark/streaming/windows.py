@@ -227,13 +227,34 @@ def _run_available_now(df: DataFrame, spark: SparkSession, output_mode: str) -> 
     return df.sparkSession.table(name)
 
 
-@query("stream_watermark_late")
+@query(
+    "stream_watermark_late",
+    oracle="""
+    WITH b AS (
+        SELECT floor(epoch(date_trunc('second', ts)) / 600) * 600 AS s,
+               COUNT(*) AS n,
+               FLOOR(SUM(value) * 10000 + 0.5) / 10000 AS total_value
+        FROM events GROUP BY 1
+    ),
+    wm AS (
+        SELECT epoch(max(date_trunc('second', ts))) - 600 AS w FROM events
+    )
+    SELECT strftime(to_timestamp(s), '%Y-%m-%d %H:%M:%S') AS bucket,
+           n, total_value
+    FROM b, wm WHERE s + 600 <= w
+    """,
+)
 def stream_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Windowed streaming aggregation with a 10-minute watermark:
     events later than the watermark are dropped from state; the
     watermark also bounds state size (the 100 TB requirement — without
     it, window state grows forever). Append mode only emits finalized
-    windows. rows-checked."""
+    windows.
+
+    SQL-checked: with a single AvailableNow batch the final watermark
+    is max(event time) − 10 min, and append mode emits exactly the
+    windows whose END is ≤ that watermark — the oracle reproduces the
+    emission rule relationally (verified row-for-row at sf0.01)."""
     e = _events_stream(spark, sf_dir)
     agg = (
         e.withWatermark("ts_s", "10 minutes")
@@ -251,10 +272,20 @@ def stream_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_available_now(agg, spark, "append")
 
 
-@query("stream_dedup")
+@query(
+    "stream_dedup",
+    oracle="""
+    SELECT event_type, COUNT(DISTINCT event_id) AS n
+    FROM events GROUP BY event_type
+    """,
+)
 def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stateful streaming dedup on event_id with watermark-bounded
-    state, then a per-type count. rows-checked."""
+    state, then a per-type count.
+
+    SQL-checked: the per-type count of deduped events is independent
+    of which duplicate wins (and event_id is globally unique in the
+    fixture), so the count-distinct formulation is the exact oracle."""
     e = _events_stream(spark, sf_dir)
     deduped = (
         e.withWatermark("ts_s", "10 minutes")
@@ -265,12 +296,23 @@ def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_available_now(deduped, spark, "complete")
 
 
-@query("stream_stateful_counter")
+@query(
+    "stream_stateful_counter",
+    oracle="""
+    SELECT user_id, COUNT(*) AS n_events,
+           FLOOR(SUM(value) * 10000 + 0.5) / 10000 AS total_value
+    FROM events GROUP BY user_id
+    """,
+)
 def stream_stateful_counter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful operator: per-user running totals via
     ``applyInPandasWithState`` (arbitrary state, Arrow-batched).
     The state is one (count, total) pair per user — fixed width,
-    watermark-free GroupState with no timeout. rows-checked."""
+    watermark-free GroupState with no timeout.
+
+    SQL-checked: per-user count and 4-dp-rounded total are independent
+    of batch order, so the plain relational groupBy is the exact
+    oracle for the stateful run."""
     import pandas as pd  # noqa: F401
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
@@ -309,7 +351,10 @@ def stream_stateful_counter(spark: SparkSession, sf_dir: str) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
-    return _run_available_now(counted, spark, "update")
+    result = _run_available_now(counted, spark, "update")
+    return result.select(
+        "user_id", "n_events", round4(F.col("total_value")).alias("total_value")
+    )
 
 
 @query(
@@ -370,14 +415,22 @@ def stream_session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("stream_foreach_batch_sink")
+@query(
+    "stream_foreach_batch_sink",
+    oracle="""
+    SELECT event_type, COUNT(*) AS n,
+           FLOOR(SUM(value) * 10000 + 0.5) / 10000 AS total
+    FROM events GROUP BY event_type
+    """,
+)
 def stream_foreach_batch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     """foreachBatch sink: the production pattern for streaming into
     arbitrary batch sinks (upserts, parquet compaction, JDBC). Each
     micro-batch aggregates per event_type and appends to a parquet dir;
     the returned DataFrame re-reads and re-aggregates the sink.
-    rows-checked; with AvailableNow + one source file there is exactly
-    one batch, so the result equals the batch groupBy."""
+    SQL-checked: with AvailableNow + one source file there is exactly
+    one batch, so the sink's re-aggregation equals the plain batch
+    groupBy, which is the oracle."""
     import tempfile
 
     out = tempfile.mkdtemp(prefix="mrsas_feb_") + "/by_type"
@@ -403,3 +456,60 @@ def stream_foreach_batch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(F.sum("n").alias("n"), F.round(F.sum("total"), 4).alias("total"))
     )
+
+
+@query(
+    "stream_stream_join",
+    oracle="""
+    SELECT c.user_id,
+           c.event_id AS click_eid,
+           v.event_id AS view_eid
+    FROM events c JOIN events v
+      ON c.user_id = v.user_id
+     AND c.event_type = 'click' AND v.event_type = 'view'
+     AND date_trunc('second', v.ts)
+         BETWEEN date_trunc('second', c.ts) - INTERVAL 10 MINUTE
+             AND date_trunc('second', c.ts)
+    """,
+)
+def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join: each click joined to the same
+    user's views in the preceding 10 minutes — attribution, the
+    canonical two-stream correlation. Both sides carry watermarks, and
+    the time-interval predicate is what lets Spark BOUND the join
+    state: a view older than (watermark − 10 min) can never match a
+    future click and is evicted. Without the interval condition a
+    stream-stream join's state grows forever — the 100 TB failure
+    mode this operator exists to demonstrate.
+
+    SQL-checked: an inner interval join emits exactly the pairs the
+    batch formulation produces (watermarks only bound state, they
+    drop no matches within a single AvailableNow batch).
+    """
+    e = _events_stream(spark, sf_dir)
+    clicks = (
+        e.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("click_eid"),
+            F.col("ts_s").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "10 minutes")
+    )
+    views = (
+        e.filter(F.col("event_type") == "view")
+        .select(
+            F.col("user_id").alias("v_user"),
+            F.col("event_id").alias("view_eid"),
+            F.col("ts_s").alias("view_ts"),
+        )
+        .withWatermark("view_ts", "10 minutes")
+    )
+    joined = clicks.join(
+        views,
+        F.expr(
+            "c_user = v_user AND "
+            "view_ts BETWEEN click_ts - INTERVAL 10 MINUTES AND click_ts"
+        ),
+    ).select(F.col("c_user").alias("user_id"), "click_eid", "view_eid")
+    return _run_available_now(joined, spark, "append")
