@@ -180,3 +180,80 @@ def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("n_active_users"))
     )
+
+
+@query(
+    "profile_numeric_histogram",
+    oracle="""
+    SELECT CAST(FLOOR(l_extendedprice / 5000) AS BIGINT) AS bucket,
+           COUNT(*) AS n,
+           FLOOR(MIN(l_extendedprice) * 10000 + 0.5) / 10000 AS lo,
+           FLOOR(MAX(l_extendedprice) * 10000 + 0.5) / 10000 AS hi
+    FROM lineitem GROUP BY 1
+    """,
+)
+def profile_numeric_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram of a numeric column (5000-wide buckets):
+    the data-profiling primitive behind skew detection and range
+    partition planning. One scan, one groupBy on a derived int key —
+    at 100 TB this is the cheapest possible distribution sketch (the
+    approx twin is agg_approx_percentile)."""
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.withColumn(
+            "bucket", F.floor(F.col("l_extendedprice") / 5000).cast("bigint")
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            round4(F.min("l_extendedprice")).alias("lo"),
+            round4(F.max("l_extendedprice")).alias("hi"),
+        )
+    )
+
+
+@query(
+    "profile_table",
+    oracle="""
+    SELECT 'lang' AS col, COUNT(*) AS n,
+           COUNT(*) - COUNT(lang) AS n_null,
+           COUNT(DISTINCT lang) AS n_distinct
+    FROM documents
+    UNION ALL
+    SELECT 'source', COUNT(*), COUNT(*) - COUNT(source),
+           COUNT(DISTINCT source)
+    FROM documents
+    UNION ALL
+    SELECT 'text', COUNT(*), COUNT(*) - COUNT(text),
+           COUNT(DISTINCT text)
+    FROM documents
+    UNION ALL
+    SELECT 'n_chars', COUNT(*), COUNT(*) - COUNT(n_chars),
+           COUNT(DISTINCT n_chars)
+    FROM documents
+    """,
+)
+def profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column profile (row count, null count, distinct count per
+    column) — the data-quality report every ingest job runs before
+    training-data curation. Formulated as one aggregate per column
+    unioned into a long table.
+
+    Scale notes: exact COUNT(DISTINCT) per column re-shuffles per
+    column; at 100 TB swap in approx_count_distinct (single pass, no
+    expansion — the agg_approx_count_distinct pattern) and keep this
+    exact form for the oracle-checked tier."""
+    d = table(spark, sf_dir, "documents")
+
+    def col_profile(c: str) -> DataFrame:
+        return d.agg(
+            F.lit(c).alias("col"),
+            F.count(F.lit(1)).alias("n"),
+            (F.count(F.lit(1)) - F.count(c)).alias("n_null"),
+            F.countDistinct(c).alias("n_distinct"),
+        )
+
+    out = col_profile("lang")
+    for c in ("source", "text", "n_chars"):
+        out = out.unionByName(col_profile(c))
+    return out

@@ -438,3 +438,38 @@ def join_runtime_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderpriority",
         F.round("l_extendedprice", 4).alias("price"),
     )
+
+
+@query(
+    "join_lateral",
+    oracle="""
+    SELECT c.c_custkey, l.o_orderkey, l.total
+    FROM customer c, LATERAL (
+        SELECT o_orderkey,
+               FLOOR(o_totalprice * 10000 + 0.5) / 10000 AS total
+        FROM orders WHERE o_custkey = c.c_custkey
+        ORDER BY o_totalprice DESC, o_orderkey LIMIT 2
+    ) l
+    """,
+)
+def join_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LATERAL correlated subquery: top-2 orders per customer, written
+    as the per-row subquery users actually type. Catalyst decorrelates
+    it into a row_number window + equi-join (verified in the physical
+    plan) — the same shape as win_row_number_topk, so the per-row
+    subquery NEVER executes per row; at 100 TB it is one windowed
+    shuffle, not N queries. The deterministic o_orderkey tiebreaker
+    keeps both engines' top-2 identical."""
+    table(spark, sf_dir, "customer").createOrReplaceTempView("mrsas_lat_c")
+    table(spark, sf_dir, "orders").createOrReplaceTempView("mrsas_lat_o")
+    return spark.sql(
+        """
+        SELECT c.c_custkey, l.o_orderkey, l.total
+        FROM mrsas_lat_c c, LATERAL (
+            SELECT o_orderkey,
+                   FLOOR(o_totalprice * 10000 + 0.5) / 10000 AS total
+            FROM mrsas_lat_o WHERE o_custkey = c.c_custkey
+            ORDER BY o_totalprice DESC, o_orderkey LIMIT 2
+        ) l
+        """
+    )

@@ -65,3 +65,37 @@ def test_stateful_counter_matches_batch_totals(spark):
         for r in QS["stream_stateful_counter"](spark, SF_SMALL).collect()
     }
     assert stream == batch
+
+
+def test_stream_stream_join_matches_batch_interval_join(spark):
+    from pyspark.sql import functions as F
+
+    from movierecommender_sentimentanalysissytem_spark.sources.tables import table
+
+    e = table(spark, SF_SMALL, "events").withColumn(
+        "ts_s", F.date_trunc("second", F.col("ts"))
+    )
+    clicks = e.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("cu"),
+        F.col("event_id").alias("ce"),
+        F.col("ts_s").alias("ct"),
+    )
+    views = e.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("vu"),
+        F.col("event_id").alias("ve"),
+        F.col("ts_s").alias("vt"),
+    )
+    batch = {
+        (r.cu, r.ce, r.ve)
+        for r in clicks.join(
+            views,
+            (F.col("cu") == F.col("vu"))
+            & (F.col("vt") >= F.col("ct") - F.expr("INTERVAL 10 MINUTES"))
+            & (F.col("vt") <= F.col("ct")),
+        ).collect()
+    }
+    stream = {
+        (r.user_id, r.click_eid, r.view_eid)
+        for r in QS["stream_stream_join"](spark, SF_SMALL).collect()
+    }
+    assert stream == batch
