@@ -429,3 +429,35 @@ def fn_try_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("TRY_CAST(p_type AS INT)").alias("type_as_int"),
         F.expr("TRY_CAST(SUBSTR(p_name, 1, 2) AS DOUBLE)").alias("name_prefix_num"),
     )
+
+
+@query(
+    "fn_variant_json",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n,
+           SUM(CAST(props->>'$.k' AS INTEGER)) AS sum_k,
+           COUNT(CASE WHEN CAST(props->>'$.k' AS INTEGER) > 50 THEN 1 END)
+               AS n_over_50
+    FROM events GROUP BY event_type
+    """,
+)
+def fn_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 VARIANT type: ``parse_json`` once into a typed
+    semi-structured value, then ``variant_get`` typed extractions —
+    the modern replacement for repeated ``get_json_object`` string
+    parsing (the VARIANT is a decoded binary representation, so N
+    extractions don't re-parse N times; fn_map_json is the legacy
+    twin). Aggregated per event_type; oracle uses DuckDB's JSON
+    operators over the same props column."""
+    e = table(spark, sf_dir, "events")
+    k = F.expr("variant_get(parse_json(props), '$.k', 'int')")
+    return (
+        e.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").alias("sum_k"),
+            F.count(F.when(F.col("k") > 50, 1)).alias("n_over_50"),
+        )
+    )

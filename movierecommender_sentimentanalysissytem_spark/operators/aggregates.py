@@ -541,3 +541,26 @@ def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
         within("ap90", "ep90").alias("p90_within_1pct"),
         within("ap99", "ep99").alias("p99_within_1pct"),
     )
+
+
+@query(
+    "agg_approx_top_k",
+    oracle="""
+    SELECT event_type AS item, COUNT(*) AS est_count
+    FROM events GROUP BY event_type
+    ORDER BY est_count DESC, item LIMIT 3
+    """,
+)
+def agg_approx_top_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-based heavy hitters (``approx_top_k``, Spark 4): the
+    bounded-memory frequent-items path — at 100 TB an exact top-k by
+    count needs a full groupBy shuffle; the sketch mergess partial
+    summaries in fixed space. With the fixture's 5 distinct values the
+    sketch is exact, so the exact top-3 is a valid oracle (on
+    high-cardinality data this key would get the within-tolerance
+    boolean treatment like agg_approx_count_distinct)."""
+    e = table(spark, sf_dir, "events")
+    tk = e.selectExpr("approx_top_k(event_type, 3) AS tk")
+    return tk.select(F.expr("inline(tk)")).select(
+        F.col("item"), F.col("count").alias("est_count")
+    )

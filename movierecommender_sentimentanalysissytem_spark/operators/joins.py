@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from movierecommender_sentimentanalysissytem_spark.functions.rounding import round4
 from movierecommender_sentimentanalysissytem_spark.registry import query
 from movierecommender_sentimentanalysissytem_spark.sources.tables import table
 
@@ -472,4 +473,59 @@ def join_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
             ORDER BY o_totalprice DESC, o_orderkey LIMIT 2
         ) l
         """
+    )
+
+
+@query(
+    "join_range_binned",
+    oracle="""
+    SELECT a.event_id AS event_a, b.event_id AS event_b,
+           FLOOR(ABS(a.value - b.value) * 10000 + 0.5) / 10000 AS diff
+    FROM events a JOIN events b
+      ON a.event_type = 'purchase' AND b.event_type = 'purchase'
+     AND a.event_id < b.event_id
+     AND ABS(a.value - b.value) <= 0.1
+    """,
+)
+def join_range_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure range join (no equi key) via BINNING — the scale path for
+    interval/band predicates: each left row is exploded to its value
+    bucket ± 2 (width = band), the join runs as an ordinary hash
+    equi-join on the bucket, and the exact band predicate filters
+    inside the join. O(n·k) with k = rows per bucket, instead of the
+    O(n²) nested-loop a naive theta join plans. The ±2 overcover
+    absorbs float-rounding at bucket edges; each (a, b) pair matches
+    exactly once because the probe side keeps its single true bucket.
+
+    The oracle is the NAIVE theta formulation — proving the binned
+    rewrite is result-identical, which is the whole point."""
+    e = (
+        table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select("event_id", "value")
+    )
+    band = 0.1
+    probe = e.select(
+        F.col("event_id").alias("event_b"),
+        F.col("value").alias("value_b"),
+        F.floor(F.col("value") / band).alias("bucket"),
+    )
+    build = e.select(
+        F.col("event_id").alias("event_a"),
+        F.col("value").alias("value_a"),
+        F.explode(
+            F.array(*[F.floor(F.col("value") / band) + d for d in range(-2, 3)])
+        ).alias("bucket"),
+    )
+    return (
+        build.join(probe, "bucket")
+        .filter(
+            (F.col("event_a") < F.col("event_b"))
+            & (F.abs(F.col("value_a") - F.col("value_b")) <= band)
+        )
+        .select(
+            "event_a",
+            "event_b",
+            round4(F.abs(F.col("value_a") - F.col("value_b"))).alias("diff"),
+        )
     )

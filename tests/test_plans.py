@@ -135,3 +135,20 @@ def test_scoped_caches_do_not_accumulate_across_sweep(spark):
     # after one more release, nothing from the sweep remains
     release_scoped_caches()
     assert jsc.getPersistentRDDs().size() <= baseline
+
+
+def test_range_binned_join_is_hash_not_nested_loop(spark):
+    """The binned range join must plan as a hash equi-join on the
+    bucket — never a nested-loop/cartesian — or the rewrite is
+    pointless at scale."""
+    import contextlib
+    import io
+
+    df = QS["join_range_binned"](spark, SF_SMALL)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Join" in plan  # an actual equi-join strategy is present
