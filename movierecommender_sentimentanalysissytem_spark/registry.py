@@ -144,7 +144,7 @@ _EXPENSIVE = frozenset(
     stream_stream_join
     sim_threshold_join sim_topk_ivf
     dedup_clusters dedup_ngram_jaccard
-    scan_python_datasource
+    scan_python_datasource sink_python_datasource
     """.split()
 )
 

@@ -95,3 +95,108 @@ def scan_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("id").alias("id_sum"),
         F.round(F.sum("half"), 4).alias("half_sum"),
     )
+
+
+if _HAS_DS_API:
+    import json as _json
+    import os as _os
+    import uuid as _uuid
+
+    from pyspark.sql.datasource import DataSourceWriter, WriterCommitMessage
+
+    class _JsonlCommit(WriterCommitMessage):
+        def __init__(self, path: str, n_rows: int) -> None:
+            self.path = path
+            self.n_rows = n_rows
+
+    class _JsonlWriter(DataSourceWriter):
+        """Per-partition JSONL files + driver-side commit manifest —
+        the two-phase commit shape every real sink (JDBC, object
+        store, warehouse) implements: executors write side files and
+        return commit messages; ``commit`` publishes a manifest; a
+        failed job never publishes, so readers see all-or-nothing."""
+
+        def __init__(self, options) -> None:
+            self.path = options.get("path")
+
+        def write(self, iterator):
+            part_file = _os.path.join(
+                self.path, f"part-{_uuid.uuid4().hex}.jsonl"
+            )
+            n = 0
+            with open(part_file, "w") as fh:
+                for row in iterator:
+                    fh.write(_json.dumps(row.asDict()) + "\n")
+                    n += 1
+            return _JsonlCommit(part_file, n)
+
+        def commit(self, messages):
+            manifest = {
+                "files": sorted(m.path for m in messages),
+                "total_rows": sum(m.n_rows for m in messages),
+            }
+            with open(_os.path.join(self.path, "_MANIFEST.json"), "w") as fh:
+                fh.write(_json.dumps(manifest))
+
+        def abort(self, messages):
+            for m in messages:
+                try:
+                    _os.remove(m.path)
+                except OSError:
+                    pass
+
+    class JsonlSinkDataSource(DataSource):
+        """``df.write.format("mrsas_jsonl").option("path", ...)``"""
+
+        @classmethod
+        def name(cls) -> str:
+            return "mrsas_jsonl"
+
+        def writer(self, schema, overwrite: bool) -> "DataSourceWriter":
+            return _JsonlWriter(self.options)
+
+
+@query(
+    "sink_python_datasource",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(*) AS n,
+           FLOOR(SUM(o_totalprice) * 10000 + 0.5) / 10000 AS total
+    FROM orders WHERE o_orderstatus = 'F'
+    GROUP BY o_orderpriority
+    """,
+)
+def sink_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write through the custom Python Data Source WRITER (Spark 4
+    ``DataSourceWriter``): executors stream Arrow batches into
+    per-partition JSONL side files and return commit messages; the
+    driver-side ``commit`` publishes an all-or-nothing manifest (the
+    two-phase-commit contract real sinks implement). The result
+    re-reads ONLY manifest-listed files and re-aggregates — proving
+    the round trip — and is SQL-checked against the source table.
+    """
+    import json
+    import tempfile
+
+    from movierecommender_sentimentanalysissytem_spark.sources.tables import table
+
+    if not _HAS_DS_API:
+        raise NotImplementedError("Spark 4 DataSource API unavailable")
+    spark.dataSource.register(JsonlSinkDataSource)
+    out = tempfile.mkdtemp(prefix="mrsas_pysink_")
+    o = table(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    ).select("o_orderkey", "o_orderpriority", "o_totalprice")
+    o.write.format("mrsas_jsonl").option("path", out).mode("append").save()
+
+    with open(f"{out}/_MANIFEST.json") as fh:
+        manifest = json.load(fh)
+    back = spark.read.schema(
+        "o_orderkey BIGINT, o_orderpriority STRING, o_totalprice DOUBLE"
+    ).json(manifest["files"])
+    from movierecommender_sentimentanalysissytem_spark.functions.rounding import round4
+
+    return back.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        round4(F.sum("o_totalprice")).alias("total"),
+    )
