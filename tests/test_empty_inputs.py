@@ -49,6 +49,17 @@ REPRESENTATIVE = [
     "udaf_pandas_grouped",
     "subq_correlated",
     "rec_top_items",
+    "merge_upsert",
+    "scd2_history",
+    "join_lateral",
+    "join_range_binned",
+    "fn_variant_json",
+    "fn_levenshtein",
+    "profile_numeric_histogram",
+    "sample_deterministic",
+    "sample_train_test_split",
+    "agg_approx_count_distinct",
+    "agg_approx_percentile",
 ]
 
 
