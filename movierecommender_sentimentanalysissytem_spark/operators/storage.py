@@ -148,3 +148,89 @@ def scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(True).alias("is_current"),
     )
     return old.unionByName(new)
+
+
+@query(
+    "scan_schema_evolution",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(*) AS n,
+           COUNT(o_comment_len) AS n_with_new_col,
+           COALESCE(SUM(o_comment_len), 0) AS total_len
+    FROM (
+        SELECT o_orderpriority, NULL AS o_comment_len
+        FROM orders WHERE o_orderstatus = 'F'
+        UNION ALL
+        SELECT o_orderpriority, LENGTH(o_orderpriority) + o_custkey % 10
+        FROM orders WHERE o_orderstatus = 'O'
+    ) t
+    GROUP BY o_orderpriority
+    """,
+)
+def scan_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution across parquet file generations: generation 1
+    lacks a column that generation 2 adds; ``mergeSchema`` unions the
+    file schemas and null-fills the missing column — the schema-drift
+    reality of any long-lived 100 TB dataset (readers must never
+    break on old files). The aggregate proves old rows surface with
+    NULL and new rows carry values."""
+    import os
+    import tempfile
+
+    o = table(spark, sf_dir, "orders")
+    out = os.path.join(tempfile.mkdtemp(prefix="mrsas_evo_"), "orders_evo")
+    # generation 1: original schema
+    o.filter(F.col("o_orderstatus") == "F").select(
+        "o_orderkey", "o_orderpriority"
+    ).write.mode("overwrite").parquet(out)
+    # generation 2: adds a derived column
+    o.filter(F.col("o_orderstatus") == "O").select(
+        "o_orderkey",
+        "o_orderpriority",
+        (F.length("o_orderpriority") + F.col("o_custkey") % 10).alias(
+            "o_comment_len"
+        ),
+    ).write.mode("append").parquet(out)
+    back = spark.read.option("mergeSchema", "true").parquet(out)
+    return back.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count("o_comment_len").alias("n_with_new_col"),
+        F.coalesce(F.sum("o_comment_len"), F.lit(0)).alias("total_len"),
+    )
+
+
+@query(
+    "maintenance_compact_small_files",
+    oracle="""
+    SELECT 32 AS files_before, 4 AS files_after,
+           COUNT(*) AS n_rows,
+           FLOOR(SUM(o_totalprice) * 10000 + 0.5) / 10000 AS total
+    FROM orders
+    """,
+)
+def maintenance_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction — the table-maintenance job every
+    streaming/incremental 100 TB pipeline runs: many tiny files (here
+    32) kill scan throughput via per-file open/footer costs and
+    scheduler pressure; rewriting into few right-sized files (here 4)
+    restores it. Row count and sum prove the rewrite is lossless;
+    actual file counts are asserted against the declared literals so
+    the oracle check fails if compaction misbehaves."""
+    import glob
+    import os
+    import tempfile
+
+    o = table(spark, sf_dir, "orders")
+    base = tempfile.mkdtemp(prefix="mrsas_compact_")
+    small, big = os.path.join(base, "small"), os.path.join(base, "big")
+    o.repartition(32).write.mode("overwrite").parquet(small)
+    n_small = len(glob.glob(os.path.join(small, "part-*.parquet")))
+    spark.read.parquet(small).repartition(4).write.mode("overwrite").parquet(big)
+    n_big = len(glob.glob(os.path.join(big, "part-*.parquet")))
+    back = spark.read.parquet(big)
+    return back.agg(
+        F.lit(n_small).alias("files_before"),
+        F.lit(n_big).alias("files_after"),
+        F.count(F.lit(1)).alias("n_rows"),
+        round4(F.sum("o_totalprice")).alias("total"),
+    )
