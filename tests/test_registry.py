@@ -67,3 +67,30 @@ def test_entry_smoke(spark):
     rows = df.collect()
     assert len(rows) > 0
     assert set(df.columns) == {"n_name", "revenue", "n_items"}
+
+
+def test_sweep_order_prioritizes_driver_unverified_section2_keys():
+    """The driver's correctness sweep has a per-round key budget and
+    walks queries() in dict order — every §2 key without a green
+    CORRECTNESS row must register before all already-green keys, and
+    the whole §2-unverified set must fit in the first 50 positions."""
+    from movierecommender_sentimentanalysissytem_spark.registry import (
+        _R1_DRIVER_GREEN,
+        _SECTION2,
+        oracle_sql,
+        queries,
+    )
+
+    order = list(queries())
+    unverified_s2 = [
+        k for k in order if k in _SECTION2 and k not in _R1_DRIVER_GREEN
+    ]
+    first50 = set(order[:50])
+    missing = [k for k in unverified_s2 if k not in first50]
+    assert not missing, f"§2-unverified keys outside the first 50: {missing}"
+    # green keys occupy exactly the trailing positions
+    n_green = sum(1 for k in order if k in _R1_DRIVER_GREEN)
+    assert all(k in _R1_DRIVER_GREEN for k in order[-n_green:])
+    # oracle dict must follow the same ordering contract
+    osql = list(oracle_sql())
+    assert osql == [k for k in order if k in set(osql)]
