@@ -204,7 +204,7 @@ def scan_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT 32 AS files_before, 4 AS files_after,
            COUNT(*) AS n_rows,
-           FLOOR(SUM(o_totalprice) * 10000 + 0.5) / 10000 AS total
+           SUM(o_orderkey) AS key_checksum
     FROM orders
     """,
 )
@@ -232,5 +232,60 @@ def maintenance_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFra
         F.lit(n_small).alias("files_before"),
         F.lit(n_big).alias("files_after"),
         F.count(F.lit(1)).alias("n_rows"),
-        round4(F.sum("o_totalprice")).alias("total"),
+        # integer checksum: exact under any summation order, unlike a
+        # float total whose 4th decimal can shift with partitioning
+        F.sum("o_orderkey").alias("key_checksum"),
+    )
+
+
+_Z_TERMS = "(((zx >> 0) & 1) << 0) + (((zy >> 0) & 1) << 1) + (((zx >> 1) & 1) << 2) + (((zy >> 1) & 1) << 3) + (((zx >> 2) & 1) << 4) + (((zy >> 2) & 1) << 5) + (((zx >> 3) & 1) << 6) + (((zy >> 3) & 1) << 7) + (((zx >> 4) & 1) << 8) + (((zy >> 4) & 1) << 9) + (((zx >> 5) & 1) << 10) + (((zy >> 5) & 1) << 11) + (((zx >> 6) & 1) << 12) + (((zy >> 6) & 1) << 13) + (((zx >> 7) & 1) << 14) + (((zy >> 7) & 1) << 15)"
+
+
+@query(
+    "sort_zorder_clustering",
+    oracle="""
+    WITH dims AS (
+        SELECT CAST(FLOOR(l_quantity * 5) AS BIGINT) % 256 AS zx,
+               CAST(FLOOR(l_extendedprice / 500) AS BIGINT) % 256 AS zy
+        FROM lineitem
+    ),
+    z AS (
+        SELECT zx, zy, ((((zx >> 0) & 1) << 0) + (((zy >> 0) & 1) << 1) + (((zx >> 1) & 1) << 2) + (((zy >> 1) & 1) << 3) + (((zx >> 2) & 1) << 4) + (((zy >> 2) & 1) << 5) + (((zx >> 3) & 1) << 6) + (((zy >> 3) & 1) << 7) + (((zx >> 4) & 1) << 8) + (((zy >> 4) & 1) << 9) + (((zx >> 5) & 1) << 10) + (((zy >> 5) & 1) << 11) + (((zx >> 6) & 1) << 12) + (((zy >> 6) & 1) << 13) + (((zx >> 7) & 1) << 14) + (((zy >> 7) & 1) << 15)) AS zval FROM dims
+    )
+    SELECT zval >> 6 AS z_range,
+           COUNT(*) AS n,
+           CAST(MIN(zx) AS BIGINT) AS min_zx, CAST(MAX(zx) AS BIGINT) AS max_zx,
+           CAST(MIN(zy) AS BIGINT) AS min_zy, CAST(MAX(zy) AS BIGINT) AS max_zy
+    FROM z GROUP BY 1
+    """,
+)
+def sort_zorder_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering key: interleave the bits of two
+    bucketed dimensions so rows close in BOTH dimensions sort near each
+    other — the multi-column data-clustering lever behind Delta/Iceberg
+    OPTIMIZE ZORDER. Sorting a 100 TB table by this key before writing
+    makes row-group min/max pruning effective for filters on EITHER
+    dimension (a plain sort only helps its leading column).
+
+    The aggregate proves the locality property the layout relies on:
+    each coarse z-range spans a bounded rectangle of (zx, zy), visible
+    in the per-range min/max bounds. Bit arithmetic is identical in
+    both engines, so the key is SQL-checked exactly."""
+    li = table(spark, sf_dir, "lineitem")
+    dims = li.select(
+        (F.floor(F.col("l_quantity") * 5).cast("bigint") % 256).alias("zx"),
+        (F.floor(F.col("l_extendedprice") / 500).cast("bigint") % 256).alias(
+            "zy"
+        ),
+    )
+    z = dims.withColumn("zval", F.expr(_Z_TERMS))
+    return (
+        z.groupBy(F.expr("zval >> 6").alias("z_range"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("zx").alias("min_zx"),
+            F.max("zx").alias("max_zx"),
+            F.min("zy").alias("min_zy"),
+            F.max("zy").alias("max_zy"),
+        )
     )
