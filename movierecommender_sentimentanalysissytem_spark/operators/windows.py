@@ -239,3 +239,53 @@ def win_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.last("event_type").over(w).alias("last_type"),
         F.nth_value("event_id", 2).over(w).alias("second_event"),
     )
+
+
+@query(
+    "win_gaps_islands",
+    oracle="""
+    WITH days AS (
+        SELECT DISTINCT user_id,
+               CAST(epoch(date_trunc('day', ts)) / 86400 AS BIGINT) AS day
+        FROM events
+    ),
+    grp AS (
+        SELECT user_id, day,
+               day - ROW_NUMBER() OVER (
+                   PARTITION BY user_id ORDER BY day) AS island
+        FROM days
+    )
+    SELECT user_id,
+           CAST(MIN(day) AS BIGINT) AS streak_start_day,
+           COUNT(*) AS streak_days
+    FROM grp GROUP BY user_id, island
+    HAVING COUNT(*) >= 3
+    """,
+)
+def win_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: consecutive-day activity streaks per user (the
+    retention/engagement primitive). The classic trick — day minus its
+    per-user row_number is constant within a consecutive run — turns
+    streak detection into one window plus one groupBy; no self-joins,
+    no iteration, scales as two shuffles on user_id regardless of
+    streak length."""
+    e = table(spark, sf_dir, "events")
+    days = e.select(
+        "user_id",
+        (
+            F.unix_timestamp(F.date_trunc("day", F.col("ts"))) / 86400
+        ).cast("bigint").alias("day"),
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("day")
+    grp = days.withColumn(
+        "island", F.col("day") - F.row_number().over(w)
+    )
+    return (
+        grp.groupBy("user_id", "island")
+        .agg(
+            F.min("day").alias("streak_start_day"),
+            F.count(F.lit(1)).alias("streak_days"),
+        )
+        .filter(F.col("streak_days") >= 3)
+        .drop("island")
+    )
