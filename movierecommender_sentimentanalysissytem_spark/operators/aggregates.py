@@ -564,3 +564,36 @@ def agg_approx_top_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tk.select(F.expr("inline(tk)")).select(
         F.col("item"), F.col("count").alias("est_count")
     )
+
+
+@query(
+    "agg_bitmap_distinct",
+    oracle="""
+    SELECT event_type, COUNT(DISTINCT user_id) AS n_users
+    FROM events GROUP BY event_type
+    """,
+)
+def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT distinct counting via bucketed roaring-style bitmaps
+    (Spark 3.5 ``bitmap_*`` aggregates): ids hash into 32k-wide
+    buckets, each bucket folds to a fixed-width bitmap, and bucket
+    bitmaps OR-merge — the re-aggregatable EXACT pattern that slots
+    between plain COUNT(DISTINCT) (full expansion shuffle) and HLL
+    (approximate). At 100 TB: bitmap state per (group, bucket) is
+    bounded at 4 KB regardless of cardinality, merges are associative,
+    and rollup hierarchies reuse the same bitmaps sketch-style but
+    with exact answers — which is why the exact-distinct oracle checks
+    it value-for-value."""
+    e = table(spark, sf_dir, "events")
+    per_bucket = (
+        e.selectExpr(
+            "event_type",
+            "bitmap_bucket_number(user_id) AS bkt",
+            "bitmap_bit_position(user_id) AS pos",
+        )
+        .groupBy("event_type", "bkt")
+        .agg(F.expr("bitmap_construct_agg(pos)").alias("bm"))
+    )
+    return per_bucket.groupBy("event_type").agg(
+        F.expr("SUM(bitmap_count(bm))").cast("long").alias("n_users")
+    )

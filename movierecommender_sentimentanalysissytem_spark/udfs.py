@@ -179,3 +179,30 @@ def udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM mrsas_udtf_events e, LATERAL mrsas_parse_props(e.props) t
         """
     )
+
+
+@query(
+    "udf_arrow_optimized",
+    oracle="""
+    SELECT doc_id,
+           LENGTH(text) - LENGTH(regexp_replace(text, '[aeiou]', '', 'g'))
+               AS n_vowels
+    FROM documents WHERE doc_id < 100
+    """,
+)
+def udf_arrow_optimized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-optimized Python UDF (Spark 4 ``useArrow=True``): scalar
+    Python semantics with Arrow-batch serialization — the middle tier
+    between the pickled row-at-a-time UDF (udf_python_scalar, ~10-100×
+    slower transfers) and the pandas UDF (udf_pandas_vectorized, batch
+    semantics). Same per-row function signature, columnar wire format.
+    Mirrored by a pure-SQL vowel count so the oracle hash-checks it."""
+
+    @F.udf(T.IntegerType(), useArrow=True)
+    def n_vowels(s: str) -> int:
+        return sum(1 for ch in s if ch in "aeiou") if s is not None else None
+
+    d = table(spark, sf_dir, "documents")
+    return d.filter(F.col("doc_id") < 100).select(
+        "doc_id", n_vowels("text").alias("n_vowels")
+    )
