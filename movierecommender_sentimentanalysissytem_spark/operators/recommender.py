@@ -233,3 +233,40 @@ def sentiment_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("lang", "sentiment")
         .agg(F.count(F.lit(1)).alias("n_docs"))
     )
+
+
+@query(
+    "rec_item_cooccurrence",
+    oracle="""
+    SELECT a.l_partkey AS item_a, b.l_partkey AS item_b,
+           COUNT(*) AS n_orders
+    FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) a
+    JOIN (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    GROUP BY 1, 2
+    HAVING COUNT(*) >= 2
+    """,
+)
+def rec_item_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-item co-occurrence (market basket): parts appearing in the
+    same order, counted across orders — the non-ML collaborative
+    signal ("customers who bought X also bought Y") that complements
+    ALS. One equi-self-join on the basket key; the quadratic term is
+    bounded by per-basket size (max ~7 items here), the same
+    bounded-bucket argument as the LSH band cap — a mega-basket
+    corpus would cap or sample baskets first."""
+    li = table(spark, sf_dir, "lineitem")
+    basket = li.select("l_orderkey", "l_partkey").distinct()
+    a = basket.select(
+        F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("item_a")
+    )
+    b = basket.select(
+        F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("item_b")
+    )
+    return (
+        a.join(b, "k")
+        .filter(F.col("item_a") < F.col("item_b"))
+        .groupBy("item_a", "item_b")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .filter(F.col("n_orders") >= 2)
+    )
