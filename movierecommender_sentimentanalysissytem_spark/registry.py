@@ -141,7 +141,7 @@ _EXPENSIVE = frozenset(
     """
     ml_sentiment_pipeline ml_als_recommend
     stream_watermark_late stream_dedup stream_stateful_counter
-    stream_stream_join
+    stream_stream_join stream_stream_left_join
     sim_threshold_join sim_topk_ivf
     dedup_clusters dedup_ngram_jaccard
     scan_python_datasource sink_python_datasource

@@ -513,3 +513,78 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     ).select(F.col("c_user").alias("user_id"), "click_eid", "view_eid")
     return _run_available_now(joined, spark, "append")
+
+
+@query(
+    "stream_stream_left_join",
+    oracle="""
+    WITH wm AS (
+        SELECT LEAST(
+            (SELECT date_trunc('second', max(ts)) FROM events
+             WHERE event_type = 'click'),
+            (SELECT date_trunc('second', max(ts)) FROM events
+             WHERE event_type = 'view')
+        ) - INTERVAL 10 MINUTE AS w
+    ),
+    c AS (
+        SELECT user_id, event_id, date_trunc('second', ts) AS cts
+        FROM events WHERE event_type = 'click'
+    ),
+    v AS (
+        SELECT user_id, event_id, date_trunc('second', ts) AS vts
+        FROM events WHERE event_type = 'view'
+    ),
+    matched AS (
+        SELECT v.user_id AS v_user, v.event_id AS view_eid,
+               c.event_id AS click_eid, v.vts
+        FROM v JOIN c ON v.user_id = c.user_id
+           AND c.cts BETWEEN v.vts AND v.vts + INTERVAL 10 MINUTE
+    )
+    SELECT v_user, view_eid, click_eid FROM matched
+    UNION ALL
+    SELECT v.user_id, v.event_id, NULL
+    FROM v, wm
+    WHERE v.vts + INTERVAL 10 MINUTE < wm.w
+      AND NOT EXISTS (SELECT 1 FROM matched m WHERE m.view_eid = v.event_id)
+    """,
+)
+def stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT OUTER interval join: every view, with the
+    click that followed it within 10 minutes or NULL if none came.
+    Outer emission is watermark-driven: a view only emits null-extended
+    once the watermark proves no future click can match (its interval
+    end has passed the final watermark) — unmatched views younger than
+    that are still in state when the stream ends and do NOT emit.
+    The oracle reproduces exactly that emission rule relationally:
+    matched pairs unconditionally, null-extensions only for views whose
+    interval closed before the final GLOBAL watermark — which is the
+    MINIMUM over both input streams' (max event time − delay), the
+    multi-input watermark rule."""
+    e = _events_stream(spark, sf_dir)
+    clicks = (
+        e.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("click_eid"),
+            F.col("ts_s").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "10 minutes")
+    )
+    views = (
+        e.filter(F.col("event_type") == "view")
+        .select(
+            F.col("user_id").alias("v_user"),
+            F.col("event_id").alias("view_eid"),
+            F.col("ts_s").alias("view_ts"),
+        )
+        .withWatermark("view_ts", "10 minutes")
+    )
+    joined = views.join(
+        clicks,
+        F.expr(
+            "c_user = v_user AND "
+            "click_ts BETWEEN view_ts AND view_ts + INTERVAL 10 MINUTES"
+        ),
+        "leftOuter",
+    ).select("v_user", "view_eid", "click_eid")
+    return _run_available_now(joined, spark, "append")
