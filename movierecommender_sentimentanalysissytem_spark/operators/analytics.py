@@ -389,3 +389,39 @@ def tpch_q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(round4(F.sum(profit)).alias("profit"))
     )
+
+
+@query(
+    "observe_metrics",
+    oracle="""
+    SELECT COUNT(*) AS n_rows,
+           COUNT(CASE WHEN o_totalprice <= 0 THEN 1 END) AS n_nonpositive,
+           CAST(MAX(o_orderkey) AS BIGINT) AS max_key
+    FROM orders
+    """,
+)
+def observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``Observation`` API: data-quality metrics computed IN-FLIGHT on
+    the rows a job actually processes — zero extra scan, unlike a
+    separate validation query (which reads the data twice and can
+    disagree with what the job saw under concurrent writes). The
+    production pattern for pipeline quality gates: attach counters,
+    run the job, assert on the observed values before publishing.
+    Here the observed metrics are returned as the result (one bounded
+    row) and SQL-checked against a direct aggregation."""
+    from pyspark.sql import Observation
+
+    o = table(spark, sf_dir, "orders")
+    obs = Observation("quality")
+    observed = o.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count(F.when(F.col("o_totalprice") <= 0, 1)).alias("n_nonpositive"),
+        F.max("o_orderkey").alias("max_key"),
+    )
+    observed.write.format("noop").mode("overwrite").save()  # the "job"
+    m = obs.get
+    return spark.createDataFrame(
+        [(m["n_rows"], m["n_nonpositive"], m["max_key"])],
+        "n_rows bigint, n_nonpositive bigint, max_key bigint",
+    )

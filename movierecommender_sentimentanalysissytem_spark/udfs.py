@@ -206,3 +206,40 @@ def udf_arrow_optimized(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.filter(F.col("doc_id") < 100).select(
         "doc_id", n_vowels("text").alias("n_vowels")
     )
+
+
+@query(
+    "udf_map_in_arrow",
+    oracle="""
+    SELECT doc_id, LENGTH(text) AS n_chars_py, n_chars AS n_chars_col
+    FROM documents WHERE doc_id < 200
+    """,
+)
+def udf_map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``mapInArrow``: the lowest-overhead Python tier — raw pyarrow
+    RecordBatches with no pandas conversion at all. Right choice when
+    the Python side is itself Arrow-native (vector libs, Lance/Polars,
+    tokenizers with Arrow bindings); pandas round-trips (mapInPandas)
+    cost an extra copy each way. Recomputes text length batch-wise and
+    carries the stored n_chars through for the oracle to cross-check
+    both."""
+    import pyarrow as pa
+
+    def recount(batches):
+        for batch in batches:
+            tbl = pa.Table.from_batches([batch])
+            yield pa.RecordBatch.from_arrays(
+                [
+                    tbl.column("doc_id").combine_chunks(),
+                    pa.compute.utf8_length(
+                        tbl.column("text").combine_chunks()
+                    ).cast(pa.int64()),
+                    tbl.column("n_chars").combine_chunks().cast(pa.int64()),
+                ],
+                names=["doc_id", "n_chars_py", "n_chars_col"],
+            )
+
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return d.select("doc_id", "text", "n_chars").mapInArrow(
+        recount, "doc_id bigint, n_chars_py bigint, n_chars_col bigint"
+    )
