@@ -461,3 +461,40 @@ def fn_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.when(F.col("k") > 50, 1)).alias("n_over_50"),
         )
     )
+
+
+@query(
+    "fn_collation_aware",
+    oracle="""
+    SELECT lower(c_mktsegment) AS segment_ci,
+           COUNT(*) AS n,
+           COUNT(CASE WHEN c_name ILIKE '%a%' THEN 1 END) AS n_with_a
+    FROM customer GROUP BY 1
+    """,
+)
+def fn_collation_aware(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collation-aware string semantics (Spark 4 ``COLLATE``):
+    case-insensitive grouping and matching declared AT THE EXPRESSION
+    level instead of scattering lower() calls — the engine can then
+    push collation into comparisons, joins, and aggregations. Grouping
+    key is projected back through lower() so both engines emit the
+    same canonical form; the ILIKE-equivalent match runs under
+    UTF8_LCASE collation Spark-side."""
+    c = table(spark, sf_dir, "customer")
+    return (
+        c.select(
+            F.expr("c_mktsegment COLLATE UTF8_LCASE").alias("seg_ci"),
+            F.expr(
+                "CASE WHEN (c_name COLLATE UTF8_LCASE) LIKE '%a%' "
+                "THEN 1 END"
+            ).alias("has_a"),
+        )
+        .groupBy("seg_ci")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count("has_a").alias("n_with_a"),
+        )
+        .select(
+            F.lower(F.col("seg_ci")).alias("segment_ci"), "n", "n_with_a"
+        )
+    )
