@@ -1,0 +1,312 @@
+"""Training-corpus curation operators (the LLM-data-pipeline mandate,
+BASELINE.json:6): benchmark decontamination, intra-document repetition
+filtering, corpus mix rebalancing, and embedding quantization.
+
+These extend the dedup/quality surface in functions/dedup.py and
+functions/text_analysis.py with the remaining jobs a 100 TB pretraining
+pipeline runs between "raw crawl" and "training shards":
+
+- **Decontamination**: remove training documents that overlap a held-out
+  benchmark set. The benchmark shingle set is O(benchmark), not
+  O(corpus) — benchmarks are fixed-size — so it broadcasts and the scan
+  over the corpus stays shuffle-free until the per-doc aggregate.
+- **Repetition filtering** (the Gopher/C4 rules): documents dominated by
+  one token or by repeated n-grams are boilerplate/spam; both signals
+  come out of one explode + one aggregate per doc.
+- **Mix rebalancing**: down-sample over-represented languages toward a
+  uniform target with a deterministic hash gate — reproducible across
+  reruns/partitionings/engines, unlike fraction sampling with a seed.
+- **Quantization**: per-vector symmetric int8 — the storage/serving
+  format for embedding shards; reports the reconstruction error the
+  pipeline would alert on.
+
+All four are exact-SQL-checked via the same md5 hash family and
+round-to-4dp discipline as functions/dedup.py (cross-engine
+deterministic; no RNG anywhere).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from movierecommender_sentimentanalysissytem_spark.functions.dedup import (
+    _DUCK_SHINGLES_W,
+    _SPARK_SHINGLES_W,
+    _duck_h,
+    _spark_h,
+)
+from movierecommender_sentimentanalysissytem_spark.functions.rounding import round4
+from movierecommender_sentimentanalysissytem_spark.registry import query
+from movierecommender_sentimentanalysissytem_spark.sources.tables import table
+
+# Benchmark membership gate: ~10% of docs, keyed on doc_id through the
+# cross-engine md5 family (NOT on text — membership must be stable under
+# text edits so re-crawls don't shift the benchmark).
+_BENCH_PCT = 10
+_SPARK_IS_BENCH = f"({_spark_h('dc', 'doc_id')} % 100) < {_BENCH_PCT}"
+_DUCK_IS_BENCH = f"({_duck_h('dc', 'doc_id')} % 100) < {_BENCH_PCT}"
+
+
+@query(
+    "decontaminate_ngram_overlap",
+    oracle=f"""
+    WITH words AS (
+        SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        WHERE len(string_split(text, ' ')) >= 3
+    ),
+    sh AS (
+        SELECT doc_id, {_DUCK_IS_BENCH} AS is_bench,
+               unnest({_DUCK_SHINGLES_W}) AS s
+        FROM words
+    ),
+    bench AS (SELECT DISTINCT s FROM sh WHERE is_bench),
+    train AS (SELECT doc_id, s FROM sh WHERE NOT is_bench)
+    SELECT t.doc_id, COUNT(*) AS n_shingles, COUNT(b.s) AS n_overlap,
+           FLOOR((CAST(COUNT(b.s) AS DOUBLE) / COUNT(*)) * 10000 + 0.5)
+               / 10000 AS overlap_frac,
+           (CAST(COUNT(b.s) AS DOUBLE) / COUNT(*)) >= 0.5 AS contaminated
+    FROM train t LEFT JOIN bench b ON t.s = b.s
+    GROUP BY t.doc_id
+    """,
+)
+def decontaminate_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag training documents whose 3-gram
+    shingles overlap a held-out benchmark set (here: a deterministic
+    10% hash slice of the corpus standing in for the eval suite).
+
+    Scale design: the benchmark shingle set is bounded by benchmark
+    size, not corpus size, so it BROADCASTS — the corpus-side scan is
+    embarrassingly parallel, and the only shuffle is the per-doc
+    aggregate on doc_id. The naive alternative (shuffle-joining corpus
+    shingles against benchmark shingles on the shingle key) would
+    shuffle the whole exploded corpus. Membership hashes doc_id, not
+    text, so the benchmark slice is stable under document edits."""
+    d = (
+        table(spark, sf_dir, "documents")
+        .withColumn("w", F.split("text", " "))
+        .filter(F.size("w") >= 3)
+        .withColumn("is_bench", F.expr(_SPARK_IS_BENCH))
+    )
+    sh = d.select(
+        "doc_id", "is_bench", F.explode(F.expr(_SPARK_SHINGLES_W)).alias("s")
+    )
+    bench = sh.filter("is_bench").select("s").distinct()
+    train = sh.filter(~F.col("is_bench"))
+    hit = bench.withColumn("hit", F.lit(1))
+    frac = F.count("hit").cast("double") / F.count(F.lit(1))
+    return (
+        train.join(F.broadcast(hit), "s", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.count("hit").alias("n_overlap"),
+            round4(frac).alias("overlap_frac"),
+            (frac >= 0.5).alias("contaminated"),
+        )
+    )
+
+
+@query(
+    "text_repetition_filter",
+    oracle="""
+    WITH words AS (
+        SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        WHERE len(string_split(text, ' ')) >= 2
+    ),
+    grams AS (
+        SELECT doc_id, len(w) AS n_words,
+               len(w) - 1 AS n_bigrams,
+               len(list_distinct(list_transform(range(1, len(w)),
+                   i -> array_to_string(w[i:i+1], ' ')))) AS n_distinct_bigrams
+        FROM words
+    ),
+    topw AS (
+        SELECT doc_id, MAX(cnt) AS top_cnt FROM (
+            SELECT doc_id, COUNT(*) AS cnt
+            FROM (SELECT doc_id, unnest(w) AS word FROM words)
+            GROUP BY doc_id, word
+        ) GROUP BY doc_id
+    )
+    SELECT g.doc_id, g.n_words,
+           FLOOR((1.0 - CAST(n_distinct_bigrams AS DOUBLE) / n_bigrams)
+                 * 10000 + 0.5) / 10000 AS dup_bigram_frac,
+           FLOOR((CAST(top_cnt AS DOUBLE) / n_words) * 10000 + 0.5) / 10000
+               AS top_word_ratio,
+           ((1.0 - CAST(n_distinct_bigrams AS DOUBLE) / n_bigrams) > 0.2
+            OR (CAST(top_cnt AS DOUBLE) / n_words) > 0.2) AS flagged
+    FROM grams g JOIN topw t ON g.doc_id = t.doc_id
+    """,
+)
+def text_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document repetition filter (the Gopher repetition rules):
+    duplicate-bigram fraction and top-single-token ratio per document;
+    docs past either threshold are boilerplate/spam candidates.
+
+    The bigram signal needs no shuffle at all (a higher-order-function
+    expression per row); the top-token signal is one explode + one
+    two-level aggregate, both keyed on doc_id so the join back is
+    co-partitioned with the aggregate that produced it."""
+    d = (
+        table(spark, sf_dir, "documents")
+        .withColumn("w", F.split("text", " "))
+        .filter(F.size("w") >= 2)
+    )
+    bigram_expr = (
+        "array_distinct(transform(sequence(1, size(w) - 1),"
+        " i -> concat_ws(' ', slice(w, i, 2))))"
+    )
+    grams = d.select(
+        "doc_id",
+        F.size("w").alias("n_words"),
+        (F.size("w") - 1).alias("n_bigrams"),
+        F.size(F.expr(bigram_expr)).alias("n_distinct_bigrams"),
+    )
+    topw = (
+        d.select("doc_id", F.explode("w").alias("word"))
+        .groupBy("doc_id", "word")
+        .count()
+        .groupBy("doc_id")
+        .agg(F.max("count").alias("top_cnt"))
+    )
+    dup_frac = 1.0 - F.col("n_distinct_bigrams").cast("double") / F.col("n_bigrams")
+    top_ratio = F.col("top_cnt").cast("double") / F.col("n_words")
+    return grams.join(topw, "doc_id").select(
+        "doc_id",
+        "n_words",
+        round4(dup_frac).alias("dup_bigram_frac"),
+        round4(top_ratio).alias("top_word_ratio"),
+        ((dup_frac > 0.2) | (top_ratio > 0.2)).alias("flagged"),
+    )
+
+
+@query(
+    "corpus_mix_rebalance",
+    oracle=f"""
+    WITH counts AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang),
+    tot AS (SELECT SUM(n) AS total, COUNT(*) AS nlang FROM counts),
+    w AS (
+        SELECT lang, n,
+               CAST(FLOOR(LEAST(1.0, (CAST(total AS DOUBLE) / nlang) / n)
+                          * 10000) AS BIGINT) AS thr
+        FROM counts, tot
+    )
+    SELECT d.lang, MAX(w.n) AS n_before,
+           COUNT(CASE WHEN ({_duck_h('mix', 'd.doc_id')} % 10000) < w.thr
+                      THEN 1 END) AS n_after,
+           FLOOR((CAST(COUNT(CASE WHEN ({_duck_h('mix', 'd.doc_id')} % 10000)
+                                       < w.thr THEN 1 END) AS DOUBLE)
+                  / MAX(w.n)) * 10000 + 0.5) / 10000 AS achieved_frac
+    FROM documents d JOIN w ON d.lang = w.lang
+    GROUP BY d.lang
+    """,
+)
+def corpus_mix_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus mix rebalancing: down-sample over-represented languages
+    toward a uniform per-language target (total/n_langs docs each),
+    keeping under-represented languages whole. The keep/drop gate is
+    the md5 hash family on doc_id against a per-language integer
+    threshold — deterministic across reruns, partitionings, and
+    engines, where seeded `sample()` re-picks rows whenever the
+    upstream partitioning changes.
+
+    Scale design: per-language weights are a tiny aggregate (one row
+    per language) broadcast back onto the corpus scan; the gate is a
+    stateless row-local predicate, so the whole rebalance is one scan
+    plus one per-language aggregate — no repartitioning of the corpus."""
+    d = table(spark, sf_dir, "documents")
+    counts = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+    tot = counts.agg(
+        F.sum("n").alias("total"), F.count(F.lit(1)).alias("nlang")
+    )
+    w = counts.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        "n",
+        F.floor(
+            F.least(
+                F.lit(1.0),
+                (F.col("total").cast("double") / F.col("nlang")) / F.col("n"),
+            )
+            * 10000
+        )
+        .cast("bigint")
+        .alias("thr"),
+    )
+    bucket = F.expr(f"({_spark_h('mix', 'doc_id')} % 10000)")
+    kept = F.count(F.when(bucket < F.col("thr"), 1))
+    return (
+        d.join(F.broadcast(w), "lang")
+        .groupBy("lang")
+        .agg(
+            F.max("n").alias("n_before"),
+            kept.alias("n_after"),
+            round4(kept.cast("double") / F.max("n")).alias("achieved_frac"),
+        )
+    )
+
+
+# In-order fold for the reconstruction error — mirrors the house
+# cross-engine float discipline (functions/dedup.py _DOT_64): both
+# engines fold left-to-right over the same doubles, so the sums are
+# bit-identical before rounding.
+_SPARK_QERR = (
+    "aggregate(transform(embedding, x -> CAST(x AS DOUBLE)), 0.0D,"
+    " (acc, x) -> acc + abs(x - floor(x / (amax / 127.0) + 0.5)"
+    " * (amax / 127.0))) / size(embedding)"
+)
+_DUCK_QERR = (
+    "list_reduce(list_transform(v,"
+    " x -> abs(x - floor(x / (amax / 127.0) + 0.5) * (amax / 127.0))),"
+    " (p, q) -> p + q) / len(v)"
+)
+
+
+@query(
+    "embedding_quantize_int8",
+    oracle=f"""
+    WITH e AS (
+        SELECT vec_id, label,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings
+    ),
+    s AS (
+        SELECT vec_id, label, v,
+               list_max(list_transform(v, x -> abs(x))) AS amax
+        FROM e
+    )
+    SELECT vec_id, label,
+           FLOOR(amax * 10000 + 0.5) / 10000 AS amax_r,
+           FLOOR(({_DUCK_QERR}) * 1000 * 10000 + 0.5) / 10000
+               AS mean_abs_err_x1000
+    FROM s WHERE amax > 0.0
+    """,
+)
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization of the embedding column — the
+    storage/serving format for embedding shards (4× smaller than fp32,
+    8× smaller than fp64). Per vector: scale = max|x|/127, code =
+    round-half-up(x/scale) ∈ [-127, 127], and the mean absolute
+    reconstruction error the pipeline would alert on.
+
+    Entirely row-local JVM higher-order functions — no shuffle, no
+    Python; at 100 TB this runs at scan speed. Rounding is explicit
+    floor(x+0.5) (not the engine's round()) so half-way codes agree
+    cross-engine; the in-order error fold is bit-identical to DuckDB's
+    list_reduce. Zero vectors are excluded on both sides (scale would
+    be 0/undefined)."""
+    e = table(spark, sf_dir, "embeddings")
+    return (
+        e.withColumn(
+            "amax",
+            F.expr(
+                "array_max(transform(embedding, x -> abs(CAST(x AS DOUBLE))))"
+            ),
+        )
+        .filter(F.col("amax") > 0.0)
+        .select(
+            "vec_id",
+            "label",
+            round4(F.col("amax")).alias("amax_r"),
+            round4(F.expr(_SPARK_QERR) * 1000).alias("mean_abs_err_x1000"),
+        )
+    )

@@ -8,6 +8,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from movierecommender_sentimentanalysissytem_spark.functions.rounding import round4
 from movierecommender_sentimentanalysissytem_spark.registry import query
@@ -424,4 +425,192 @@ def observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         [(m["n_rows"], m["n_nonpositive"], m["max_key"])],
         "n_rows bigint, n_nonpositive bigint, max_key bigint",
+    )
+
+
+@query(
+    "tpch_q18_large_orders",
+    oracle="""
+    WITH big AS (
+        SELECT l_orderkey AS b_orderkey, SUM(l_quantity) AS qty
+        FROM lineitem GROUP BY l_orderkey HAVING SUM(l_quantity) > 300
+    )
+    SELECT c_name, c_custkey, o_orderkey,
+           strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+           FLOOR(o_totalprice * 10000 + 0.5) / 10000 AS totalprice,
+           FLOOR(qty * 10000 + 0.5) / 10000 AS qty
+    FROM big JOIN orders ON o_orderkey = b_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    ORDER BY totalprice DESC, o_orderkey LIMIT 20
+    """,
+)
+def tpch_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape (large-volume customers): the agg-then-semi
+    composite — a HAVING aggregate over the fact table produces a
+    small key set that gates the main join. The aggregate output
+    (46 keys at sf0.01) broadcasts into the orders join, so the big
+    fact⋈fact shuffle the naive IN-subquery plan would run never
+    happens; top-20 runs as TakeOrderedAndProject with an o_orderkey
+    tiebreaker."""
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy(F.col("l_orderkey").alias("b_orderkey"))
+        .agg(F.sum("l_quantity").alias("qty"))
+        .filter(F.col("qty") > 300)
+    )
+    return (
+        o.join(F.broadcast(big), o.o_orderkey == big.b_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            round4(F.col("o_totalprice")).alias("totalprice"),
+            round4(F.col("qty")).alias("qty"),
+        )
+        .orderBy(F.desc("totalprice"), "o_orderkey")
+        .limit(20)
+    )
+
+
+@query(
+    "tpch_q14_promo_revenue",
+    oracle="""
+    SELECT FLOOR((100.0 * SUM(CASE WHEN p_type LIKE 'PROMO%'
+                                   THEN l_extendedprice * (1 - l_discount)
+                                   ELSE 0.0 END)
+                  / SUM(l_extendedprice * (1 - l_discount))) * 10000 + 0.5)
+               / 10000 AS promo_pct
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1998-03-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1998-06-01 00:00:00'
+    """,
+)
+def tpch_q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape (promotion effect): conditional-aggregate ratio
+    over a date-sliced fact⋈dim join — one number out. The part dim
+    broadcasts; the shipdate range filter pushes to the parquet scan
+    (min/max row-group pruning at scale); both SUMs run in one pass
+    (a single partial-agg, no second scan for the denominator)."""
+    li = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1998-03-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-06-01").cast("timestamp"))
+    )
+    p = table(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type").like("PROMO%"), rev).otherwise(F.lit(0.0))
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .agg(round4(100.0 * F.sum(promo) / F.sum(rev)).alias("promo_pct"))
+    )
+
+
+@query(
+    "tpch_q17_small_qty_revenue",
+    oracle="""
+    SELECT FLOOR((SUM(l_extendedprice) / 7.0) * 10000 + 0.5) / 10000
+               AS avg_yearly
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE p_brand = 'Brand#4'
+      AND l_quantity < (SELECT 0.5 * AVG(l_quantity)
+                        FROM lineitem l2 WHERE l2.l_partkey = p_partkey)
+    """,
+)
+def tpch_q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape (small-quantity-order revenue): the classic
+    correlated-aggregate decorrelation. The per-part average the
+    subquery computes becomes a window AVG over l_partkey on the
+    brand-filtered join — ONE shuffle on l_partkey total, instead of
+    the naive plan's separate aggregate + re-join (two shuffles of the
+    same fact rows). The brand filter broadcasts via the part dim, so
+    the window only sees the ~1% of lineitems that can qualify.
+    l_quantity is a small integer-valued double: both engines compute
+    the same exact AVG, so the strict `<` cannot flip cross-engine."""
+    li = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#4")
+    w = Window.partitionBy("l_partkey")
+    joined = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    return (
+        joined.withColumn("thr", 0.5 * F.avg("l_quantity").over(w))
+        .filter(F.col("l_quantity") < F.col("thr"))
+        .agg(round4(F.sum("l_extendedprice") / 7.0).alias("avg_yearly"))
+    )
+
+
+@query(
+    "tpch_q22_dormant_customers",
+    oracle="""
+    WITH avg_bal AS (
+        SELECT FLOOR(AVG(c_acctbal) * 10000 + 0.5) / 10000 AS ab
+        FROM customer WHERE c_acctbal > 0.0
+    )
+    SELECT c_nationkey % 10 AS cntrycode,
+           COUNT(*) AS numcust,
+           FLOOR(SUM(c_acctbal) * 10000 + 0.5) / 10000 AS totacctbal
+    FROM customer c, avg_bal
+    WHERE c_acctbal > ab
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderstatus = 'O')
+    GROUP BY cntrycode
+    """,
+)
+def tpch_q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape (global sales opportunity): scalar-subquery
+    threshold + anti-join + aggregate. The positive-balance average is
+    a 1-row broadcast (cross join, not a collect); customers above it
+    with no open orders survive a left-anti join against the
+    status-filtered orders; grouped by a derived country code. The
+    threshold is rounded to 4 dp on BOTH sides before the strict
+    comparison so engine-specific summation order can't flip a
+    boundary row (balances have 2 dp — a 4 dp threshold is safe)."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "O")
+    avg_bal = (
+        c.filter(F.col("c_acctbal") > 0.0)
+        .agg(round4(F.avg("c_acctbal")).alias("ab"))
+    )
+    return (
+        c.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("ab"))
+        .join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy((F.col("c_nationkey") % 10).alias("cntrycode"))
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            round4(F.sum("c_acctbal")).alias("totacctbal"),
+        )
+    )
+
+
+@query(
+    "tpch_q4_order_priority",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS n_orders
+    FROM orders o
+    WHERE EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+    GROUP BY o_orderpriority
+    """,
+)
+def tpch_q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape (order-priority checking): EXISTS over a
+    correlated fact predicate → left-semi join with a mixed equi +
+    non-equi condition. The equi key (l_orderkey = o_orderkey) keeps
+    it a shuffled-hash/sort-merge SEMI join — each order is emitted at
+    most once however many late lineitems it has, with no post-join
+    distinct (the fixture lacks l_commitdate/l_receiptdate, so "late"
+    is shipped >60 days after order date)."""
+    o = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    cond = (o.o_orderkey == li.l_orderkey) & (
+        li.l_shipdate > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+    )
+    return (
+        o.join(li, cond, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
     )

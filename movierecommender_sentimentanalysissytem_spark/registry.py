@@ -77,6 +77,7 @@ def _load_all_modules() -> None:
     import movierecommender_sentimentanalysissytem_spark.functions.dedup  # noqa: F401
     import movierecommender_sentimentanalysissytem_spark.functions.text_analysis  # noqa: F401
     import movierecommender_sentimentanalysissytem_spark.functions.multimodal  # noqa: F401
+    import movierecommender_sentimentanalysissytem_spark.functions.curation  # noqa: F401
     import movierecommender_sentimentanalysissytem_spark.ml.pipelines  # noqa: F401
     import movierecommender_sentimentanalysissytem_spark.streaming.windows  # noqa: F401
     import movierecommender_sentimentanalysissytem_spark.udfs  # noqa: F401
