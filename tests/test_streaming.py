@@ -99,3 +99,61 @@ def test_stream_stream_join_matches_batch_interval_join(spark):
         for r in QS["stream_stream_join"](spark, SF_SMALL).collect()
     }
     assert stream == batch
+
+
+def test_stream_stream_left_join_emission_rule(spark):
+    """Left-outer emission semantics: matched pairs emit uncondition-
+    ally; a view emits null-extended ONLY once the final GLOBAL
+    watermark (min over both streams of max-event-time − delay) has
+    passed the end of its join interval; unmatched views younger than
+    that stay in state and do NOT emit when the stream ends."""
+    from pyspark.sql import functions as F
+
+    from movierecommender_sentimentanalysissytem_spark.sources.tables import table
+
+    e = table(spark, SF_SMALL, "events").withColumn(
+        "ts_s", F.date_trunc("second", F.col("ts"))
+    )
+    clicks = e.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("cu"),
+        F.col("event_id").alias("ce"),
+        F.col("ts_s").alias("ct"),
+    )
+    views = e.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("vu"),
+        F.col("event_id").alias("ve"),
+        F.col("ts_s").alias("vt"),
+    )
+    matched = {
+        (r.vu, r.ve, r.ce)
+        for r in views.join(
+            clicks,
+            (F.col("vu") == F.col("cu"))
+            & (F.col("ct") >= F.col("vt"))
+            & (F.col("ct") <= F.col("vt") + F.expr("INTERVAL 10 MINUTES")),
+        ).collect()
+    }
+    wm = min(
+        clicks.agg(F.max("ct")).first()[0],
+        views.agg(F.max("vt")).first()[0],
+    ) - __import__("datetime").timedelta(minutes=10)
+    matched_views = {ve for (_, ve, _) in matched}
+    expected_nulls = {
+        (r.vu, r.ve, None)
+        for r in views.collect()
+        if r.ve not in matched_views
+        and r.vt + __import__("datetime").timedelta(minutes=10) < wm
+    }
+    young_unmatched = {
+        r.ve
+        for r in views.collect()
+        if r.ve not in matched_views
+        and r.vt + __import__("datetime").timedelta(minutes=10) >= wm
+    }
+    stream = {
+        (r.v_user, r.view_eid, r.click_eid)
+        for r in QS["stream_stream_left_join"](spark, SF_SMALL).collect()
+    }
+    assert stream == matched | expected_nulls
+    # the withheld set is genuinely non-trivial on this fixture
+    assert not {ve for (_, ve, c) in stream if c is None} & young_unmatched
