@@ -289,3 +289,102 @@ def multimodal_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
             round4(F.col("cos_raw")).alias("cos_to_query"),
         )
     )
+
+
+# Centroid-assignment folds: vector and centroid are both double
+# arrays; all folds are in-order (bit-identical cross-engine).
+_CDOT = (
+    "aggregate(zip_with(v, cvec, (x, y) -> x * y), 0.0D,"
+    " (acc, t) -> acc + t)"
+)
+_CNORM = (
+    "sqrt(aggregate(transform({v}, x -> x * x), 0.0D, (acc, u) -> acc + u))"
+)
+_DUCK_CDOT = (
+    "list_reduce(list_transform(range(1, 65),"
+    " i -> e.v[i] * c.cvec[i]), (x, y) -> x + y)"
+)
+_DUCK_CNORM = (
+    "sqrt(list_reduce(list_transform({v}, x -> x * x), (p, q) -> p + q))"
+)
+
+
+@query(
+    "embedding_centroid_assign",
+    oracle=f"""
+    WITH e AS (
+        SELECT vec_id, label,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings
+    ),
+    dims AS (SELECT unnest(range(1, 65)) AS pos),
+    pe AS (
+        SELECT label, pos, FLOOR(AVG(v[pos]) * 10000 + 0.5) / 10000 AS c
+        FROM e CROSS JOIN dims GROUP BY label, pos
+    ),
+    cent AS (SELECT label AS cand, list(c ORDER BY pos) AS cvec
+             FROM pe GROUP BY label),
+    scored AS (
+        SELECT e.vec_id, e.label, c.cand,
+               {_DUCK_CDOT} / ({_DUCK_CNORM.format(v='e.v')}
+                               * {_DUCK_CNORM.format(v='c.cvec')}) AS sim
+        FROM e CROSS JOIN cent c
+    ),
+    best AS (
+        SELECT *, row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY sim DESC, cand) AS rn
+        FROM scored
+    )
+    SELECT vec_id, label, cand AS assigned_label,
+           label = cand AS is_match,
+           FLOOR(sim * 10000 + 0.5) / 10000 AS cos_sim
+    FROM best WHERE rn = 1
+    """,
+)
+def embedding_centroid_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-centroid classification: per-label mean centroids, then
+    every vector assigned to its highest-cosine centroid — the cluster
+    -assignment step of IVF indexing and the cheapest embedding
+    classifier (also the standard embedding-drift probe: is_match
+    rate falling means labels and geometry are diverging).
+
+    Scale design: centroids are one posexplode + two aggregates
+    (state = n_labels × dims, independent of corpus size) and
+    BROADCAST back; assignment is a row-local fold over n_labels
+    candidates — no shuffle beyond the tiny centroid aggregate and
+    the per-vector window that picks the argmax (which AQE keeps
+    co-partitioned with the scan). Centroid components are rounded to
+    4 dp on BOTH engines before scoring so cross-partition summation
+    order cannot leak into the argmax; ties break on label order."""
+    e = table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "label",
+        F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("v"),
+    )
+    pe = (
+        e.select("label", F.posexplode("v").alias("pos", "x"))
+        .groupBy("label", "pos")
+        .agg(round4(F.avg("x")).alias("c"))
+    )
+    cent = (
+        pe.groupBy(F.col("label").alias("cand"))
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "c"))).alias("pc"))
+        .select("cand", F.expr("transform(pc, r -> r.c)").alias("cvec"))
+    )
+    sim = F.expr(_CDOT) / (
+        F.expr(_CNORM.format(v="v")) * F.expr(_CNORM.format(v="cvec"))
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("sim"), F.asc("cand"))
+    return (
+        e.crossJoin(F.broadcast(cent))
+        .withColumn("sim", sim)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "vec_id",
+            "label",
+            F.col("cand").alias("assigned_label"),
+            (F.col("label") == F.col("cand")).alias("is_match"),
+            round4(F.col("sim")).alias("cos_sim"),
+        )
+    )

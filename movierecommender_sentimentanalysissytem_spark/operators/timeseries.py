@@ -118,3 +118,53 @@ def timeseries_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.last("v", ignorenulls=True).over(w), F.lit(-1.0))
         ).alias("v_filled"),
     )
+
+
+@query(
+    "timeseries_ewma",
+    oracle="""
+    WITH ordered AS (
+        SELECT user_id, list(value ORDER BY date_trunc('second', ts), event_id) AS vs
+        FROM events WHERE value IS NOT NULL GROUP BY user_id
+    )
+    SELECT user_id, len(vs) AS n,
+           FLOOR(list_reduce(vs, (acc, x) -> 0.3 * x + 0.7 * acc)
+                 * 10000 + 0.5) / 10000 AS ewma
+    FROM ordered
+    """,
+)
+def timeseries_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially weighted moving average per user (α = 0.3) — the
+    recursive smoother SQL windows cannot express (each output depends
+    on the previous OUTPUT, not a previous input). Implemented as an
+    in-order higher-order-function fold over the user's time-sorted
+    value array: one shuffle on user_id, JVM-side lambda, no Python,
+    no iteration. The fold is left-to-right on both engines, so the
+    cross-engine doubles agree bit-for-bit before rounding. (ts, event_id)
+    is the total order — event_id breaks equal-second ties. State per
+    user is its event list: bounded by per-user activity, the same
+    bound LOCF and sessionization already carry; a user hot enough to
+    break it would need the same salting every per-user window needs."""
+    e = table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    ordered = (
+        e.select(
+            "user_id",
+            F.struct(
+                F.date_trunc("second", F.col("ts")).alias("ts_s"),
+                F.col("event_id").alias("eid"),
+                F.col("value").alias("v"),
+            ).alias("rec"),
+        )
+        .groupBy("user_id")
+        .agg(F.array_sort(F.collect_list("rec")).alias("recs"))
+        .withColumn("vs", F.expr("transform(recs, r -> r.v)"))
+    )
+    ewma = F.expr(
+        "aggregate(slice(vs, 2, size(vs) - 1), element_at(vs, 1),"
+        " (acc, x) -> 0.3D * x + 0.7D * acc)"
+    )
+    return ordered.select(
+        "user_id",
+        F.size("vs").alias("n"),
+        round4(ewma).alias("ewma"),
+    )

@@ -47,6 +47,7 @@ NLJ_OK = {
     "text_tfidf",           # 1-row N-docs scalar broadcast cross join
     "agg_hll_sketch_union",  # 1-row exact × 1-row sketch-estimate cross
     "corpus_mix_rebalance",   # 1-row corpus-total broadcast cross join
+    "embedding_centroid_assign",  # n_labels-row centroid broadcast cross
     "tpch_q22_dormant_customers",  # 1-row avg-balance scalar broadcast
 }
 
