@@ -29,6 +29,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from movierecommender_sentimentanalysissytem_spark.functions.dedup import (
     _DUCK_SHINGLES_W,
@@ -309,4 +310,152 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
             round4(F.col("amax")).alias("amax_r"),
             round4(F.expr(_SPARK_QERR) * 1000).alias("mean_abs_err_x1000"),
         )
+    )
+
+
+@query(
+    "pipeline_corpus_funnel",
+    oracle=f"""
+    WITH base AS (
+        SELECT doc_id, text, string_split(text, ' ') AS w,
+               len(string_split(text, ' ')) AS n_words
+        FROM documents
+    ),
+    quality AS (
+        SELECT * FROM base
+        WHERE n_words BETWEEN 15 AND 2000
+          AND 1.0 - CAST(len(list_distinct(list_transform(range(1, len(w)),
+                  i -> array_to_string(w[i:i+1], ' ')))) AS DOUBLE)
+              / (n_words - 1) <= 0.1
+    ),
+    exact AS (
+        SELECT * FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY md5(text)
+                                         ORDER BY doc_id) AS rn
+            FROM quality
+        ) WHERE rn = 1
+    ),
+    norm AS (
+        SELECT * FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY md5(trim(regexp_replace(lower(text),
+                                                     '\\s+', ' ', 'g')))
+                ORDER BY doc_id) AS rn2
+            FROM exact
+        ) WHERE rn2 = 1
+    ),
+    sh AS (
+        SELECT doc_id, {_DUCK_IS_BENCH} AS is_bench,
+               unnest({_DUCK_SHINGLES_W}) AS s
+        FROM (SELECT doc_id, w FROM base WHERE n_words >= 3)
+    ),
+    bench AS (SELECT DISTINCT s FROM sh WHERE is_bench),
+    contaminated AS (
+        SELECT t.doc_id FROM (SELECT doc_id, s FROM sh WHERE NOT is_bench) t
+        LEFT JOIN bench b ON t.s = b.s
+        GROUP BY t.doc_id
+        HAVING CAST(COUNT(b.s) AS DOUBLE) / COUNT(*) >= 0.5
+    ),
+    clean AS (
+        SELECT n.* FROM norm n
+        WHERE NOT ({_DUCK_IS_BENCH.replace('doc_id', 'n.doc_id')})
+          AND NOT EXISTS (SELECT 1 FROM contaminated c
+                          WHERE c.doc_id = n.doc_id)
+    )
+    SELECT '1_raw' AS stage, COUNT(*) AS n_docs, SUM(n_words) AS n_tokens
+    FROM base
+    UNION ALL
+    SELECT '2_quality', COUNT(*), SUM(n_words) FROM quality
+    UNION ALL
+    SELECT '3_exact_dedup', COUNT(*), SUM(n_words) FROM exact
+    UNION ALL
+    SELECT '4_norm_dedup', COUNT(*), SUM(n_words) FROM norm
+    UNION ALL
+    SELECT '5_decontaminated', COUNT(*), SUM(n_words) FROM clean
+    """,
+)
+def pipeline_corpus_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus curation funnel — the flagship composite a
+    pretraining-data team runs nightly: raw → length/repetition quality
+    gates → exact dedup → normalized (lowercase, collapsed-whitespace)
+    dedup → benchmark decontamination (bench-slice docs AND ≥50%
+    shingle-overlap docs removed), reporting surviving docs and tokens
+    per stage.
+
+    Scale design: every stage is keyed on a fixed-width digest or
+    doc_id — raw text never becomes a shuffle key; the quality gates
+    are row-local array expressions fused into the scan; both dedups
+    shuffle once each on their digest; the decontamination reuses the
+    broadcast benchmark shingle set (bounded by benchmark size); stage
+    counts are 1-row aggregates unioned at the end. At 100 TB each
+    stage is one map phase plus one digest-keyed exchange — the same
+    shape as the standalone keys it composes (dedup_exact,
+    text_repetition_filter, decontaminate_ngram_overlap). On this
+    fixture the two dedup stages pass every doc through (the synthetic
+    corpus has fully unique texts — verified by dedup_exact's 1:1
+    output); their counts are content-determined, not hard-coded."""
+    d = table(spark, sf_dir, "documents")
+    base = d.select(
+        "doc_id", "text", F.split("text", " ").alias("w")
+    ).withColumn("n_words", F.size("w"))
+    dup_frac = 1.0 - F.size(
+        F.expr(
+            "array_distinct(transform(sequence(1, size(w) - 1),"
+            " i -> concat_ws(' ', slice(w, i, 2))))"
+        )
+    ).cast("double") / (F.col("n_words") - 1)
+    quality = base.filter(
+        F.col("n_words").between(15, 2000) & (dup_frac <= 0.1)
+    )
+    w_exact = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    exact = (
+        quality.withColumn("rn", F.row_number().over(w_exact))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    norm_text = F.trim(F.regexp_replace(F.lower("text"), r"\s+", " "))
+    w_norm = Window.partitionBy(F.md5(norm_text)).orderBy("doc_id")
+    norm = (
+        exact.withColumn("rn2", F.row_number().over(w_norm))
+        .filter(F.col("rn2") == 1)
+        .drop("rn2")
+    )
+    sh = (
+        base.filter(F.col("n_words") >= 3)
+        .withColumn("is_bench", F.expr(_SPARK_IS_BENCH))
+        .select(
+            "doc_id",
+            "is_bench",
+            F.explode(F.expr(_SPARK_SHINGLES_W)).alias("s"),
+        )
+    )
+    bench = sh.filter("is_bench").select("s").distinct()
+    contaminated = (
+        sh.filter(~F.col("is_bench"))
+        .join(F.broadcast(bench.withColumn("hit", F.lit(1))), "s", "left")
+        .groupBy("doc_id")
+        .agg(
+            (F.count("hit").cast("double") / F.count(F.lit(1))).alias("frac")
+        )
+        .filter(F.col("frac") >= 0.5)
+        .select("doc_id")
+    )
+    clean = (
+        norm.filter(~F.expr(_SPARK_IS_BENCH))
+        .join(contaminated, "doc_id", "left_anti")
+    )
+
+    def stage(df: DataFrame, name: str) -> DataFrame:
+        return df.agg(
+            F.lit(name).alias("stage"),
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_words").alias("n_tokens"),
+        ).select("stage", "n_docs", "n_tokens")
+
+    return (
+        stage(base, "1_raw")
+        .unionByName(stage(quality, "2_quality"))
+        .unionByName(stage(exact, "3_exact_dedup"))
+        .unionByName(stage(norm, "4_norm_dedup"))
+        .unionByName(stage(clean, "5_decontaminated"))
     )

@@ -75,3 +75,23 @@ def test_quantization_error_bounded_by_half_step(spark):
         # mean |x - dq(x)| can never exceed half the quantization step
         half_step_x1000 = (r.amax_r / 127.0) / 2.0 * 1000.0
         assert 0.0 <= r.mean_abs_err_x1000 <= half_step_x1000 + 1e-3
+
+
+def test_corpus_funnel_monotone(spark):
+    rows = {
+        r.stage: (r.n_docs, r.n_tokens)
+        for r in QS["pipeline_corpus_funnel"](spark, SF_SMALL).collect()
+    }
+    stages = sorted(rows)
+    assert stages == [
+        "1_raw",
+        "2_quality",
+        "3_exact_dedup",
+        "4_norm_dedup",
+        "5_decontaminated",
+    ]
+    for a, b in zip(stages, stages[1:]):
+        assert rows[b][0] <= rows[a][0], f"{b} grew vs {a}"
+        assert rows[b][1] <= rows[a][1]
+    # the funnel actually removes something end-to-end on this corpus
+    assert rows["5_decontaminated"][0] < rows["1_raw"][0]

@@ -60,6 +60,17 @@ REPRESENTATIVE = [
     "sample_train_test_split",
     "agg_approx_count_distinct",
     "agg_approx_percentile",
+    "decontaminate_ngram_overlap",
+    "text_repetition_filter",
+    "corpus_mix_rebalance",
+    "embedding_quantize_int8",
+    "embedding_centroid_assign",
+    "timeseries_ewma",
+    "tpch_q4_order_priority",
+    "tpch_q16_supplier_cnt",
+    "tpch_q18_large_orders",
+    "tpch_q21_waiting_suppliers",
+    "tpch_q22_dormant_customers",
 ]
 
 
