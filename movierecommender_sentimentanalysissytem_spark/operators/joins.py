@@ -529,3 +529,46 @@ def join_range_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
             round4(F.abs(F.col("value_a") - F.col("value_b"))).alias("diff"),
         )
     )
+
+
+@query(
+    "join_null_safe",
+    oracle="""
+    WITH segs AS (
+        SELECT nullif(c_mktsegment, 'BUILDING') AS s, COUNT(*) AS n
+        FROM customer GROUP BY 1
+    )
+    SELECT COALESCE(s, '<null>') AS seg, MAX(n) AS n_dim,
+           COUNT(*) AS n_joined
+    FROM customer c JOIN segs
+      ON nullif(c.c_mktsegment, 'BUILDING') IS NOT DISTINCT FROM s
+    GROUP BY s
+    """,
+)
+def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equi-join (``<=>`` / IS NOT DISTINCT FROM): NULL keys
+    match NULL keys — the join-operator counterpart of the scalar
+    three-valued-logic surface in fn_null_semantics. One segment is
+    nulled out (BUILDING → NULL) and the dimension is derived from the
+    same data, so a plain ``=`` join would silently drop that whole
+    group; the null-safe join keeps it (n_dim = n_joined for every
+    row proves no fan-out and no loss). Spark still plans this as a
+    hash join — ``<=>`` is an equi-key, not a theta condition; at
+    scale it shuffles exactly like ``=`` (nulls hash to one bucket,
+    so a null-heavy key would need the same salting as any hot key)."""
+    c = table(spark, sf_dir, "customer")
+    key = F.expr("nullif(c_mktsegment, 'BUILDING')")
+    segs = c.groupBy(key.alias("s")).agg(F.count(F.lit(1)).alias("n"))
+    return (
+        c.join(F.broadcast(segs), key.eqNullSafe(F.col("s")))
+        .groupBy("s")
+        .agg(
+            F.max("n").alias("n_dim"),
+            F.count(F.lit(1)).alias("n_joined"),
+        )
+        .select(
+            F.coalesce(F.col("s"), F.lit("<null>")).alias("seg"),
+            "n_dim",
+            "n_joined",
+        )
+    )

@@ -270,3 +270,77 @@ def rec_item_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_orders"))
         .filter(F.col("n_orders") >= 2)
     )
+
+
+def _pagerank_oracle() -> str:
+    """Unrolled 3-iteration PageRank CTE chain (deterministic: each
+    iteration's scores are rounded to 4 dp on both engines before the
+    next, so cross-engine summation order cannot compound)."""
+    it = """
+    it{k} AS (
+        SELECT pb AS node,
+               FLOOR((0.15 + 0.85 * SUM(pr / d)) * 10000 + 0.5) / 10000 AS pr
+        FROM pairs JOIN deg USING (pa) JOIN it{j} ON it{j}.node = pa
+        GROUP BY pb
+    )"""
+    its = ",".join(it.format(k=k, j=k - 1) for k in (1, 2, 3))
+    return f"""
+    WITH pairs AS (
+        SELECT DISTINCT a.l_partkey AS pa, b.l_partkey AS pb
+        FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) a
+        JOIN (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+    ),
+    deg AS (SELECT pa, CAST(COUNT(*) AS DOUBLE) AS d FROM pairs GROUP BY pa),
+    it0 AS (SELECT pa AS node, 1.0 AS pr FROM deg),{its}
+    SELECT node, pr FROM it3
+    """
+
+
+@query("graph_pagerank", oracle=_pagerank_oracle())
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (3 fixed iterations, damping 0.85) over the item
+    co-purchase graph — the iterative graph-analytics shape beyond
+    connected components (dedup_clusters). Edges are distinct co-order
+    part pairs (symmetric, so every node has in- and out-edges); each
+    iteration is one join + one aggregate, both keyed on the partkey.
+
+    Scale design: the edge list is partitioned by source key and
+    reused across iterations from a single persisted lineage (scoped,
+    released on the next registry build); scores are a node-sized
+    (small) side that could broadcast — here it stays a shuffle join
+    so the shape matches the 100 TB case where scores don't fit one
+    executor. Per-iteration ROUND-4 on both engines pins the floats:
+    without it, cross-engine summation-order differences compound
+    through iterations. Fixed iteration count (not convergence-test)
+    keeps the plan static and the oracle expressible as an unrolled
+    CTE chain."""
+    from movierecommender_sentimentanalysissytem_spark.functions.rounding import round4
+    from movierecommender_sentimentanalysissytem_spark.plans.caching import scoped_persist
+
+    li = table(spark, sf_dir, "lineitem")
+    basket = li.select("l_orderkey", "l_partkey").distinct()
+    a = basket.select(
+        F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("pa")
+    )
+    b = basket.select(
+        F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("pb")
+    )
+    pairs = scoped_persist(
+        a.join(b, "k").filter(F.col("pa") != F.col("pb")).select("pa", "pb").distinct()
+    )
+    deg = pairs.groupBy("pa").agg(F.count(F.lit(1)).cast("double").alias("d"))
+    edges = pairs.join(deg, "pa")
+    scores = deg.select(F.col("pa").alias("node"), F.lit(1.0).alias("pr"))
+    for _ in range(3):
+        scores = (
+            edges.join(scores, edges.pa == scores.node)
+            .groupBy(F.col("pb").alias("nxt"))
+            .agg(
+                round4(0.15 + 0.85 * F.sum(F.col("pr") / F.col("d"))).alias(
+                    "pr"
+                )
+            )
+            .select(F.col("nxt").alias("node"), "pr")
+        )
+    return scores

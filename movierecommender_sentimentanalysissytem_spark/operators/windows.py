@@ -289,3 +289,64 @@ def win_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("streak_days") >= 3)
         .drop("island")
     )
+
+
+@query(
+    "win_pattern_sequence",
+    oracle="""
+    WITH o AS (
+        SELECT user_id, event_id, event_type,
+               date_trunc('second', ts) AS ts_s,
+               lead(event_type, 1) OVER w AS t1,
+               lead(event_type, 2) OVER w AS t2,
+               lead(event_id, 1) OVER w AS e1,
+               lead(event_id, 2) OVER w AS e2,
+               lead(date_trunc('second', ts), 2) OVER w AS ts2
+        FROM events
+        WINDOW w AS (PARTITION BY user_id
+                     ORDER BY date_trunc('second', ts), event_id)
+    )
+    SELECT user_id, event_id AS view_eid, e1 AS click_eid,
+           e2 AS purchase_eid,
+           strftime(ts_s, '%Y-%m-%d %H:%M:%S') AS started
+    FROM o
+    WHERE event_type = 'view' AND t1 = 'click' AND t2 = 'purchase'
+      AND ts2 <= ts_s + INTERVAL 1 DAY
+    """,
+)
+def win_pattern_sequence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-pattern detection (the MATCH_RECOGNIZE / CEP shape Spark
+    has no native operator for): find strictly consecutive
+    view→click→purchase triples per user completing within one
+    day. Expressed as a lead() chain over the per-user time order
+    — one window pass, one shuffle on user_id, no self-joins (the
+    naive 3-way self-join shuffles the events table three times and
+    needs an adjacency filter afterwards anyway). (ts, event_id) is
+    the total order, so 'consecutive' is well-defined under ties."""
+    e = table(spark, sf_dir, "events").withColumn(
+        "ts_s", F.date_trunc("second", F.col("ts"))
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_s", "event_id")
+    o = e.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        "ts_s",
+        F.lead("event_type", 1).over(w).alias("t1"),
+        F.lead("event_type", 2).over(w).alias("t2"),
+        F.lead("event_id", 1).over(w).alias("e1"),
+        F.lead("event_id", 2).over(w).alias("e2"),
+        F.lead("ts_s", 2).over(w).alias("ts2"),
+    )
+    return o.filter(
+        (F.col("event_type") == "view")
+        & (F.col("t1") == "click")
+        & (F.col("t2") == "purchase")
+        & (F.col("ts2") <= F.col("ts_s") + F.expr("INTERVAL 1 DAY"))
+    ).select(
+        "user_id",
+        F.col("event_id").alias("view_eid"),
+        F.col("e1").alias("click_eid"),
+        F.col("e2").alias("purchase_eid"),
+        F.date_format("ts_s", "yyyy-MM-dd HH:mm:ss").alias("started"),
+    )
