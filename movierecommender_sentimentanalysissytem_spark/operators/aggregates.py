@@ -597,3 +597,33 @@ def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_bucket.groupBy("event_type").agg(
         F.expr("SUM(bitmap_count(bm))").cast("long").alias("n_users")
     )
+
+
+@query(
+    "agg_string_concat_ordered",
+    oracle="""
+    SELECT n_nationkey, string_agg(s_name, ',' ORDER BY s_name) AS suppliers
+    FROM nation JOIN supplier ON s_nationkey = n_nationkey
+    GROUP BY n_nationkey
+    """,
+)
+def agg_string_concat_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation (LISTAGG/string_agg): supplier names
+    per nation, comma-joined in name order — the reporting primitive
+    engines disagree on most (ordering inside an aggregate). Spark has
+    no ORDER BY inside collect_list, so the deterministic form is
+    collect → array_sort → array_join, which is also the
+    partition-order-proof form (collect_list order is otherwise
+    nondeterministic under AQE). State is the group's name list —
+    the same bounded-group argument as agg_collect."""
+    n = table(spark, sf_dir, "nation")
+    s = table(spark, sf_dir, "supplier")
+    return (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy("n_nationkey")
+        .agg(
+            F.array_join(
+                F.array_sort(F.collect_list("s_name")), ","
+            ).alias("suppliers")
+        )
+    )

@@ -286,3 +286,54 @@ def scan_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
         "s_nationkey",
         F.round("s_acctbal", 4).alias("acctbal"),
     )
+
+
+@query(
+    "sink_csv_roundtrip",
+    oracle="""
+    SELECT c_mktsegment, COUNT(*) AS n,
+           FLOOR(SUM(c_acctbal) * 10000 + 0.5) / 10000 AS total_bal
+    FROM customer GROUP BY c_mktsegment
+    """,
+)
+def sink_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV write + schema-on-read round-trip (the export format every
+    downstream spreadsheet/BI consumer still asks for). The write is
+    header-ful, the read back infers nothing — an explicit schema, so
+    type fidelity does not depend on inference (the classic CSV trap:
+    inferSchema re-reads the data AND can flip types between runs)."""
+    c = table(spark, sf_dir, "customer")
+    agg = c.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n"),
+        round4(F.sum("c_acctbal")).alias("total_bal"),
+    )
+    out = os.path.join(tempfile.mkdtemp(prefix="mrsas_sink_"), "seg_agg_csv")
+    agg.write.mode("overwrite").option("header", True).csv(out)
+    return spark.read.schema(
+        "c_mktsegment string, n bigint, total_bal double"
+    ).option("header", True).csv(out)
+
+
+@query(
+    "sink_json_roundtrip",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS n,
+           FLOOR(AVG(o_totalprice) * 10000 + 0.5) / 10000 AS avg_price
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def sink_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines write + explicit-schema read-back (the API/export
+    sibling of sink_csv_roundtrip; also the shape of every
+    event-stream landing zone). Explicit schema on read — schema
+    inference over JSON costs a full extra pass at 100 TB."""
+    o = table(spark, sf_dir, "orders")
+    agg = o.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        round4(F.avg("o_totalprice")).alias("avg_price"),
+    )
+    out = os.path.join(tempfile.mkdtemp(prefix="mrsas_sink_"), "prio_json")
+    agg.write.mode("overwrite").json(out)
+    return spark.read.schema(
+        "o_orderpriority string, n bigint, avg_price double"
+    ).json(out)

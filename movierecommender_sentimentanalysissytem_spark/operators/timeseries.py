@@ -168,3 +168,54 @@ def timeseries_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("vs").alias("n"),
         round4(ewma).alias("ewma"),
     )
+
+
+@query(
+    "timeseries_multi_rollup",
+    oracle="""
+    SELECT CASE WHEN GROUPING(h) = 1 THEN 'day' ELSE 'hour' END AS grain,
+           strftime(d, '%Y-%m-%d') AS day,
+           CASE WHEN GROUPING(h) = 1 THEN -1
+                ELSE CAST(EXTRACT(hour FROM h) AS INTEGER) END AS hour,
+           COUNT(*) AS n,
+           FLOOR(SUM(value) * 10000 + 0.5) / 10000 AS total_value
+    FROM (
+        SELECT date_trunc('day', ts) AS d, date_trunc('hour', ts) AS h,
+               value
+        FROM events
+    )
+    GROUP BY GROUPING SETS ((d), (d, h))
+    """,
+)
+def timeseries_multi_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style multi-granularity rollup: hourly AND daily
+    aggregates of the event stream in ONE pass via GROUPING SETS —
+    the continuous-aggregate maintenance job of a time-series store.
+    One shuffle produces both grains (Spark expands the sets before
+    the exchange); the alternative — two separate aggregations — scans
+    and shuffles the fact table twice. GROUPING() disambiguates the
+    grain, with hour = -1 as the day-row filler (NULL would collide
+    with a genuine null hour under the driver's column sort)."""
+    e = table(spark, sf_dir, "events").select(
+        F.date_trunc("day", F.col("ts")).alias("d"),
+        F.date_trunc("hour", F.col("ts")).alias("h"),
+        "value",
+    )
+    return (
+        e.groupingSets([["d"], ["d", "h"]], "d", "h")
+        .agg(
+            F.grouping("h").alias("gh"),
+            F.count(F.lit(1)).alias("n"),
+            round4(F.sum("value")).alias("total_value"),
+        )
+        .select(
+            F.when(F.col("gh") == 1, "day").otherwise("hour").alias("grain"),
+            F.date_format("d", "yyyy-MM-dd").alias("day"),
+            F.when(F.col("gh") == 1, F.lit(-1))
+            .otherwise(F.hour("h"))
+            .cast("int")
+            .alias("hour"),
+            "n",
+            "total_value",
+        )
+    )
