@@ -498,3 +498,48 @@ def fn_collation_aware(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lower(F.col("seg_ci")).alias("segment_ci"), "n", "n_with_a"
         )
     )
+
+
+@query(
+    "fn_nested_struct",
+    oracle="""
+    SELECT c_custkey,
+           (s).name AS name,
+           ((s).fin).bal AS bal,
+           ((s).fin).seg AS seg
+    FROM (
+        SELECT c_custkey,
+               struct_pack(name := c_name,
+                           fin := struct_pack(
+                               bal := FLOOR(c_acctbal * 10000 + 0.5) / 10000,
+                               seg := c_mktsegment)) AS s
+        FROM customer
+    )
+    WHERE ((s).fin).bal > 5000.0
+    """,
+)
+def fn_nested_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested-struct construction and field access: build a two-level
+    struct, filter on an inner field, project leaves back out — the
+    nested data model every log/API schema brings. Catalyst prunes
+    straight through struct fields (the scan reads only the three used
+    columns; the struct never materializes as a row object in the
+    plan), so nesting costs nothing at scan time — unlike
+    string-encoded JSON, which re-parses per access (fn_map_json)."""
+    c = table(spark, sf_dir, "customer")
+    nested = c.select(
+        "c_custkey",
+        F.struct(
+            F.col("c_name").alias("name"),
+            F.struct(
+                round4(F.col("c_acctbal")).alias("bal"),
+                F.col("c_mktsegment").alias("seg"),
+            ).alias("fin"),
+        ).alias("s"),
+    )
+    return nested.filter(F.col("s.fin.bal") > 5000.0).select(
+        "c_custkey",
+        F.col("s.name").alias("name"),
+        F.col("s.fin.bal").alias("bal"),
+        F.col("s.fin.seg").alias("seg"),
+    )

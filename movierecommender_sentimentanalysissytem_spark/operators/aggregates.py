@@ -627,3 +627,28 @@ def agg_string_concat_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("suppliers")
         )
     )
+
+
+@query(
+    "agg_boolean_family",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(CASE WHEN o_totalprice > 200000 THEN 1 END) AS n_big,
+           bool_and(o_totalprice > 0.0) AS all_positive,
+           bool_or(o_orderstatus = 'P') AS any_pending
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def agg_boolean_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean aggregate family: count_if / bool_and (EVERY) /
+    bool_or (ANY) — the data-quality assertion primitives (is every
+    price positive? did any order go pending?). All three fold to
+    1-bit partial state, so the shuffle carries one boolean per
+    group-column regardless of input width — the cheapest aggregates
+    in the engine."""
+    o = table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.count_if(F.col("o_totalprice") > 200000).alias("n_big"),
+        F.bool_and(F.col("o_totalprice") > 0.0).alias("all_positive"),
+        F.bool_or(F.col("o_orderstatus") == "P").alias("any_pending"),
+    )

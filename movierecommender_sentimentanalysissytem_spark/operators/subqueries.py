@@ -100,3 +100,48 @@ def subq_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         """
     )
+
+
+@query(
+    "subq_any_all",
+    oracle="""
+    SELECT o_orderkey, FLOOR(o_totalprice * 10000 + 0.5) / 10000 AS total
+    FROM orders
+    WHERE o_totalprice > ALL (SELECT o_totalprice FROM orders
+                              WHERE o_custkey % 100 = 0)
+      AND o_totalprice < ANY (SELECT o_totalprice * 1.5 FROM orders
+                              WHERE o_orderpriority = '1-URGENT')
+    """,
+)
+def subq_any_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantified comparisons (> ALL / < ANY) — an operator Spark SQL
+    lacks outright, expressed by its monotone rewrite: ``> ALL S`` ≡
+    ``> max(S)`` and ``< ANY S`` ≡ ``< max(S)`` (for non-empty S with
+    no NULLs — both hold for this fixture slice; the general form
+    needs the null/empty guards Catalyst's IN-rewrite carries). The
+    two subquery aggregates collapse to one broadcast 1-row bound set,
+    so the filter runs at scan speed — the oracle keeps the literal
+    ALL/ANY syntax to prove semantic equivalence."""
+    from pyspark.sql import functions as F
+    from movierecommender_sentimentanalysissytem_spark.functions.rounding import round4
+
+    o = table(spark, sf_dir, "orders")
+    bounds = o.agg(
+        F.max(
+            F.when(F.col("o_custkey") % 100 == 0, F.col("o_totalprice"))
+        ).alias("all_max"),
+        F.max(
+            F.when(
+                F.col("o_orderpriority") == "1-URGENT",
+                F.col("o_totalprice") * 1.5,
+            )
+        ).alias("any_max"),
+    )
+    return (
+        o.crossJoin(F.broadcast(bounds))
+        .filter(
+            (F.col("o_totalprice") > F.col("all_max"))
+            & (F.col("o_totalprice") < F.col("any_max"))
+        )
+        .select("o_orderkey", round4(F.col("o_totalprice")).alias("total"))
+    )

@@ -49,6 +49,7 @@ NLJ_OK = {
     "corpus_mix_rebalance",   # 1-row corpus-total broadcast cross join
     "embedding_centroid_assign",  # n_labels-row centroid broadcast cross
     "tpch_q22_dormant_customers",  # 1-row avg-balance scalar broadcast
+    "subq_any_all",           # 1-row ALL/ANY bound set broadcast
 }
 
 
