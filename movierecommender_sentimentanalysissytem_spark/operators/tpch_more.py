@@ -365,3 +365,180 @@ def tpch_q19_disjunctive_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("revenue")
         )
     )
+
+
+@query(
+    "tpch_q2_min_cost_supplier",
+    oracle="""
+    WITH ps AS (
+        SELECT l_partkey, l_suppkey,
+               FLOOR(MIN(l_extendedprice / l_quantity) * 10000 + 0.5) / 10000
+                   AS supplycost
+        FROM lineitem GROUP BY l_partkey, l_suppkey
+    )
+    SELECT p_partkey, p_name, s_name, n_name,
+           FLOOR(s_acctbal * 10000 + 0.5) / 10000 AS s_acctbal, supplycost
+    FROM part
+    JOIN ps ON p_partkey = l_partkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    WHERE r_name = 'EUROPE' AND p_size = 15
+      AND supplycost = (
+          SELECT MIN(ps2.supplycost)
+          FROM ps ps2
+          JOIN supplier s2 ON s2.s_suppkey = ps2.l_suppkey
+          JOIN nation n2 ON s2.s_nationkey = n2.n_nationkey
+          JOIN region r2 ON n2.n_regionkey = r2.r_regionkey
+          WHERE ps2.l_partkey = p_partkey AND r2.r_name = 'EUROPE')
+    """,
+)
+def tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (minimum-cost supplier): the correlated-MIN
+    subquery over a derived part-supplier relation (the fixture lacks
+    partsupp, so unit cost is MIN(l_extendedprice/l_quantity) per
+    (part, supplier)). Decorrelated the Q17 way: instead of re-running
+    the region-filtered join per part, ONE window MIN over l_partkey on
+    the already-filtered candidates — the oracle keeps the literal
+    correlated form to prove equivalence. Costs are rounded to 4 dp on
+    both sides BEFORE the min/equality so the tie set is stable
+    cross-engine. Two shuffles total: the (part,supp) aggregate and
+    the window repartition on l_partkey."""
+    from pyspark.sql.window import Window
+
+    li = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part").filter(F.col("p_size") == 15)
+    s = table(spark, sf_dir, "supplier")
+    n = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    ps = li.groupBy("l_partkey", "l_suppkey").agg(
+        round4(F.min(F.col("l_extendedprice") / F.col("l_quantity"))).alias(
+            "supplycost"
+        )
+    )
+    eur_sup = (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    w = Window.partitionBy("l_partkey")
+    return (
+        ps.join(F.broadcast(eur_sup), ps.l_suppkey == F.col("s_suppkey"))
+        .join(F.broadcast(p), ps.l_partkey == p.p_partkey)
+        .withColumn("mincost", F.min("supplycost").over(w))
+        .filter(F.col("supplycost") == F.col("mincost"))
+        .select(
+            "p_partkey",
+            "p_name",
+            "s_name",
+            "n_name",
+            round4(F.col("s_acctbal")).alias("s_acctbal"),
+            "supplycost",
+        )
+    )
+
+
+@query(
+    "tpch_q11_important_stock",
+    oracle="""
+    WITH val AS (
+        SELECT l_partkey,
+               FLOOR(SUM(l_extendedprice * l_quantity) * 10000 + 0.5) / 10000
+                   AS value
+        FROM lineitem
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        WHERE n_name = 'NATION_5'
+        GROUP BY l_partkey
+    )
+    SELECT l_partkey, value
+    FROM val
+    WHERE value > (SELECT FLOOR(SUM(value) * 0.001 * 10000 + 0.5) / 10000
+                   FROM val)
+    """,
+)
+def tpch_q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape (important stock identification): per-key value
+    vs a FRACTION of the global total — the scalar-subquery-in-HAVING
+    composite. The per-part value relation is computed once
+    (scope-persisted, |parts|-bounded), reused for the 1-row global
+    threshold (broadcast cross join, never a driver collect) and the
+    final filter. Supplier-nation filter broadcasts into the fact
+    scan. Both sides round value AND threshold to 4 dp before the
+    strict comparison (the Q22 boundary contract)."""
+    li = table(spark, sf_dir, "lineitem")
+    s = table(spark, sf_dir, "supplier")
+    n = table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_5")
+    nat_sup = s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey).select(
+        "s_suppkey"
+    )
+    val = scoped_persist(
+        li.join(F.broadcast(nat_sup), li.l_suppkey == F.col("s_suppkey"))
+        .groupBy("l_partkey")
+        .agg(
+            round4(F.sum(F.col("l_extendedprice") * F.col("l_quantity"))).alias(
+                "value"
+            )
+        )
+    )
+    thr = val.agg(round4(F.sum("value") * 0.001).alias("thr"))
+    return (
+        val.crossJoin(F.broadcast(thr))
+        .filter(F.col("value") > F.col("thr"))
+        .select("l_partkey", "value")
+    )
+
+
+@query(
+    "tpch_q20_excess_suppliers",
+    oracle="""
+    WITH q AS (
+        SELECT l_partkey, l_suppkey, SUM(l_quantity) AS qty
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1998-01-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP '1999-01-01 00:00:00'
+        GROUP BY l_partkey, l_suppkey
+    )
+    SELECT s_name, n_name
+    FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    WHERE s_suppkey IN (
+        SELECT l_suppkey FROM q JOIN part ON p_partkey = l_partkey
+        WHERE p_type = 'PROMO'
+          AND qty > (SELECT 0.5 * SUM(q2.qty) FROM q q2
+                     WHERE q2.l_partkey = q.l_partkey))
+    """,
+)
+def tpch_q20_excess_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape (potential part promotion): the nested
+    semi-join — suppliers who shipped more than half of a promo part's
+    one-year volume. The correlated share threshold decorrelates to a
+    window SUM over l_partkey (one shuffle, co-partitioned with the
+    (part,supp) aggregate that feeds it); the qualifying supplier keys
+    gate the supplier dim via LEFT SEMI, preserving IN semantics
+    without a distinct. l_quantity is integer-valued, so the sums and
+    the 0.5× threshold are exact in both engines — no rounding needed
+    for the strict comparison."""
+    from pyspark.sql.window import Window
+
+    li = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1998-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1999-01-01").cast("timestamp"))
+    )
+    p = table(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    s = table(spark, sf_dir, "supplier")
+    n = table(spark, sf_dir, "nation")
+    q = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum("l_quantity").alias("qty")
+    )
+    w = Window.partitionBy("l_partkey")
+    excess = (
+        q.join(F.broadcast(p), q.l_partkey == p.p_partkey)
+        .withColumn("part_qty", F.sum("qty").over(w))
+        .filter(F.col("qty") > 0.5 * F.col("part_qty"))
+        .select("l_suppkey")
+    )
+    return (
+        s.join(excess, s.s_suppkey == excess.l_suppkey, "left_semi")
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .select("s_name", "n_name")
+    )
