@@ -1,0 +1,244 @@
+"""Distribution-shape and outlier analytics: robust statistics
+(median/MAD), z-score anomaly flagging, rolling distinct cardinality,
+Pareto/skyline extraction, and triangle counting — the second-tier
+statistical operators a curation pipeline layers over the profiling
+primitives (profile_table, profile_numeric_histogram).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from movierecommender_sentimentanalysissytem_spark.functions.rounding import round4
+from movierecommender_sentimentanalysissytem_spark.registry import query
+from movierecommender_sentimentanalysissytem_spark.sources.tables import table
+
+
+@query(
+    "stats_median_mad",
+    oracle="""
+    SELECT event_type,
+           FLOOR(median(value) * 10000 + 0.5) / 10000 AS med,
+           FLOOR(mad(value) * 10000 + 0.5) / 10000 AS mad
+    FROM events GROUP BY event_type
+    """,
+)
+def stats_median_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust center/spread per group: median and MAD (median absolute
+    deviation) — the outlier-resistant twins of mean/stddev
+    (agg_stddev_var). Spark has no mad(), so it's composed from its
+    definition: the RAW group median joins back (broadcast — one row
+    per group) and a second exact median runs over the absolute
+    deviations. Two shuffles on the same group key; both engines
+    interpolate even-count medians identically, and rounding happens
+    only on the final projections so the deviation pass sees full
+    precision."""
+    e = table(spark, sf_dir, "events")
+    med = e.groupBy(F.col("event_type").alias("mt")).agg(
+        F.median("value").alias("med_raw")
+    )
+    return (
+        e.join(F.broadcast(med), e.event_type == F.col("mt"))
+        .groupBy("event_type")
+        .agg(
+            round4(F.first("med_raw")).alias("med"),
+            round4(
+                F.median(F.abs(F.col("value") - F.col("med_raw")))
+            ).alias("mad"),
+        )
+    )
+
+
+@query(
+    "anomaly_zscore",
+    oracle="""
+    WITH stats AS (
+        SELECT event_type, AVG(value) AS mu, stddev_samp(value) AS sigma
+        FROM events GROUP BY event_type
+    )
+    SELECT event_id, e.event_type,
+           FLOOR(((value - mu) / sigma) * 10000 + 0.5) / 10000 AS z
+    FROM events e JOIN stats USING (event_type)
+    WHERE abs(FLOOR(((value - mu) / sigma) * 10000 + 0.5) / 10000) > 2.5
+    """,
+)
+def anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-score outlier flagging: per-group mean/stddev as a tiny
+    aggregate broadcast back into a row-local filter — NOT a window
+    over the group partition (a handful of giant partitions would
+    serialize at 100 TB; the broadcast join keeps the scan
+    embarrassingly parallel). The z-score is rounded to 4 dp on both
+    sides before the |z| > 2.5 cut so summation-order noise in the
+    group moments can't flip a boundary row."""
+    e = table(spark, sf_dir, "events")
+    stats = e.groupBy(F.col("event_type").alias("st")).agg(
+        F.avg("value").alias("mu"), F.stddev_samp("value").alias("sigma")
+    )
+    z = round4((F.col("value") - F.col("mu")) / F.col("sigma"))
+    return (
+        e.join(F.broadcast(stats), e.event_type == F.col("st"))
+        .withColumn("z", z)
+        .filter(F.abs(F.col("z")) > 2.5)
+        .select("event_id", "event_type", "z")
+    )
+
+
+@query(
+    "win_rolling_distinct",
+    oracle="""
+    SELECT event_id, user_id,
+           COUNT(DISTINCT event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN 9 PRECEDING AND CURRENT ROW) AS n_kinds
+    FROM events WHERE user_id <= 200
+    """,
+)
+def win_rolling_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling distinct cardinality: distinct event kinds in each
+    user's trailing 10 events. Spark windows reject COUNT(DISTINCT)
+    outright — the standard rewrite is size(collect_set() OVER frame),
+    which keeps the dedup inside the window operator (set state is
+    bounded by the frame length). The frame's ORDER BY carries
+    event_id as a tiebreaker: frame membership must be a total order
+    or the two engines could legally disagree on ties."""
+    e = table(spark, sf_dir, "events").filter(F.col("user_id") <= 200)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-9, Window.currentRow)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        F.size(F.collect_set("event_type").over(w)).alias("n_kinds"),
+    )
+
+
+@query(
+    "skyline_pareto",
+    oracle="""
+    WITH pts AS (
+        SELECT DISTINCT FLOOR(p_retailprice * 10000 + 0.5) / 10000 AS price,
+               p_size AS size
+        FROM part
+    )
+    SELECT price, size FROM pts a
+    WHERE NOT EXISTS (
+        SELECT 1 FROM pts b
+        WHERE b.price >= a.price AND b.size <= a.size
+          AND (b.price > a.price OR b.size < a.size))
+    """,
+)
+def skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D skyline (Pareto frontier): parts not dominated on
+    (maximize price, minimize size). The oracle is the quadratic
+    NOT EXISTS; the Spark plan is the linear two-level reduction that
+    survives 100 TB — skyline(A ∪ B) = skyline(skyline(A) ∪
+    skyline(B)), so each hash bucket computes a LOCAL skyline with a
+    running-min window (sorted by price DESC, size ASC, a point
+    survives iff every earlier point has larger size), then the
+    bounded union of local skylines (≤ |distinct sizes| rows per
+    bucket) repeats the pass globally. No all-pairs join anywhere."""
+    pts = (
+        table(spark, sf_dir, "part")
+        .select(
+            round4(F.col("p_retailprice")).alias("price"),
+            F.col("p_size").alias("size"),
+        )
+        .distinct()
+        .withColumn("bkt", F.pmod(F.hash("price", "size"), F.lit(8)))
+    )
+
+    def survivors(df: DataFrame, part_cols: list[str]) -> DataFrame:
+        w = (
+            Window.partitionBy(*part_cols)
+            .orderBy(F.desc("price"), F.asc("size"))
+            .rowsBetween(Window.unboundedPreceding, -1)
+            if part_cols
+            else Window.orderBy(F.desc("price"), F.asc("size")).rowsBetween(
+                Window.unboundedPreceding, -1
+            )
+        )
+        m = F.min("size").over(w)
+        return df.withColumn("m", m).filter(
+            F.col("m").isNull() | (F.col("m") > F.col("size"))
+        ).drop("m")
+
+    local = survivors(pts, ["bkt"]).drop("bkt")
+    return survivors(local, [])
+
+
+@query(
+    "graph_triangle_count",
+    oracle="""
+    WITH lo AS (
+        SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem
+    ),
+    edges AS (
+        SELECT DISTINCT a.l_suppkey AS u, b.l_suppkey AS v
+        FROM lo a JOIN lo b ON a.l_orderkey = b.l_orderkey
+        WHERE a.l_suppkey < b.l_suppkey
+    )
+    SELECT COUNT(*) AS n_triangles
+    FROM edges e1
+    JOIN edges e2 ON e1.v = e2.u
+    JOIN edges e3 ON e3.u = e1.u AND e3.v = e2.v
+    """,
+)
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle counting on the supplier co-occurrence graph (edge =
+    two suppliers sharing an order). The oracle orients edges by id
+    (u < v); the Spark plan uses DEGREE orientation — each edge points
+    from its lower-degree endpoint (ties by id), every triangle has
+    exactly one path u→v→w with a closing edge u→w, and the wedge join
+    fans out from low-degree vertices only: the hub vertex that makes
+    id-ordered wedge joins quadratic at 100 TB never becomes a wedge
+    center. Same count, skew-proof plan — the MR/GraphX standard."""
+    lo = (
+        table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    b = lo.select(
+        F.col("l_orderkey").alias("k"), F.col("l_suppkey").alias("s2")
+    )
+    und = (
+        lo.join(b, (lo.l_orderkey == b.k) & (lo.l_suppkey < b.s2))
+        .select(F.col("l_suppkey").alias("a"), F.col("s2").alias("b"))
+        .distinct()
+    )
+    # degree of each vertex over the undirected edge set
+    deg = (
+        und.select(F.col("a").alias("x"))
+        .unionAll(und.select(F.col("b").alias("x")))
+        .groupBy("x")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    da = deg.select(F.col("x").alias("a"), F.col("d").alias("deg_a"))
+    db = deg.select(F.col("x").alias("b"), F.col("d").alias("deg_b"))
+    lower_first = (F.col("deg_a") < F.col("deg_b")) | (
+        (F.col("deg_a") == F.col("deg_b")) & (F.col("a") < F.col("b"))
+    )
+    oe = (
+        und.join(F.broadcast(da), "a")
+        .join(F.broadcast(db), "b")
+        .select(
+            F.when(lower_first, F.col("a")).otherwise(F.col("b")).alias("u"),
+            F.when(lower_first, F.col("b")).otherwise(F.col("a")).alias("v"),
+        )
+    )
+    w1 = oe.select(F.col("u").alias("wu"), F.col("v").alias("wm"))
+    w2 = oe.select(F.col("u").alias("wm"), F.col("v").alias("wv"))
+    wedges = w1.join(w2, "wm").select("wu", "wv")
+    # Orientation is a total order, so the closing edge of the path
+    # u→m→v can only be oriented u→v: one semi probe, no symmetrizing.
+    return (
+        wedges.join(
+            oe,
+            (wedges.wu == oe.u) & (wedges.wv == oe.v),
+            "left_semi",
+        )
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )

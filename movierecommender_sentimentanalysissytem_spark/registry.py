@@ -70,6 +70,7 @@ def _load_all_modules() -> None:
     import movierecommender_sentimentanalysissytem_spark.operators.storage  # noqa: F401
     import movierecommender_sentimentanalysissytem_spark.operators.analytics  # noqa: F401
     import movierecommender_sentimentanalysissytem_spark.operators.tpch_more  # noqa: F401
+    import movierecommender_sentimentanalysissytem_spark.operators.statistics  # noqa: F401
     import movierecommender_sentimentanalysissytem_spark.sources.pysource  # noqa: F401
     import movierecommender_sentimentanalysissytem_spark.operators.timeseries  # noqa: F401
     import movierecommender_sentimentanalysissytem_spark.functions.scalar  # noqa: F401

@@ -97,3 +97,90 @@ def test_binned_range_join_matches_naive_on_random_data(spark):
     }
     assert binned == naive
     assert len(naive) > 100  # the dataset actually exercises the band
+
+
+def test_skyline_two_level_matches_naive_on_ties(spark):
+    """Skyline on adversarial data: duplicate points, price ties with
+    different sizes, size ties with different prices — the two-level
+    bucketed reduction must equal the quadratic definition exactly."""
+    rng = random.Random(11)
+    pts = [(float(rng.randint(0, 9)), rng.randint(1, 6)) for _ in range(300)]
+    pts += [(5.0, 3), (5.0, 3), (9.0, 1), (9.0, 6), (0.0, 1)]  # ties/dupes
+    df = spark.createDataFrame(pts, "price double, size int")
+
+    from movierecommender_sentimentanalysissytem_spark.operators.statistics import (
+        skyline_pareto,
+    )
+    from pyspark.sql.window import Window
+
+    # naive quadratic definition
+    distinct = {(p, s) for p, s in pts}
+    naive = {
+        (p, s)
+        for (p, s) in distinct
+        if not any(
+            bp >= p and bs <= s and (bp > p or bs < s) for (bp, bs) in distinct
+        )
+    }
+
+    d = df.distinct().withColumn("bkt", F.pmod(F.hash("price", "size"), F.lit(8)))
+    w_local = (
+        Window.partitionBy("bkt")
+        .orderBy(F.desc("price"), F.asc("size"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    local = (
+        d.withColumn("m", F.min("size").over(w_local))
+        .filter(F.col("m").isNull() | (F.col("m") > F.col("size")))
+        .drop("m", "bkt")
+    )
+    w_glob = Window.orderBy(F.desc("price"), F.asc("size")).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    two_level = {
+        (r.price, r.size)
+        for r in local.withColumn("m", F.min("size").over(w_glob))
+        .filter(F.col("m").isNull() | (F.col("m") > F.col("size")))
+        .collect()
+    }
+    assert two_level == naive
+
+
+def test_triangle_degree_orientation_matches_bruteforce(spark):
+    """Triangle count with degree orientation on a handcrafted graph
+    with a hub vertex (worst case for id-ordered counting): K4 (4
+    triangles) + a 5-spoke star on the hub (0 triangles) + one
+    pendant triangle sharing the hub."""
+    edges = [
+        (1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4),  # K4 -> 4 triangles
+        (1, 10), (1, 11), (1, 12), (1, 13), (1, 14),      # star on hub 1
+        (10, 11),                                          # closes ONE triangle
+    ]
+    und = spark.createDataFrame(edges, "a int, b int")
+    deg = (
+        und.select(F.col("a").alias("x"))
+        .unionAll(und.select(F.col("b").alias("x")))
+        .groupBy("x")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    da = deg.select(F.col("x").alias("a"), F.col("d").alias("deg_a"))
+    db = deg.select(F.col("x").alias("b"), F.col("d").alias("deg_b"))
+    lower_first = (F.col("deg_a") < F.col("deg_b")) | (
+        (F.col("deg_a") == F.col("deg_b")) & (F.col("a") < F.col("b"))
+    )
+    oe = (
+        und.join(F.broadcast(da), "a")
+        .join(F.broadcast(db), "b")
+        .select(
+            F.when(lower_first, F.col("a")).otherwise(F.col("b")).alias("u"),
+            F.when(lower_first, F.col("b")).otherwise(F.col("a")).alias("v"),
+        )
+    )
+    w1 = oe.select(F.col("u").alias("wu"), F.col("v").alias("wm"))
+    w2 = oe.select(F.col("u").alias("wm"), F.col("v").alias("wv"))
+    wedges = w1.join(w2, "wm").select("wu", "wv")
+    n = (
+        wedges.join(oe, (wedges.wu == oe.u) & (wedges.wv == oe.v), "left_semi")
+        .count()
+    )
+    assert n == 5  # 4 in K4 + 1 via the hub star edge
