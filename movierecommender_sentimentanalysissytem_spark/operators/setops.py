@@ -80,3 +80,32 @@ def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXCEPT ALL (bag difference — ``exceptAll`` mirrors DuckDB's
     EXCEPT ALL; plain ``subtract`` would be EXCEPT DISTINCT)."""
     return _urgent(spark, sf_dir).exceptAll(_big(spark, sf_dir))
+
+
+@query(
+    "set_union_schema_evolution",
+    oracle="""
+    SELECT * FROM (
+        SELECT doc_id, text, NULL AS lang, NULL AS n_chars
+        FROM documents WHERE doc_id % 3 = 0
+        UNION ALL BY NAME
+        SELECT doc_id, text, lang, n_chars
+        FROM documents WHERE doc_id % 3 = 1
+    )
+    """,
+)
+def set_union_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Union across schema versions: a v1 slice (doc_id, text) and a
+    v2 slice that added lang/n_chars, reconciled BY NAME with null
+    fill — ``unionByName(allowMissingColumns=True)``, the ingest
+    pattern for sources whose schema widened mid-stream. Positional
+    UNION would silently misalign columns; by-name reconciliation is
+    the only shape that survives schema evolution at 100 TB (same
+    contract the parquet mergeSchema read in scan_schema_evolution
+    pins on the storage side)."""
+    d = table(spark, sf_dir, "documents")
+    v1 = d.filter(F.col("doc_id") % 3 == 0).select("doc_id", "text")
+    v2 = d.filter(F.col("doc_id") % 3 == 1).select(
+        "doc_id", "text", "lang", "n_chars"
+    )
+    return v1.unionByName(v2, allowMissingColumns=True)

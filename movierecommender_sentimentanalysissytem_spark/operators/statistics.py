@@ -242,3 +242,62 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("n_triangles"))
     )
+
+
+@query(
+    "quality_fk_orphans",
+    oracle="""
+    SELECT 'orders_without_customer' AS chk, COUNT(*) AS n_orphans
+    FROM orders o
+    WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+    UNION ALL
+    SELECT 'lineitem_without_order', COUNT(*)
+    FROM lineitem l
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+    UNION ALL
+    SELECT 'lineitem_without_part', COUNT(*)
+    FROM lineitem l
+    WHERE NOT EXISTS (SELECT 1 FROM part p WHERE p.p_partkey = l.l_partkey)
+    UNION ALL
+    SELECT 'events_without_known_user', COUNT(*)
+    FROM events e
+    WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = e.user_id)
+    """,
+)
+def quality_fk_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit: orphan counts for every declared
+    foreign key, as one long quality report — the pre-publish gate a
+    warehouse load runs after ingest. Each check is a LEFT ANTI join
+    (NOT EXISTS) counting unmatched fact rows; dimension sides
+    broadcast, the fact-fact check shuffles on its key once. At
+    100 TB each check stays a single pass with a fixed-width
+    1-row output — the report unions four scalars, not data."""
+    o = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    c = table(spark, sf_dir, "customer")
+    p = table(spark, sf_dir, "part")
+    e = table(spark, sf_dir, "events")
+
+    def orphans(fact: DataFrame, dim: DataFrame, cond, label: str) -> DataFrame:
+        return (
+            fact.join(dim, cond, "left_anti")
+            .agg(F.count(F.lit(1)).alias("n_orphans"))
+            .select(F.lit(label).alias("chk"), "n_orphans")
+        )
+
+    return (
+        orphans(o, c, o.o_custkey == c.c_custkey, "orders_without_customer")
+        .unionByName(
+            orphans(
+                li, o, li.l_orderkey == o.o_orderkey, "lineitem_without_order"
+            )
+        )
+        .unionByName(
+            orphans(li, p, li.l_partkey == p.p_partkey, "lineitem_without_part")
+        )
+        .unionByName(
+            orphans(
+                e, c, e.user_id == c.c_custkey, "events_without_known_user"
+            )
+        )
+    )

@@ -145,3 +145,41 @@ def subq_any_all(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("o_orderkey", round4(F.col("o_totalprice")).alias("total"))
     )
+
+
+@query(
+    "sql_recursive_cte",
+    oracle="""
+    WITH RECURSIVE months(m) AS (
+        SELECT TIMESTAMP '1995-01-01 00:00:00'
+        UNION ALL
+        SELECT m + INTERVAL 1 MONTH FROM months
+        WHERE m < TIMESTAMP '2001-08-01 00:00:00'
+    )
+    SELECT strftime(m, '%Y-%m') AS month, COUNT(o_orderkey) AS n_orders
+    FROM months LEFT JOIN orders ON date_trunc('month', o_orderdate) = m
+    GROUP BY m
+    """,
+)
+def sql_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (new in Spark 4): a month spine generated by
+    recursion, LEFT-joined to per-month order counts so empty months
+    still appear — the gap-proof time series every reporting layer
+    needs (the non-recursive twin is timeseries_gapfill's
+    sequence()-explode). The recursion is driver-bounded (80 rows) and
+    the spine broadcasts into the join; DuckDB runs the identical
+    WITH RECURSIVE text."""
+    _view(spark, sf_dir, "orders", "sq_orders_r")
+    return spark.sql(
+        """
+        WITH RECURSIVE months(m) AS (
+            SELECT TIMESTAMP '1995-01-01 00:00:00'
+            UNION ALL
+            SELECT m + INTERVAL 1 MONTH FROM months
+            WHERE m < TIMESTAMP '2001-08-01 00:00:00'
+        )
+        SELECT date_format(m, 'yyyy-MM') AS month, COUNT(o_orderkey) AS n_orders
+        FROM months LEFT JOIN sq_orders_r ON date_trunc('MONTH', o_orderdate) = m
+        GROUP BY m
+        """
+    )

@@ -588,3 +588,35 @@ def stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "leftOuter",
     ).select("v_user", "view_eid", "click_eid")
     return _run_available_now(joined, spark, "append")
+
+
+@query(
+    "stream_static_join",
+    oracle="""
+    SELECT event_id, c_mktsegment,
+           FLOOR(value * 10000 + 0.5) / 10000 AS value
+    FROM events JOIN customer ON user_id = c_custkey
+    """,
+)
+def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment join: the event stream joined to the
+    customer dimension — the most common streaming topology (enrich
+    then route/aggregate). Stream-static inner joins are stateless in
+    Structured Streaming: the static side broadcasts into every
+    micro-batch, no watermark or state store involved, append mode
+    row-per-match. The static side is re-read per batch at scale (a
+    slowly-changing dim picks up updates between batches — the
+    streaming twin of scd2_history's point-in-time semantics).
+    SQL-checked: the single AvailableNow batch emits exactly the
+    batch-join row set."""
+    ev = _events_stream(spark, sf_dir)
+    c = table(spark, sf_dir, "customer")
+    joined = (
+        ev.join(F.broadcast(c), ev.user_id == c.c_custkey)
+        .select(
+            "event_id",
+            "c_mktsegment",
+            round4(F.col("value")).alias("value"),
+        )
+    )
+    return _run_available_now(joined, spark, "append")
