@@ -459,3 +459,64 @@ def pipeline_corpus_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(stage(norm, "4_norm_dedup"))
         .unionByName(stage(clean, "5_decontaminated"))
     )
+
+
+@query(
+    "curation_shard_token_budget",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id, len(string_split(text, ' ')) AS n_words
+        FROM documents
+    ),
+    c AS (
+        SELECT doc_id, n_words,
+               COALESCE(SUM(n_words) OVER (
+                   ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS cum_before
+        FROM t
+    )
+    SELECT doc_id, n_words,
+           CAST(FLOOR(cum_before / 4096) AS BIGINT) AS shard
+    FROM c
+    """,
+)
+def curation_shard_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget sharding (sequence packing's outer loop): assign
+    docs, in stable doc_id order, to ~4096-token training shards by
+    GLOBAL running token count. The oracle is a single global window
+    cumsum; the Spark plan is the two-pass distributed prefix sum that
+    replaces it at 100 TB — a global-ORDER window would sort-merge
+    everything into ONE partition, the classic scale cliff. Pass 1:
+    order-aligned range buckets (floor(doc_id/1000)) each cumsum
+    locally in parallel. Pass 2: per-bucket totals (one tiny row per
+    bucket) cumsum on the driver-sized side and broadcast back as
+    offsets; global position = local cumsum + bucket offset. Token
+    counts are ints, so every sum is exact cross-engine."""
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", F.size(F.split("text", " ")).alias("n_words")
+    )
+    b = d.withColumn("bkt", F.floor(F.col("doc_id") / 1000))
+    w_local = (
+        Window.partitionBy("bkt")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    local = b.withColumn(
+        "local_before", F.coalesce(F.sum("n_words").over(w_local), F.lit(0))
+    )
+    totals = b.groupBy("bkt").agg(F.sum("n_words").alias("tot"))
+    w_bkt = Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = totals.withColumn(
+        "offset", F.coalesce(F.sum("tot").over(w_bkt), F.lit(0))
+    ).select("bkt", "offset")
+    return (
+        local.join(F.broadcast(offsets), "bkt")
+        .withColumn(
+            "shard",
+            F.floor((F.col("local_before") + F.col("offset")) / 4096).cast(
+                "bigint"
+            ),
+        )
+        .select("doc_id", "n_words", "shard")
+    )

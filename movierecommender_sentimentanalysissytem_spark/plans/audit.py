@@ -50,6 +50,7 @@ NLJ_OK = {
     "embedding_centroid_assign",  # n_labels-row centroid broadcast cross
     "tpch_q22_dormant_customers",  # 1-row avg-balance scalar broadcast
     "subq_any_all",           # 1-row ALL/ANY bound set broadcast
+    "tpch_q11_important_stock",  # 1-row fraction-of-total threshold broadcast
 }
 
 

@@ -184,3 +184,38 @@ def test_triangle_degree_orientation_matches_bruteforce(spark):
         .count()
     )
     assert n == 5  # 4 in K4 + 1 via the hub star edge
+
+
+def test_prefix_sum_sharding_is_bucket_width_independent(spark):
+    """The two-pass distributed prefix sum must produce the identical
+    global shard assignment for ANY order-aligned bucketing — the
+    property that lets the bucket count track the cluster size."""
+    from pyspark.sql.window import Window as W
+
+    from movierecommender_sentimentanalysissytem_spark.sources.tables import table
+
+    d = table(spark, SF_SMALL, "documents").select(
+        "doc_id", F.size(F.split("text", " ")).alias("n_words")
+    )
+
+    def shards(bucket_width: int) -> dict:
+        b = d.withColumn("bkt", F.floor(F.col("doc_id") / bucket_width))
+        w_local = (
+            W.partitionBy("bkt")
+            .orderBy("doc_id")
+            .rowsBetween(W.unboundedPreceding, -1)
+        )
+        local = b.withColumn(
+            "lb", F.coalesce(F.sum("n_words").over(w_local), F.lit(0))
+        )
+        totals = b.groupBy("bkt").agg(F.sum("n_words").alias("tot"))
+        w_bkt = W.orderBy("bkt").rowsBetween(W.unboundedPreceding, -1)
+        offs = totals.withColumn(
+            "off", F.coalesce(F.sum("tot").over(w_bkt), F.lit(0))
+        ).select("bkt", "off")
+        return {
+            r.doc_id: (r.lb + r.off) // 4096
+            for r in local.join(F.broadcast(offs), "bkt").collect()
+        }
+
+    assert shards(1000) == shards(37)
