@@ -18,7 +18,9 @@ QS = registry.queries()
 # Representative keys spanning every module. Excluded: ML estimators
 # (fit() on empty input is a documented error in MLlib itself),
 # streaming memory-sink ops (empty dir handled by the source), and
-# agg_rollup-style queries that legitimately return a grand-total row.
+# agg_rollup-style queries that legitimately return a grand-total row
+# (graph_triangle_count, quality_fk_orphans) or a generated spine
+# (sql_recursive_cte).
 REPRESENTATIVE = [
     "filter_compound",
     "project_expressions",
@@ -71,6 +73,21 @@ REPRESENTATIVE = [
     "tpch_q18_large_orders",
     "tpch_q21_waiting_suppliers",
     "tpch_q22_dormant_customers",
+    "tpch_q2_min_cost_supplier",
+    "tpch_q7_volume_shipping",
+    "tpch_q8_market_share",
+    "tpch_q13_customer_distribution",
+    "tpch_q15_top_supplier",
+    "tpch_q20_excess_suppliers",
+    "stats_median_mad",
+    "anomaly_zscore",
+    "win_rolling_distinct",
+    "skyline_pareto",
+    "set_union_schema_evolution",
+    "curation_shard_token_budget",
+    "subq_any_all",
+    "fn_nested_struct",
+    "agg_boolean_family",
 ]
 
 
