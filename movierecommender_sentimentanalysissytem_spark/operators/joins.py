@@ -572,3 +572,62 @@ def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_joined",
         )
     )
+
+
+@query(
+    "join_asof_forward",
+    oracle="""
+    WITH candidates AS (
+        SELECT o_orderkey, e.event_id, e.value,
+               ROW_NUMBER() OVER (
+                   PARTITION BY o_orderkey
+                   ORDER BY date_trunc('second', e.ts) ASC, e.event_id ASC) AS rn
+        FROM (SELECT * FROM orders WHERE o_orderkey % 100 = 0) o
+        JOIN events e
+          ON e.user_id = o.o_custkey % 150
+         AND date_trunc('second', e.ts)
+             >= TIMESTAMP '2024-01-15 00:00:00' + INTERVAL (o.o_orderkey % 14) DAY
+         AND date_trunc('second', e.ts)
+             <  TIMESTAMP '2024-01-18 00:00:00' + INTERVAL (o.o_orderkey % 14) DAY
+    )
+    SELECT o_orderkey, event_id, ROUND(value, 4) AS next_value
+    FROM candidates WHERE rn = 1
+    """,
+)
+def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of join with tolerance: the FIRST event at-or-after
+    each order's cutoff, looking ahead at most 3 days — the
+    direction='forward' / tolerance= surface of an as-of API (the
+    backward twin is join_asof). The tolerance bound is what makes
+    forward as-of scale-safe: without it every probe row buffers the
+    entire future of its key; with it the candidate set per key is
+    time-bounded, so the join stays one shuffle + one window whatever
+    the history length."""
+    o = (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 100 == 0)
+        .select(
+            "o_orderkey",
+            (F.col("o_custkey") % 150).alias("uf_key"),
+            (
+                F.to_timestamp(F.lit("2024-01-15 00:00:00"))
+                + (F.col("o_orderkey") % 14).cast("int") * F.expr("INTERVAL 1 DAY")
+            ).alias("cutoff"),
+        )
+        .withColumn("cutoff_hi", F.col("cutoff") + F.expr("INTERVAL 3 DAYS"))
+    )
+    e = table(spark, sf_dir, "events").withColumn(
+        "ts_s", F.date_trunc("second", F.col("ts"))
+    )
+    cand = o.join(
+        e,
+        (e.user_id == o.uf_key) & (e.ts_s >= o.cutoff) & (e.ts_s < o.cutoff_hi),
+    )
+    w = Window.partitionBy("o_orderkey").orderBy(
+        F.col("ts_s").asc(), F.col("event_id").asc()
+    )
+    return (
+        cand.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("o_orderkey", "event_id", F.round("value", 4).alias("next_value"))
+    )

@@ -301,3 +301,45 @@ def quality_fk_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
+
+
+@query(
+    "profile_equidepth_histogram",
+    oracle="""
+    WITH b AS (
+        SELECT l_returnflag, l_extendedprice,
+               ntile(8) OVER (
+                   PARTITION BY l_returnflag
+                   ORDER BY l_extendedprice, l_orderkey, l_linenumber)
+                   AS bucket
+        FROM lineitem
+    )
+    SELECT l_returnflag, bucket, COUNT(*) AS n,
+           FLOOR(MIN(l_extendedprice) * 10000 + 0.5) / 10000 AS lo,
+           FLOOR(MAX(l_extendedprice) * 10000 + 0.5) / 10000 AS hi
+    FROM b GROUP BY l_returnflag, bucket
+    """,
+)
+def profile_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-DEPTH histogram (8 equal-count buckets per group) — the
+    quantile-boundary profile range-partitioners and optimizers feed
+    on; the equi-width twin is profile_numeric_histogram. ntile's
+    ORDER BY carries (orderkey, linenumber) tiebreakers: equal prices
+    on a bucket boundary would otherwise be assigned engine-
+    dependently. Partitioned by group, the windows parallelize across
+    groups; a single-group global profile at 100 TB would instead use
+    approx_percentile boundaries + one bucketing pass (the
+    agg_approx_percentile path) to avoid one giant sorted partition."""
+    li = table(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_returnflag").orderBy(
+        "l_extendedprice", "l_orderkey", "l_linenumber"
+    )
+    return (
+        li.withColumn("bucket", F.ntile(8).over(w))
+        .groupBy("l_returnflag", "bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            round4(F.min("l_extendedprice")).alias("lo"),
+            round4(F.max("l_extendedprice")).alias("hi"),
+        )
+    )
