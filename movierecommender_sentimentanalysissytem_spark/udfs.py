@@ -243,3 +243,58 @@ def udf_map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", "text", "n_chars").mapInArrow(
         recount, "doc_id bigint, n_chars_py bigint, n_chars_col bigint"
     )
+
+
+@query(
+    "udtf_table_argument",
+    oracle="""
+    SELECT user_id, COUNT(*) AS n_events,
+           FLOOR(SUM(value) * 10000 + 0.5) / 10000 AS total_value
+    FROM events WHERE user_id <= 100 GROUP BY user_id
+    """,
+)
+def udtf_table_argument(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Polymorphic UDTF over a TABLE argument (Spark 4): the function
+    receives WHOLE PARTITIONS of a relation — ``PARTITION BY user_id
+    ORDER BY event_id`` hands each instance one user's rows in a fixed
+    order — the custom-aggregation escape hatch when terminate()-time
+    logic won't fit builtin aggregates. The partition clause is what
+    makes it scale: Spark shuffles on user_id and runs one UDTF
+    instance per partition in parallel. The Python fold runs in
+    deterministic event_id order; the oracle is the equivalent
+    GROUP BY (both sides 4 dp-rounded)."""
+    from pyspark.sql.functions import udtf as udtf_dec
+
+    @udtf_dec(
+        returnType="user_id: bigint, n_events: bigint, total_value: double"
+    )
+    class UserSummary:
+        def __init__(self):
+            self._uid = None
+            self._n = 0
+            self._tot = 0.0
+
+        def eval(self, row):
+            self._uid = row["user_id"]
+            self._n += 1
+            self._tot += row["value"]
+
+        def terminate(self):
+            if self._uid is not None:
+                import math
+
+                yield self._uid, self._n, math.floor(
+                    self._tot * 10000 + 0.5
+                ) / 10000
+
+    spark.udtf.register("mrsas_user_summary", UserSummary)
+    e = table(spark, sf_dir, "events")
+    e.filter(F.col("user_id") <= 100).select(
+        "user_id", "event_id", "value"
+    ).createOrReplaceTempView("mrsas_udtf_tbl")
+    return spark.sql(
+        """
+        SELECT * FROM mrsas_user_summary(
+            TABLE(mrsas_udtf_tbl) PARTITION BY user_id ORDER BY event_id)
+        """
+    )
