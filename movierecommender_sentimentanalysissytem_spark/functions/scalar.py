@@ -137,8 +137,8 @@ def fn_date(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT l_orderkey, l_linenumber,
            FLOOR(ABS(l_extendedprice - 30000) * 10000 + 0.5) / 10000 AS abs_dev,
-           CEIL(l_quantity / 7) AS qty_ceil7,
-           FLOOR(l_quantity / 7) AS qty_floor7,
+           CAST(CEIL(l_quantity / 7) AS BIGINT) AS qty_ceil7,
+           CAST(FLOOR(l_quantity / 7) AS BIGINT) AS qty_floor7,
            FLOOR(SQRT(l_extendedprice) * 10000 + 0.5) / 10000 AS price_sqrt,
            FLOOR(LN(l_extendedprice) * 10000 + 0.5) / 10000 AS price_ln,
            FLOOR(LOG10(l_extendedprice) * 10000 + 0.5) / 10000 AS price_log10,

@@ -106,6 +106,43 @@ _R1_DRIVER_GREEN = frozenset(
     """.split()
 )
 
+# Keys the driver's round-2 sweep reached (CORRECTNESS_r02.json): 49
+# green / rows-only-recorded entries. ``fn_math`` is deliberately
+# excluded — it hash-failed in r2 (uncast CEIL/FLOOR in its oracle,
+# fixed in functions/scalar.py) and must be re-verified first in r3.
+_R2_DRIVER_GREEN = frozenset(
+    """
+    agg_approx_count_distinct win_ntile_percent win_first_last
+    sort_multikey limit_offset sample_deterministic
+    set_union_all set_union_distinct set_intersect set_except
+    fn_string fn_string_regexp fn_split_explode fn_date fn_conditional
+    fn_array fn_array_transform fn_map_json fn_hash
+    text_wordcount text_top_terms text_stopword_removal text_ngrams
+    text_doclen_stats text_tfidf text_lexicon_sentiment
+    text_lang_partition_stats
+    sim_cosine_pairwise sim_topk_neighbors sim_threshold_join
+    multimodal_columns dedup_exact dedup_near_minhash
+    ml_eval_rmse ml_sentiment_pipeline ml_als_recommend
+    stream_tumbling_window stream_sliding_window stream_session_window
+    stream_watermark_late stream_dedup stream_stateful_counter
+    udf_python_scalar udf_pandas_vectorized udaf_pandas_grouped udtf
+    sink_csv_roundtrip sink_json_roundtrip join_lateral
+    """.split()
+)
+
+_DRIVER_GREEN = _R1_DRIVER_GREEN | _R2_DRIVER_GREEN
+
+# Round-3 front of the sweep queue: the one driver-red key (fn_math,
+# oracle fixed) and the four keys the driver has never reached that are
+# either §2-mandated or were rewritten after an r1 crash.
+_PRIORITY_R3 = (
+    "fn_math",
+    "stream_stream_join",
+    "stream_stream_left_join",
+    "agg_approx_percentile",
+    "agg_hll_sketch_union",
+)
+
 # SURVEY.md §2 inventory — the judge's coverage checklist. These outrank
 # extra keys in sweep priority.
 _SECTION2 = frozenset(
@@ -153,20 +190,27 @@ _EXPENSIVE = frozenset(
 
 
 def _sweep_order(keys: list[str]) -> list[str]:
-    """Order keys so a budget-limited driver sweep maximizes coverage:
-    (1) §2 keys with no driver-green row yet (incl. the rewritten approx
-    keys), (2) extra keys with no green row, (3) already-green keys.
-    Within each group: cheap keys before expensive ones, then
-    registration order (stable, deterministic)."""
+    """Order keys so a budget-limited driver sweep (50 keys/round, dict
+    order) maximizes NEW verification signal each round:
+    (0) the explicit r3 priority keys (driver-red / never-reached §2 /
+    rewritten-after-crash), in that exact order; (1) §2 keys with no
+    driver row yet; (2) extra keys with no driver row; (3) keys already
+    green in r1 or r2. Within groups 1–3: cheap keys before expensive
+    ones, then registration order (stable, deterministic)."""
+
+    prio = {k: i for i, k in enumerate(_PRIORITY_R3)}
 
     def group(k: str) -> int:
-        if k in _R1_DRIVER_GREEN:
-            return 2
-        return 0 if k in _SECTION2 else 1
+        if k in prio:
+            return 0
+        if k in _DRIVER_GREEN:
+            return 3
+        return 1 if k in _SECTION2 else 2
 
     indexed = {k: i for i, k in enumerate(keys)}
     return sorted(
-        keys, key=lambda k: (group(k), k in _EXPENSIVE, indexed[k])
+        keys,
+        key=lambda k: (group(k), prio.get(k, 0), k in _EXPENSIVE, indexed[k]),
     )
 
 
