@@ -156,7 +156,7 @@ def scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT o_orderpriority,
            COUNT(*) AS n,
            COUNT(o_comment_len) AS n_with_new_col,
-           COALESCE(SUM(o_comment_len), 0) AS total_len
+           CAST(COALESCE(SUM(o_comment_len), 0) AS BIGINT) AS total_len
     FROM (
         SELECT o_orderpriority, NULL AS o_comment_len
         FROM orders WHERE o_orderstatus = 'F'
@@ -204,7 +204,7 @@ def scan_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT 32 AS files_before, 4 AS files_after,
            COUNT(*) AS n_rows,
-           SUM(o_orderkey) AS key_checksum
+           CAST(SUM(o_orderkey) AS BIGINT) AS key_checksum
     FROM orders
     """,
 )

@@ -130,17 +130,49 @@ _R2_DRIVER_GREEN = frozenset(
     """.split()
 )
 
-_DRIVER_GREEN = _R1_DRIVER_GREEN | _R2_DRIVER_GREEN
+# Keys the driver's round-3 sweep confirmed (CORRECTNESS_r03.json): 48
+# hash-green entries. The two hash-fails (``scan_schema_evolution``,
+# ``maintenance_compact_small_files`` — uncast integer SUMs → DuckDB
+# HUGEINT vs Spark BIGINT, oracles fixed in operators/storage.py) are
+# deliberately excluded and re-verified first in r4.
+_R3_DRIVER_GREEN = frozenset(
+    """
+    fn_math stream_stream_join stream_stream_left_join
+    agg_approx_percentile agg_hll_sketch_union
+    join_range_binned join_null_safe join_asof_forward
+    agg_approx_top_k agg_bitmap_distinct agg_string_concat_ordered
+    agg_boolean_family
+    win_gaps_islands win_pattern_sequence
+    sample_train_test_split sample_stratified
+    set_union_schema_evolution
+    subq_scalar subq_in subq_correlated subq_any_all sql_recursive_cte
+    rec_top_items rec_user_activity rec_genre_explode rec_user_topn_window
+    sentiment_distribution rec_item_cooccurrence graph_pagerank
+    sink_partitioned_parquet join_bucketed_colocated scd2_history
+    sort_zorder_clustering
+    fn_from_json_map merge_upsert funnel_conversion cohort_retention
+    profile_numeric_histogram profile_table
+    tpch_q3_shipping_priority tpch_q10_returned_items
+    tpch_q9_product_profit observe_metrics tpch_q18_large_orders
+    tpch_q14_promo_revenue tpch_q17_small_qty_revenue
+    tpch_q22_dormant_customers tpch_q4_order_priority
+    """.split()
+)
 
-# Round-3 front of the sweep queue: the one driver-red key (fn_math,
-# oracle fixed) and the four keys the driver has never reached that are
-# either §2-mandated or were rewritten after an r1 crash.
-_PRIORITY_R3 = (
-    "fn_math",
-    "stream_stream_join",
-    "stream_stream_left_join",
-    "agg_approx_percentile",
-    "agg_hll_sketch_union",
+# Every key with a non-red driver row (r1 + r2 + r3). Note the two ML
+# keys inside _R2_DRIVER_GREEN are rows-only records, not hash-greens —
+# rows-only is the strongest check available for oracle-less keys, so
+# they are deprioritized the same way.
+_DRIVER_GREEN = _R1_DRIVER_GREEN | _R2_DRIVER_GREEN | _R3_DRIVER_GREEN
+
+# Round-4 front of the sweep queue: the two r3 hash-fails whose oracles
+# were fixed (CAST ... AS BIGINT). After them the 58 never-checked keys
+# fill the rest of the 50-key budget (48 fit; the ~10 that spill are the
+# expensive tail by design and become round 5's head once r4's greens
+# are folded in).
+_PRIORITY_R4 = (
+    "scan_schema_evolution",
+    "maintenance_compact_small_files",
 )
 
 # SURVEY.md §2 inventory — the judge's coverage checklist. These outrank
@@ -192,13 +224,13 @@ _EXPENSIVE = frozenset(
 def _sweep_order(keys: list[str]) -> list[str]:
     """Order keys so a budget-limited driver sweep (50 keys/round, dict
     order) maximizes NEW verification signal each round:
-    (0) the explicit r3 priority keys (driver-red / never-reached §2 /
-    rewritten-after-crash), in that exact order; (1) §2 keys with no
-    driver row yet; (2) extra keys with no driver row; (3) keys already
-    green in r1 or r2. Within groups 1–3: cheap keys before expensive
-    ones, then registration order (stable, deterministic)."""
+    (0) the explicit r4 priority keys (driver-red, oracles fixed), in
+    that exact order; (1) §2 keys with no driver row yet; (2) extra
+    keys with no driver row; (3) keys already checked in r1–r3. Within
+    groups 1–3: cheap keys before expensive ones, then registration
+    order (stable, deterministic)."""
 
-    prio = {k: i for i, k in enumerate(_PRIORITY_R3)}
+    prio = {k: i for i, k in enumerate(_PRIORITY_R4)}
 
     def group(k: str) -> int:
         if k in prio:
