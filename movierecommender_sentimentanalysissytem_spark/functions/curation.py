@@ -362,16 +362,17 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
           AND NOT EXISTS (SELECT 1 FROM contaminated c
                           WHERE c.doc_id = n.doc_id)
     )
-    SELECT '1_raw' AS stage, COUNT(*) AS n_docs, SUM(n_words) AS n_tokens
+    SELECT '1_raw' AS stage, COUNT(*) AS n_docs,
+           CAST(SUM(n_words) AS BIGINT) AS n_tokens
     FROM base
     UNION ALL
-    SELECT '2_quality', COUNT(*), SUM(n_words) FROM quality
+    SELECT '2_quality', COUNT(*), CAST(SUM(n_words) AS BIGINT) FROM quality
     UNION ALL
-    SELECT '3_exact_dedup', COUNT(*), SUM(n_words) FROM exact
+    SELECT '3_exact_dedup', COUNT(*), CAST(SUM(n_words) AS BIGINT) FROM exact
     UNION ALL
-    SELECT '4_norm_dedup', COUNT(*), SUM(n_words) FROM norm
+    SELECT '4_norm_dedup', COUNT(*), CAST(SUM(n_words) AS BIGINT) FROM norm
     UNION ALL
-    SELECT '5_decontaminated', COUNT(*), SUM(n_words) FROM clean
+    SELECT '5_decontaminated', COUNT(*), CAST(SUM(n_words) AS BIGINT) FROM clean
     """,
 )
 def pipeline_corpus_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:

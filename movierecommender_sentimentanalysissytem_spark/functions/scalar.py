@@ -436,7 +436,7 @@ def fn_try_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT event_type,
            COUNT(*) AS n,
-           SUM(CAST(props->>'$.k' AS INTEGER)) AS sum_k,
+           CAST(SUM(CAST(props->>'$.k' AS INTEGER)) AS BIGINT) AS sum_k,
            COUNT(CASE WHEN CAST(props->>'$.k' AS INTEGER) > 50 THEN 1 END)
                AS n_over_50
     FROM events GROUP BY event_type

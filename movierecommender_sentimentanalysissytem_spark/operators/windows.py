@@ -193,19 +193,71 @@ def win_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def win_ntile_percent(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Quartiles / percent_rank / cume_dist over the full order set.
+    """Quartiles / percent_rank / cume_dist over the full order set,
+    computed WITHOUT a global single-task window.
 
-    Note: a global (unpartitioned) window funnels through one task — at
-    100 TB this shape must be pre-bucketed or replaced with
-    approx-quantile cutoffs; it exists here for API parity.
+    A naive ``Window.orderBy(...)`` with no partition funnels every row
+    through one task — the classic 100 TB cliff. This is the distributed
+    two-pass form (same trick as curation_shard_token_budget's prefix
+    sum):
+
+      1. ``repartitionByRange`` on the sort key — disjoint, ordered key
+         ranges, one shuffle, all partitions ranked in parallel;
+      2. per-partition ``row_number`` (window partitioned by the range
+         partition id — embarrassingly parallel);
+      3. per-partition counts (≤ shuffle-partitions rows) → cumulative
+         offsets via a window over that TINY frame, broadcast back;
+      4. global rank = offset + local row number, and ntile /
+         percent_rank / cume_dist fall out arithmetically (the sort key
+         includes the unique ``o_orderkey``, so rank is tie-free and the
+         tie-sensitive definitions collapse to rank math).
+
+    The only ordered-global state is the per-partition count vector —
+    O(shuffle partitions), not O(rows).
     """
-    o = table(spark, sf_dir, "orders")
-    w = Window.orderBy("o_totalprice", "o_orderkey")
-    return o.select(
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    ranged = o.repartitionByRange("o_totalprice", "o_orderkey").withColumn(
+        "pid", F.spark_partition_id()
+    )
+    local = ranged.withColumn(
+        "lrn",
+        F.row_number().over(
+            Window.partitionBy("pid").orderBy("o_totalprice", "o_orderkey")
+        ),
+    )
+    counts = ranged.groupBy("pid").agg(F.count(F.lit(1)).alias("cnt"))
+    w_pid = Window.orderBy("pid")
+    offsets = counts.select(
+        "pid",
+        F.coalesce(
+            F.sum("cnt").over(w_pid.rowsBetween(Window.unboundedPreceding, -1)),
+            F.lit(0),
+        ).alias("off"),
+        F.sum("cnt")
+        .over(
+            w_pid.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        )
+        .alias("n_total"),
+    )
+    ranked = local.join(F.broadcast(offsets), "pid").withColumn(
+        "rnk", F.col("off") + F.col("lrn")
+    )
+    # SQL NTILE(4): the first (n mod 4) tiles hold ceil(n/4) rows, the
+    # rest floor(n/4). CASE branches evaluate lazily, so the base-0
+    # (< 4 rows) edge never divides by zero.
+    n, rnk = F.col("n_total"), F.col("rnk")
+    base = F.expr("n_total div 4")
+    rem = n % 4
+    cut = rem * (base + 1)
+    quartile = F.when(
+        rnk <= cut, F.expr("(rnk - 1) div ((n_total div 4) + 1)") + 1
+    ).otherwise(rem + F.expr("(rnk - (n_total % 4) * ((n_total div 4) + 1) - 1) div (n_total div 4)") + 1)
+    prank = F.when(n == 1, F.lit(0.0)).otherwise((rnk - 1) / (n - 1))
+    return ranked.select(
         "o_orderkey",
-        F.ntile(4).over(w).cast("int").alias("quartile"),
-        F.round(F.percent_rank().over(w), 4).alias("prank"),
-        F.round(F.cume_dist().over(w), 4).alias("cdist"),
+        quartile.cast("int").alias("quartile"),
+        F.round(prank, 4).alias("prank"),
+        F.round(rnk / n, 4).alias("cdist"),
     )
 
 

@@ -43,7 +43,9 @@ NLJ_OK = {
     "dedup_ngram_jaccard",  # blocked pair join (inequality keys)
     "dedup_near_minhash",   # doc_id < doc_id on band-collided pairs
     "multimodal_columns",   # 1-row query vector cross join
-    "win_ntile_percent",    # documented single-partition global window
+    "win_ntile_percent",    # two-pass rank: the only SinglePartition is
+                            # the per-partition-counts offset window
+                            # (O(shuffle partitions) rows, not O(rows))
     "text_tfidf",           # 1-row N-docs scalar broadcast cross join
     "agg_hll_sketch_union",  # 1-row exact × 1-row sketch-estimate cross
     "corpus_mix_rebalance",   # 1-row corpus-total broadcast cross join

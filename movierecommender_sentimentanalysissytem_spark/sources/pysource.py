@@ -72,7 +72,7 @@ if _HAS_DS_API:
     SELECT CAST(range % 7 AS BIGINT) AS bucket,
            COUNT(*) AS n,
            CAST(SUM(range) AS BIGINT) AS id_sum,
-           ROUND(SUM(range * 0.5), 4) AS half_sum
+           ROUND(CAST(SUM(range * 0.5) AS DOUBLE), 4) AS half_sum
     FROM range(1000)
     GROUP BY bucket
     """,

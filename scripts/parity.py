@@ -46,6 +46,55 @@ def sortkey(row):
     return tuple((x is None, str(type(x)), str(x)) for x in row)
 
 
+_SPARK_INT_TYPES = frozenset({"tinyint", "smallint", "int", "bigint"})
+_DUCK_INT_TYPES = frozenset({"TINYINT", "SMALLINT", "INTEGER", "BIGINT",
+                             "UTINYINT", "USMALLINT", "UINTEGER", "UBIGINT"})
+
+
+def type_drift(spark_dtypes, duck_cols, duck_types):
+    """Detect cross-engine result-type drift that value comparison (after
+    Decimal→float normalization) hides but the driver's value-hash does
+    not — the class behind the r3 ``scan_schema_evolution`` /
+    ``maintenance_compact_small_files`` hash-fails, where an uncast
+    DuckDB SUM(integer) produced HUGEINT against Spark's BIGINT.
+
+    Returns a list of human-readable drift descriptions (empty = clean).
+    """
+    spark_map = dict(spark_dtypes)
+    drifts = []
+    for col, dt in zip(duck_cols, duck_types):
+        duck_t = str(dt).upper()
+        spark_t = spark_map.get(col)
+        if spark_t is None:
+            continue
+        spark_base = spark_t.split("(")[0]
+        if spark_base in _SPARK_INT_TYPES:
+            if duck_t == "HUGEINT" or duck_t.startswith("DECIMAL"):
+                drifts.append(
+                    f"col {col!r}: duck {duck_t} vs spark {spark_t}"
+                    " — wrap the oracle aggregate in CAST(... AS BIGINT)"
+                )
+            elif duck_t in ("DOUBLE", "FLOAT"):
+                drifts.append(
+                    f"col {col!r}: duck {duck_t} vs spark integer {spark_t}"
+                    " — int-vs-float render drift"
+                )
+        elif spark_base in ("double", "float"):
+            if duck_t in _DUCK_INT_TYPES or duck_t == "HUGEINT" or duck_t.startswith(
+                "DECIMAL"
+            ):
+                drifts.append(
+                    f"col {col!r}: duck {duck_t} vs spark {spark_t}"
+                    " — cast the oracle to DOUBLE"
+                )
+        elif spark_base == "decimal" and duck_t in ("DOUBLE", "FLOAT"):
+            drifts.append(
+                f"col {col!r}: duck {duck_t} vs spark {spark_t}"
+                " — decimal-vs-float render drift"
+            )
+    return drifts
+
+
 def compare(spark_rows, spark_cols, duck_rows, duck_cols):
     """Returns (ok, message). Mirrors the driver: sort columns by name,
     sort rows, compare values."""
@@ -130,12 +179,17 @@ def main() -> int:
         try:
             rel = con.sql(oracles[key])
             duck_cols = list(rel.columns)
+            duck_types = list(rel.types)
             duck_rows = rel.fetchall()
         except Exception as exc:  # noqa: BLE001
             print(f"FAIL {key}: duckdb error: {exc}")
             n_fail += 1
             continue
         ok, msg = compare(spark_rows, spark_cols, duck_rows, duck_cols)
+        if ok:
+            drifts = type_drift(sdf.dtypes, duck_cols, duck_types)
+            if drifts:
+                ok, msg = False, "type drift (hash risk): " + "; ".join(drifts)
         status = "PASS" if ok else "FAIL"
         if ok:
             n_pass += 1

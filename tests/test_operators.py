@@ -147,3 +147,41 @@ def test_lsh_bucket_cap_keeps_dup_heavy_corpus_linear(spark):
         F.lit("k").alias("band_key"),
     )
     assert len(_lsh_candidate_pairs(small).collect()) == 10
+
+
+def test_two_pass_ntile_matches_global_window(spark):
+    """win_ntile_percent's distributed two-pass rank must reproduce
+    Spark's own global-window ntile/percent_rank/cume_dist exactly —
+    including the N % 4 != 0 uneven-tile split and tiny-N (< 4 rows)
+    edge where some tiles are empty."""
+    import tempfile
+
+    from pyspark.sql import Window
+
+    for n in (3, 7, 1000):
+        with tempfile.TemporaryDirectory() as tmp:
+            spark.range(n).select(
+                F.col("id").alias("o_orderkey"),
+                # non-monotone price so rank order != insertion order
+                ((F.col("id") * 7919) % 104729).cast("double").alias(
+                    "o_totalprice"
+                ),
+                F.lit(1).alias("o_custkey"),
+            ).write.parquet(f"{tmp}/orders.parquet")
+            got = {
+                r.o_orderkey: (r.quartile, r.prank, r.cdist)
+                for r in QS["win_ntile_percent"](spark, tmp).collect()
+            }
+            w = Window.orderBy("o_totalprice", "o_orderkey")
+            exp = {
+                r.o_orderkey: (r.quartile, r.prank, r.cdist)
+                for r in spark.read.parquet(f"{tmp}/orders.parquet")
+                .select(
+                    "o_orderkey",
+                    F.ntile(4).over(w).cast("int").alias("quartile"),
+                    F.round(F.percent_rank().over(w), 4).alias("prank"),
+                    F.round(F.cume_dist().over(w), 4).alias("cdist"),
+                )
+                .collect()
+            }
+            assert got == exp, f"n={n}"
