@@ -90,7 +90,7 @@ def _load_all_modules() -> None:
 # sweep has a per-round key budget, so ordering decides coverage). The
 # three approx keys that errored in r1 are excluded — they were rewritten
 # and must be re-verified.
-_R1_DRIVER_GREEN = frozenset(
+_R1_DRIVER_CHECKED = frozenset(
     """
     scan_parquet scan_projection_pushdown scan_csv scan_json sink_parquet
     filter_simple filter_compound project_expressions project_case cast_types
@@ -110,7 +110,7 @@ _R1_DRIVER_GREEN = frozenset(
 # green / rows-only-recorded entries. ``fn_math`` is deliberately
 # excluded — it hash-failed in r2 (uncast CEIL/FLOOR in its oracle,
 # fixed in functions/scalar.py) and must be re-verified first in r3.
-_R2_DRIVER_GREEN = frozenset(
+_R2_DRIVER_CHECKED = frozenset(
     """
     agg_approx_count_distinct win_ntile_percent win_first_last
     sort_multikey limit_offset sample_deterministic
@@ -135,7 +135,7 @@ _R2_DRIVER_GREEN = frozenset(
 # ``maintenance_compact_small_files`` — uncast integer SUMs → DuckDB
 # HUGEINT vs Spark BIGINT, oracles fixed in operators/storage.py) are
 # deliberately excluded and re-verified first in r4.
-_R3_DRIVER_GREEN = frozenset(
+_R3_DRIVER_CHECKED = frozenset(
     """
     fn_math stream_stream_join stream_stream_left_join
     agg_approx_percentile agg_hll_sketch_union
@@ -160,10 +160,10 @@ _R3_DRIVER_GREEN = frozenset(
 )
 
 # Every key with a non-red driver row (r1 + r2 + r3). Note the two ML
-# keys inside _R2_DRIVER_GREEN are rows-only records, not hash-greens —
+# keys inside _R2_DRIVER_CHECKED are rows-only records, not hash-greens —
 # rows-only is the strongest check available for oracle-less keys, so
 # they are deprioritized the same way.
-_DRIVER_GREEN = _R1_DRIVER_GREEN | _R2_DRIVER_GREEN | _R3_DRIVER_GREEN
+_DRIVER_CHECKED = _R1_DRIVER_CHECKED | _R2_DRIVER_CHECKED | _R3_DRIVER_CHECKED
 
 # Round-4 front of the sweep queue: the two r3 hash-fails whose oracles
 # were fixed (CAST ... AS BIGINT). After them the 58 never-checked keys
@@ -235,7 +235,7 @@ def _sweep_order(keys: list[str]) -> list[str]:
     def group(k: str) -> int:
         if k in prio:
             return 0
-        if k in _DRIVER_GREEN:
+        if k in _DRIVER_CHECKED:
             return 3
         return 1 if k in _SECTION2 else 2
 

@@ -77,7 +77,7 @@ def test_sweep_order_maximizes_new_driver_coverage():
     then every key without a driver row sorts before every
     already-checked key, so the unchecked∩first-50 set is maximal."""
     from movierecommender_sentimentanalysissytem_spark.registry import (
-        _DRIVER_GREEN,
+        _DRIVER_CHECKED,
         _PRIORITY_R4,
         oracle_sql,
         queries,
@@ -89,16 +89,16 @@ def test_sweep_order_maximizes_new_driver_coverage():
     # (1) no already-checked key may precede an unchecked key
     rest = [k for k in order if k not in _PRIORITY_R4]
     first_checked = next(
-        (i for i, k in enumerate(rest) if k in _DRIVER_GREEN), len(rest)
+        (i for i, k in enumerate(rest) if k in _DRIVER_CHECKED), len(rest)
     )
-    stragglers = [k for k in rest[first_checked:] if k not in _DRIVER_GREEN]
+    stragglers = [k for k in rest[first_checked:] if k not in _DRIVER_CHECKED]
     assert not stragglers, f"unchecked keys sorted after checked ones: {stragglers}"
     # (2) the 50-key budget is spent on maximal NEW signal
-    unchecked = [k for k in order if k not in _DRIVER_GREEN]
+    unchecked = [k for k in order if k not in _DRIVER_CHECKED]
     want_new = min(50 - len(_PRIORITY_R4), len(unchecked))
-    got_new = sum(1 for k in order[:50] if k not in _DRIVER_GREEN)
+    got_new = sum(1 for k in order[:50] if k not in _DRIVER_CHECKED)
     assert got_new >= want_new + len(
-        [k for k in _PRIORITY_R4 if k not in _DRIVER_GREEN]
+        [k for k in _PRIORITY_R4 if k not in _DRIVER_CHECKED]
     ) - len(_PRIORITY_R4) or got_new >= want_new, (
         f"first 50 contains {got_new} unchecked keys, want ≥{want_new}"
     )
