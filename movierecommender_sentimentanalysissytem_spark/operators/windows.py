@@ -199,47 +199,53 @@ def win_ntile_percent(spark: SparkSession, sf_dir: str) -> DataFrame:
     A naive ``Window.orderBy(...)`` with no partition funnels every row
     through one task — the classic 100 TB cliff. This is the distributed
     two-pass form (same trick as curation_shard_token_budget's prefix
-    sum):
+    sum), with exactly ONE full-data shuffle:
 
-      1. ``repartitionByRange`` on the sort key — disjoint, ordered key
-         ranges, one shuffle, all partitions ranked in parallel;
-      2. per-partition ``row_number`` (window partitioned by the range
-         partition id — embarrassingly parallel);
-      3. per-partition counts (≤ shuffle-partitions rows) → cumulative
-         offsets via a window over that TINY frame, broadcast back;
+      1. bucket rows by a monotone range of the leading sort key
+         (``floor(o_totalprice / W)`` — contiguous value ranges, so
+         bucket order IS global order);
+      2. per-bucket ``row_number`` — one hash shuffle on ``bkt``, all
+         buckets ranked in parallel;
+      3. per-bucket counts via map-side partial aggregation (the
+         full-data side of that groupBy never shuffles — only
+         O(buckets) partial rows move) → cumulative offsets via a
+         window over that TINY frame, broadcast back;
       4. global rank = offset + local row number, and ntile /
          percent_rank / cume_dist fall out arithmetically (the sort key
          includes the unique ``o_orderkey``, so rank is tie-free and the
          tie-sensitive definitions collapse to rank math).
 
-    The only ordered-global state is the per-partition count vector —
-    O(shuffle partitions), not O(rows).
+    Fixed-width buckets fit the fixture's bounded, roughly uniform
+    price domain; at real scale the same plan runs with
+    ``approxQuantile``-derived boundaries instead, which bounds skew
+    without changing any downstream step. The only ordered-global state
+    is the bucket count vector — O(buckets), not O(rows).
     """
     o = table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
-    ranged = o.repartitionByRange("o_totalprice", "o_orderkey").withColumn(
-        "pid", F.spark_partition_id()
+    b = o.withColumn(
+        "bkt", F.floor(F.col("o_totalprice") / F.lit(10_000.0)).cast("long")
     )
-    local = ranged.withColumn(
+    local = b.withColumn(
         "lrn",
         F.row_number().over(
-            Window.partitionBy("pid").orderBy("o_totalprice", "o_orderkey")
+            Window.partitionBy("bkt").orderBy("o_totalprice", "o_orderkey")
         ),
     )
-    counts = ranged.groupBy("pid").agg(F.count(F.lit(1)).alias("cnt"))
-    w_pid = Window.orderBy("pid")
+    counts = b.groupBy("bkt").agg(F.count(F.lit(1)).alias("cnt"))
+    w_bkt = Window.orderBy("bkt")
     offsets = counts.select(
-        "pid",
+        "bkt",
         F.coalesce(
-            F.sum("cnt").over(w_pid.rowsBetween(Window.unboundedPreceding, -1)),
+            F.sum("cnt").over(w_bkt.rowsBetween(Window.unboundedPreceding, -1)),
             F.lit(0),
         ).alias("off"),
         F.sum("cnt")
         .over(
-            w_pid.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+            w_bkt.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
         )
         .alias("n_total"),
     )
-    ranked = local.join(F.broadcast(offsets), "pid").withColumn(
+    ranked = local.join(F.broadcast(offsets), "bkt").withColumn(
         "rnk", F.col("off") + F.col("lrn")
     )
     # SQL NTILE(4): the first (n mod 4) tiles hold ceil(n/4) rows, the

@@ -152,3 +152,24 @@ def test_range_binned_join_is_hash_not_nested_loop(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "Join" in plan  # an actual equi-join strategy is present
+
+
+def test_two_pass_ntile_single_full_shuffle(spark):
+    """win_ntile_percent's two-pass rank must keep exactly ONE
+    full-data exchange (the bkt hash partition for the local windows).
+    The counts branch must partial-aggregate map-side (only O(buckets)
+    rows shuffle), and the sole SinglePartition exchange must sit above
+    that aggregate, never above the full table."""
+    plan = _plan(spark, "win_ntile_percent")
+    import re
+
+    full_hash = [
+        m for m in re.findall(r"hashpartitioning\(bkt#\d+L?, \d+\)", plan)
+    ]
+    # one window exchange + one post-partial-agg counts exchange
+    assert len(full_hash) == 2, plan
+    assert plan.count("SinglePartition") == 1
+    # the counts lineage aggregates before its exchange: a partial
+    # HashAggregate must appear with count(1) partial function
+    assert "partial_count" in plan
+    assert "rangepartitioning" not in plan  # old 3-shuffle shape is gone
