@@ -195,30 +195,49 @@ _ALL_PAIRS = """
             x -> named_struct('doc_a', element_at(ids, i), 'doc_b', x))))
 """
 
-_STAR_PAIRS = """
-    transform(slice(ids, 2, size(ids) - 1),
-        x -> named_struct('doc_a', element_at(ids, 1), 'doc_b', x))
-"""
-
-
 def _lsh_candidate_pairs(bands: DataFrame, cap: int = LSH_BUCKET_CAP) -> DataFrame:
-    """Candidate pairs from band buckets in ONE shuffle (groupBy +
-    collect, pairs generated JVM-side from the sorted bucket array) —
-    no band self-join, no extra distinct. Buckets over ``cap`` fall
-    back to star pairs (see LSH_BUCKET_CAP). Cross-band duplicate
-    pairs remain; callers dedupe on (doc_a, doc_b)."""
-    buckets = (
-        bands.groupBy("band_id", "band_key")
+    """Candidate pairs from band buckets with BOUNDED per-group state.
+
+    Bucket stats (count + min doc_id) are aggregated first; then:
+
+    - buckets within ``cap``: members are collected and expanded to all
+      pairs JVM-side — the collected array is provably ≤ ``cap`` long,
+      so aggregation state is bounded no matter how degenerate the
+      corpus;
+    - oversized buckets: each member row joins the bucket hub (the min
+      doc_id) and emits ONE star pair directly — no member array ever
+      materializes, so a pathological bucket (billions of boilerplate
+      near-identical docs collapsing into one band key) streams through
+      as ordinary rows instead of building a single giant
+      ``collect_list`` group (the OOM cliff of the naive form).
+
+    All branches hash-partition on the band key, so the physical plan
+    keeps ONE full-data shuffle with the stats/join/collect exchanges
+    reused. Cross-band duplicate pairs remain; callers dedupe on
+    (doc_a, doc_b)."""
+    keys = ["band_id", "band_key"]
+    # Bucket size + hub as window functions over the band-key partition:
+    # O(1) aggregation state inside a spilling operator (vs building the
+    # bucket array in agg state), no stats join, ONE full-data shuffle.
+    # The linear annotated-members frame is cached so the small/large
+    # branches don't recompute the shuffle.
+    w = Window.partitionBy(*keys)
+    m = scoped_persist(
+        bands.withColumn("n", F.count(F.lit(1)).over(w))
+        .withColumn("hub", F.min("doc_id").over(w))
+        .filter(F.col("n") >= 2)
+    )
+    small = (
+        m.filter(F.col("n") <= cap)
+        .groupBy(*keys)
         .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
-        .filter(F.size("ids") >= 2)
+        .select(F.explode(F.expr(_ALL_PAIRS)).alias("p"))
+        .select("p.doc_a", "p.doc_b")
     )
-    pair_expr = (
-        f"CASE WHEN size(ids) <= {cap} THEN {_ALL_PAIRS} "
-        f"ELSE {_STAR_PAIRS} END"
+    large = m.filter((F.col("n") > cap) & (F.col("doc_id") != F.col("hub"))).select(
+        F.col("hub").alias("doc_a"), F.col("doc_id").alias("doc_b")
     )
-    return buckets.select(F.explode(F.expr(pair_expr)).alias("p")).select(
-        "p.doc_a", "p.doc_b"
-    )
+    return small.unionByName(large)
 
 
 @query("dedup_near_minhash", oracle=_minhash_oracle())
