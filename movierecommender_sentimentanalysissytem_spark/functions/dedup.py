@@ -389,35 +389,59 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Blocked brute-force n-gram Jaccard: candidate pairs share a
-    language and a ±30-char length band (cheap blocking keys), then
-    exact 3-gram Jaccard ≥ 0.3. The blocking keeps the pair count
-    near-linear; the MinHash operator is the unblocked scale path."""
+    """Blocked n-gram Jaccard as a true EQUI-join: candidates must share
+    a language and sit within a ±30-char length band, then exact 3-gram
+    Jaccard ≥ 0.3 verifies.
+
+    The length band is binned (the join_range_binned idiom): bin width
+    equals the band width, the probe side explodes each doc into its
+    three neighboring bins, and the join becomes a hash equi-join on
+    (lang, bin). |Δn_chars| ≤ 30 guarantees the partner's bin is within
+    ±1 and each bin matches exactly once, so the pair set is identical
+    to the naive inequality formulation — but the plan is a shuffled
+    hash/sort-merge join whose work is Σ|block|², not a nested-loop
+    Σ|lang|² (quadratic in the corpus for low-cardinality lang)."""
     d = (
         table(spark, sf_dir, "documents")
         .withColumn("w", F.split("text", " "))
         .filter(F.size("w") >= 3)
     )
     sh = d.select(
-        "doc_id", "lang", "n_chars", F.expr(_SPARK_SHINGLES_W).alias("s")
+        "doc_id",
+        "lang",
+        "n_chars",
+        F.expr(_SPARK_SHINGLES_W).alias("s"),
+        F.floor(F.col("n_chars") / F.lit(30)).alias("bin"),
     )
-    a, b = sh.alias("a"), sh.alias("b")
-    jacc = F.size(
-        F.array_intersect(F.col("a.s"), F.col("b.s"))
-    ).cast("double") / F.size(F.array_union(F.col("a.s"), F.col("b.s")))
+    a = sh.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("lang").alias("lang_a"),
+        F.col("n_chars").alias("nc_a"),
+        F.col("s").alias("s_a"),
+        F.explode(
+            F.array(F.col("bin") - 1, F.col("bin"), F.col("bin") + 1)
+        ).alias("pbin"),
+    )
+    b = sh.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("lang").alias("lang_b"),
+        F.col("n_chars").alias("nc_b"),
+        F.col("s").alias("s_b"),
+        F.col("bin").alias("pbin_b"),
+    )
+    jacc = F.size(F.array_intersect("s_a", "s_b")).cast("double") / F.size(
+        F.array_union("s_a", "s_b")
+    )
     return (
         a.join(
             b,
-            (F.col("a.lang") == F.col("b.lang"))
-            & (F.col("a.doc_id") < F.col("b.doc_id"))
-            & (F.abs(F.col("a.n_chars") - F.col("b.n_chars")) <= 30),
+            (F.col("pbin") == F.col("pbin_b"))
+            & (F.col("lang_a") == F.col("lang_b"))
+            & (F.col("doc_a") < F.col("doc_b"))
+            & (F.abs(F.col("nc_a") - F.col("nc_b")) <= 30),
         )
         .filter(jacc >= 0.3)
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            round4(jacc).alias("jaccard"),
-        )
+        .select("doc_a", "doc_b", round4(jacc).alias("jaccard"))
     )
 
 

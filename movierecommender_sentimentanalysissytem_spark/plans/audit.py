@@ -40,7 +40,6 @@ NLJ_OK = {
     "sim_topk_neighbors",  # 10-row query block broadcast
     "sim_threshold_join",  # vec_id < vec_id band on one table
     "dedup_embedding_cosine",
-    "dedup_ngram_jaccard",  # blocked pair join (inequality keys)
     "dedup_near_minhash",   # doc_id < doc_id on band-collided pairs
     "multimodal_columns",   # 1-row query vector cross join
     "win_ntile_percent",    # two-pass rank: the only SinglePartition is
