@@ -39,7 +39,6 @@ NLJ_OK = {
     "join_cross",          # 5 × 25 literal dims
     "sim_topk_neighbors",  # 10-row query block broadcast
     "sim_threshold_join",  # vec_id < vec_id band on one table
-    "dedup_embedding_cosine",
     "dedup_near_minhash",   # doc_id < doc_id on band-collided pairs
     "multimodal_columns",   # 1-row query vector cross join
     "win_ntile_percent",    # two-pass rank: the only SinglePartition is
