@@ -344,3 +344,93 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(F.col("nxt").alias("node"), "pr")
         )
     return scores
+
+
+@query(
+    "rec_item_similarity",
+    oracle="""
+    WITH ratings AS (
+        SELECT o_custkey AS u, l_partkey AS item,
+               CAST(SUM(l_quantity) AS BIGINT) AS r
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY o_custkey, l_partkey
+    ),
+    norms AS (
+        SELECT item, SQRT(CAST(SUM(r * r) AS BIGINT)) AS nrm
+        FROM ratings GROUP BY item
+    ),
+    pairs AS (
+        SELECT a.item AS item_a, b.item AS item_b,
+               CAST(SUM(a.r * b.r) AS BIGINT) AS dot,
+               COUNT(*) AS n_users
+        FROM ratings a JOIN ratings b
+          ON a.u = b.u AND a.item < b.item
+        GROUP BY a.item, b.item
+        HAVING COUNT(*) >= 2
+    )
+    SELECT item_a, item_b, n_users,
+           FLOOR(dot / (na.nrm * nb.nrm) * 10000 + 0.5) / 10000 AS cos_sim
+    FROM pairs
+    JOIN norms na ON na.item = item_a
+    JOIN norms nb ON nb.item = item_b
+    """,
+)
+def rec_item_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-item cosine similarity over the co-rating matrix — the
+    archetype's "movies similar to X" primitive (item-based CF),
+    complementing co-occurrence counts with rating-weighted cosine.
+
+    Ratings are integer SUM(l_quantity) per (user, item), so every dot
+    product and squared norm is EXACT integer arithmetic — the only
+    float ops are two sqrts and one division, which are
+    order-independent and therefore hash-identical cross-engine (no
+    accumulation-order drift, unlike AVG-based ratings).
+
+    Scale shape: the pair generation is an equi-self-join on the user
+    key, quadratic only within one user's item basket (the bounded-
+    bucket argument of rec_item_cooccurrence / the LSH band cap — a
+    mega-user corpus caps or samples baskets first); dot products then
+    reduce by (item_a, item_b) with map-side partial aggregation, and
+    norms broadcast-join back onto the pair aggregate.
+    """
+    from movierecommender_sentimentanalysissytem_spark.functions.rounding import round4
+
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    ratings = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy(
+            F.col("o_custkey").alias("u"),
+            F.col("l_partkey").alias("item"),
+        )
+        .agg(F.sum("l_quantity").cast("bigint").alias("r"))
+    )
+    norms = ratings.groupBy("item").agg(
+        F.sqrt(F.sum(F.col("r") * F.col("r"))).alias("nrm")
+    )
+    a = ratings.select("u", F.col("item").alias("item_a"), F.col("r").alias("ra"))
+    b = ratings.select("u", F.col("item").alias("item_b"), F.col("r").alias("rb"))
+    pairs = (
+        a.join(b, "u")
+        .filter(F.col("item_a") < F.col("item_b"))
+        .groupBy("item_a", "item_b")
+        .agg(
+            F.sum(F.col("ra") * F.col("rb")).cast("bigint").alias("dot"),
+            F.count(F.lit(1)).alias("n_users"),
+        )
+        .filter(F.col("n_users") >= 2)
+    )
+    na = norms.select(F.col("item").alias("item_a"), F.col("nrm").alias("nrm_a"))
+    nb = norms.select(F.col("item").alias("item_b"), F.col("nrm").alias("nrm_b"))
+    return (
+        pairs.join(na, "item_a")
+        .join(nb, "item_b")
+        .select(
+            "item_a",
+            "item_b",
+            "n_users",
+            round4(F.col("dot") / (F.col("nrm_a") * F.col("nrm_b"))).alias(
+                "cos_sim"
+            ),
+        )
+    )
