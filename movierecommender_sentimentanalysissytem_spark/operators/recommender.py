@@ -346,14 +346,29 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scores
 
 
+# Per-user basket cap for pairwise CF: bounds the quadratic term of the
+# user self-join under adversarial data (bot users). Mirrored verbatim
+# in the SQL oracle (rn <= 1000); test fixtures peak at ~40 items/user,
+# so the cap never binds where exactness is checked.
+_BASKET_CAP = 1000
+
+
 @query(
     "rec_item_similarity",
     oracle="""
-    WITH ratings AS (
+    WITH ratings_all AS (
         SELECT o_custkey AS u, l_partkey AS item,
                CAST(SUM(l_quantity) AS BIGINT) AS r
         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         GROUP BY o_custkey, l_partkey
+    ),
+    ratings AS (
+        SELECT u, item, r FROM (
+            SELECT u, item, r,
+                   ROW_NUMBER() OVER (PARTITION BY u
+                                      ORDER BY r DESC, item) AS rn
+            FROM ratings_all
+        ) WHERE rn <= 1000
     ),
     norms AS (
         SELECT item, SQRT(CAST(SUM(r * r) AS BIGINT)) AS nrm
@@ -387,23 +402,33 @@ def rec_item_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     accumulation-order drift, unlike AVG-based ratings).
 
     Scale shape: the pair generation is an equi-self-join on the user
-    key, quadratic only within one user's item basket (the bounded-
-    bucket argument of rec_item_cooccurrence / the LSH band cap — a
-    mega-user corpus caps or samples baskets first); dot products then
-    reduce by (item_a, item_b) with map-side partial aggregation, and
-    norms broadcast-join back onto the pair aggregate.
+    key, quadratic only within one user's item basket — and the basket
+    is CAPPED, not merely assumed small: each user keeps their top
+    ``_BASKET_CAP`` items by rating (deterministic tie-break on item
+    id), enforced identically in the oracle, so a mega-user (a bot
+    rating millions of items) contributes a bounded pair count instead
+    of a quadratic hot key. The cap never binds at test SFs (~40
+    items/user), keeping results exact there. Dot products then reduce
+    by (item_a, item_b) with map-side partial aggregation, and norms
+    join back onto the reduced pair aggregate.
     """
     from movierecommender_sentimentanalysissytem_spark.functions.rounding import round4
 
     li = table(spark, sf_dir, "lineitem")
     o = table(spark, sf_dir, "orders")
-    ratings = (
+    ratings_all = (
         li.join(o, li.l_orderkey == o.o_orderkey)
         .groupBy(
             F.col("o_custkey").alias("u"),
             F.col("l_partkey").alias("item"),
         )
         .agg(F.sum("l_quantity").cast("bigint").alias("r"))
+    )
+    w_u = Window.partitionBy("u").orderBy(F.desc("r"), F.asc("item"))
+    ratings = (
+        ratings_all.withColumn("rn", F.row_number().over(w_u))
+        .filter(F.col("rn") <= _BASKET_CAP)
+        .drop("rn")
     )
     norms = ratings.groupBy("item").agg(
         F.sqrt(F.sum(F.col("r") * F.col("r"))).alias("nrm")
