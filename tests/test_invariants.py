@@ -219,3 +219,108 @@ def test_prefix_sum_sharding_is_bucket_width_independent(spark):
         }
 
     assert shards(1000) == shards(37)
+
+
+def test_binned_jaccard_blocking_equals_naive_inequality_join(spark):
+    """The (lang, length-bin) equi-join rewrite of dedup_ngram_jaccard
+    must produce the IDENTICAL candidate pair set as the naive
+    lang-equal + |dn_chars| <= 30 inequality join — including docs
+    sitting exactly on bin boundaries and exactly 30 chars apart."""
+    rng = random.Random(7)
+    rows = [
+        # cluster lengths around bin edges (width 30) to stress the
+        # boundary cases: 29/30/31, 59/60/61, plus random fill
+        (i, rng.choice(["en", "de"]), n)
+        for i, n in enumerate(
+            [29, 30, 31, 59, 60, 61, 89, 90, 0, 1]
+            + [rng.randint(0, 200) for _ in range(60)]
+        )
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, n_chars long")
+    naive = {
+        (r.a, r.b)
+        for r in df.alias("x")
+        .join(
+            df.alias("y"),
+            (F.col("x.lang") == F.col("y.lang"))
+            & (F.col("x.doc_id") < F.col("y.doc_id"))
+            & (F.abs(F.col("x.n_chars") - F.col("y.n_chars")) <= 30),
+        )
+        .select(F.col("x.doc_id").alias("a"), F.col("y.doc_id").alias("b"))
+        .collect()
+    }
+    binned = df.withColumn("bin", F.floor(F.col("n_chars") / F.lit(30)))
+    a = binned.select(
+        F.col("doc_id").alias("a"),
+        F.col("lang").alias("lang_a"),
+        F.col("n_chars").alias("nc_a"),
+        F.explode(
+            F.array(F.col("bin") - 1, F.col("bin"), F.col("bin") + 1)
+        ).alias("pbin"),
+    )
+    b = binned.select(
+        F.col("doc_id").alias("b"),
+        F.col("lang").alias("lang_b"),
+        F.col("n_chars").alias("nc_b"),
+        F.col("bin").alias("pbin_b"),
+    )
+    got = {
+        (r.a, r.b)
+        for r in a.join(
+            b,
+            (F.col("pbin") == F.col("pbin_b"))
+            & (F.col("lang_a") == F.col("lang_b"))
+            & (F.col("a") < F.col("b"))
+            & (F.abs(F.col("nc_a") - F.col("nc_b")) <= 30),
+        )
+        .select("a", "b")
+        .collect()
+    }
+    assert got == naive
+
+
+def test_windowed_lsh_pairs_equal_naive_collect_list_form(spark):
+    """The bounded-state pair generator (window n/hub + hub star pairs)
+    must emit the IDENTICAL pair multiset as the naive
+    collect-the-whole-bucket formulation, across small buckets, buckets
+    exactly at the cap, and oversized buckets."""
+    from movierecommender_sentimentanalysissytem_spark.functions.dedup import (
+        LSH_BUCKET_CAP,
+        _ALL_PAIRS,
+        _lsh_candidate_pairs,
+    )
+
+    rng = random.Random(13)
+    rows = []
+    # bucket sizes: 1 (dropped), 2, cap, cap+1, 3*cap
+    for band, size in [(1, 1), (1, 2), (2, LSH_BUCKET_CAP),
+                       (3, LSH_BUCKET_CAP + 1), (4, 3 * LSH_BUCKET_CAP)]:
+        ids = rng.sample(range(100_000), size)
+        rows += [(i, band, f"k{band}") for i in ids]
+    bands = spark.createDataFrame(
+        rows, "doc_id long, band_id int, band_key string"
+    )
+    got = sorted(
+        (r.doc_a, r.doc_b) for r in _lsh_candidate_pairs(bands).collect()
+    )
+    star = """
+        transform(slice(ids, 2, size(ids) - 1),
+            x -> named_struct('doc_a', element_at(ids, 1), 'doc_b', x))
+    """
+    naive = sorted(
+        (r.doc_a, r.doc_b)
+        for r in bands.groupBy("band_id", "band_key")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
+        .filter(F.size("ids") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    f"CASE WHEN size(ids) <= {LSH_BUCKET_CAP} THEN {_ALL_PAIRS} "
+                    f"ELSE {star} END"
+                )
+            ).alias("p")
+        )
+        .select("p.doc_a", "p.doc_b")
+        .collect()
+    )
+    assert got == naive
