@@ -381,13 +381,14 @@ _BASKET_CAP = 1000
         FROM ratings a JOIN ratings b
           ON a.u = b.u AND a.item < b.item
         GROUP BY a.item, b.item
-        HAVING COUNT(*) >= 2
+        HAVING COUNT(*) >= 3
     )
     SELECT item_a, item_b, n_users,
            FLOOR(dot / (na.nrm * nb.nrm) * 10000 + 0.5) / 10000 AS cos_sim
     FROM pairs
     JOIN norms na ON na.item = item_a
     JOIN norms nb ON nb.item = item_b
+    WHERE dot / (na.nrm * nb.nrm) >= 0.2
     """,
 )
 def rec_item_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -443,19 +444,22 @@ def rec_item_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("ra") * F.col("rb")).cast("bigint").alias("dot"),
             F.count(F.lit(1)).alias("n_users"),
         )
-        .filter(F.col("n_users") >= 2)
+        .filter(F.col("n_users") >= 3)
     )
     na = norms.select(F.col("item").alias("item_a"), F.col("nrm").alias("nrm_a"))
     nb = norms.select(F.col("item").alias("item_b"), F.col("nrm").alias("nrm_b"))
+    cos = F.col("dot") / (F.col("nrm_a") * F.col("nrm_b"))
     return (
         pairs.join(na, "item_a")
         .join(nb, "item_b")
+        # similarity floor on the UNROUNDED quotient — both engines
+        # compute the identical double (exact-int dot and norms), so
+        # the cut is bit-identical cross-engine
+        .filter(cos >= 0.2)
         .select(
             "item_a",
             "item_b",
             "n_users",
-            round4(F.col("dot") / (F.col("nrm_a") * F.col("nrm_b"))).alias(
-                "cos_sim"
-            ),
+            round4(cos).alias("cos_sim"),
         )
     )
