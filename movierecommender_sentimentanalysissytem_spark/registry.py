@@ -215,7 +215,7 @@ _EXPENSIVE = frozenset(
     stream_watermark_late stream_dedup stream_stateful_counter
     stream_stream_join stream_stream_left_join
     sim_threshold_join sim_topk_ivf
-    dedup_clusters dedup_ngram_jaccard
+    dedup_clusters rec_item_similarity
     scan_python_datasource sink_python_datasource
     """.split()
 )
