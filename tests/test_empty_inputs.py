@@ -51,6 +51,7 @@ REPRESENTATIVE = [
     "udaf_pandas_grouped",
     "subq_correlated",
     "rec_top_items",
+    "rec_item_similarity",
     "merge_upsert",
     "scd2_history",
     "join_lateral",
