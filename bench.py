@@ -19,7 +19,8 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 # The headline set spans every heavy shape: scan+multiway join, wide
 # agg, window top-k, exploding text, TF-IDF joins, minhash LSH, knn
-# kernel, streaming buckets, JSON extraction, distinct, sessionize.
+# kernel, streaming buckets, JSON extraction, distinct, sessionize,
+# and the CF pair self-join (item-item cosine).
 HEADLINE = [
     "agg_groupby",
     "join_star_multiway",
@@ -35,6 +36,7 @@ HEADLINE = [
     "fn_map_json",
     "ml_eval_rmse",
     "dedup_exact",
+    "rec_item_similarity",
 ]
 
 
