@@ -17,6 +17,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from movierecommender_sentimentanalysissytem_spark.registry import query
 from movierecommender_sentimentanalysissytem_spark.sources.tables import table
@@ -651,4 +652,41 @@ def agg_boolean_family(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_if(F.col("o_totalprice") > 200000).alias("n_big"),
         F.bool_and(F.col("o_totalprice") > 0.0).alias("all_positive"),
         F.bool_or(F.col("o_orderstatus") == "P").alias("any_pending"),
+    )
+
+
+@query(
+    "agg_mode",
+    oracle="""
+    SELECT l_returnflag, l_linestatus AS mode_linestatus, n AS mode_n
+    FROM (
+        SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+               ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                                  ORDER BY COUNT(*) DESC, l_linestatus) AS rn
+        FROM lineitem GROUP BY l_returnflag, l_linestatus
+    ) WHERE rn = 1
+    """,
+)
+def agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic MODE per group: the most frequent l_linestatus per
+    return flag, ties broken by value — engines' native ``mode()``
+    breaks ties arbitrarily, so the portable form is counts → rank →
+    keep rank 1. Two aggregations, both partial-combining; the rank
+    window partitions by the outer group key (never global). State is
+    one count per (group, value) — bounded by value cardinality."""
+    li = table(spark, sf_dir, "lineitem")
+    counts = li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = Window.partitionBy("l_returnflag").orderBy(
+        F.desc("n"), F.asc("l_linestatus")
+    )
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "l_returnflag",
+            F.col("l_linestatus").alias("mode_linestatus"),
+            F.col("n").alias("mode_n"),
+        )
     )

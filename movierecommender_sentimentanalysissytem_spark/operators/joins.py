@@ -631,3 +631,104 @@ def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("o_orderkey", "event_id", F.round("value", 4).alias("next_value"))
     )
+
+
+@query(
+    "join_interval_overlap",
+    oracle="""
+    WITH iv AS (
+        SELECT o_custkey AS cust, l_orderkey AS okey,
+               CAST(FLOOR(epoch(MIN(l_shipdate)) / 86400) AS BIGINT) AS s,
+               CAST(FLOOR(epoch(MAX(l_shipdate)) / 86400) AS BIGINT) AS e
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY o_custkey, l_orderkey
+    )
+    SELECT a.cust AS cust, a.okey AS order_a, b.okey AS order_b,
+           CAST(LEAST(a.e, b.e) - GREATEST(a.s, b.s) + 1 AS BIGINT)
+               AS overlap_days
+    FROM iv a JOIN iv b
+      ON a.cust = b.cust AND a.okey < b.okey
+     AND a.s <= b.e AND b.s <= a.e
+    """,
+)
+def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap join (the shape Spark has no native operator
+    for): pairs of one customer's orders whose shipping intervals
+    [min ship day, max ship day] overlap — "concurrent open orders".
+
+    Scale mechanism: intervals are exploded into their covered
+    30-day bins and the join runs as a hash EQUI-join on
+    (customer, bin); the exact overlap predicate filters inside the
+    join. A pair sharing k bins would match k times, so the join also
+    requires bin == greatest(start-bin(a), start-bin(b)) — each
+    overlapping pair matches exactly once, in the first bin both
+    cover, with no post-join distinct. Work is Σ|bin block|², never
+    the O(n²) per-customer nested loop, and a long interval costs
+    length/W probe rows (bounded fan-out, tunable via W).
+
+    The oracle is the NAIVE inequality self-join — proving the binned
+    rewrite result-identical is the point. Day arithmetic is exact
+    integer math, hash-safe cross-engine.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    day = F.floor(F.unix_timestamp(F.col("l_shipdate")) / 86400).cast("long")
+    iv = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy(
+            F.col("o_custkey").alias("cust"),
+            F.col("l_orderkey").alias("okey"),
+        )
+        .agg(F.min(day).alias("s"), F.max(day).alias("e"))
+    )
+    w_days = 30
+    a = iv.select(
+        F.col("cust"),
+        F.col("okey").alias("order_a"),
+        F.col("s").alias("sa"),
+        F.col("e").alias("ea"),
+        F.explode(
+            F.sequence(
+                F.expr(f"s div {w_days}"), F.expr(f"e div {w_days}")
+            )
+        ).alias("bin"),
+    )
+    b = iv.select(
+        F.col("cust").alias("cust_b"),
+        F.col("okey").alias("order_b"),
+        F.col("s").alias("sb"),
+        F.col("e").alias("eb"),
+        F.explode(
+            F.sequence(
+                F.expr(f"s div {w_days}"), F.expr(f"e div {w_days}")
+            )
+        ).alias("bin_b"),
+    )
+    return (
+        a.join(
+            b,
+            (F.col("cust") == F.col("cust_b"))
+            & (F.col("bin") == F.col("bin_b"))
+            & (F.col("order_a") < F.col("order_b"))
+            & (F.col("sa") <= F.col("eb"))
+            & (F.col("sb") <= F.col("ea"))
+            & (
+                F.col("bin")
+                == F.greatest(
+                    F.expr(f"sa div {w_days}"), F.expr(f"sb div {w_days}")
+                )
+            ),
+        )
+        .select(
+            "cust",
+            "order_a",
+            "order_b",
+            (
+                F.least(F.col("ea"), F.col("eb"))
+                - F.greatest(F.col("sa"), F.col("sb"))
+                + 1
+            )
+            .cast("bigint")
+            .alias("overlap_days"),
+        )
+    )
