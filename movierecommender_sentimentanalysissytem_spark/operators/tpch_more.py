@@ -542,3 +542,83 @@ def tpch_q20_excess_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .select("s_name", "n_name")
     )
+
+
+@query(
+    "tpch_q1_pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(l_quantity) AS BIGINT) AS sum_qty,
+           FLOOR(SUM(l_extendedprice) * 10000 + 0.5) / 10000 AS sum_base_price,
+           FLOOR(SUM(l_extendedprice * (1 - l_discount)) * 10000 + 0.5) / 10000
+               AS sum_disc_price,
+           FLOOR(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax))
+                 * 10000 + 0.5) / 10000 AS sum_charge,
+           FLOOR(AVG(l_quantity) * 10000 + 0.5) / 10000 AS avg_qty,
+           FLOOR(AVG(l_extendedprice) * 10000 + 0.5) / 10000 AS avg_price,
+           FLOOR(AVG(l_discount) * 10000 + 0.5) / 10000 AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def tpch_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 (pricing summary report) verbatim on the fixture
+    columns — completes the named 22-query TPC-H set alongside
+    agg_groupby's reduced form. One scan with the ship-date predicate
+    pushed to parquet, partial+final hash aggregation over a
+    4-group key; the widest single-table aggregate in the engine."""
+    li = table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp")
+    )
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    r4 = lambda c: F.floor(c * 10000 + F.lit(0.5)) / 10000  # noqa: E731
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum("l_quantity").cast("bigint").alias("sum_qty"),
+        r4(F.sum("l_extendedprice")).alias("sum_base_price"),
+        r4(F.sum(disc_price)).alias("sum_disc_price"),
+        r4(F.sum(charge)).alias("sum_charge"),
+        r4(F.avg("l_quantity")).alias("avg_qty"),
+        r4(F.avg("l_extendedprice")).alias("avg_price"),
+        r4(F.avg("l_discount")).alias("avg_disc"),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+
+
+@query(
+    "tpch_q6_forecast_revenue",
+    oracle="""
+    SELECT FLOOR(SUM(l_extendedprice * l_discount) * 10000 + 0.5) / 10000
+               AS revenue,
+           COUNT(*) AS n_lines
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def tpch_q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 (forecasting revenue change): the canonical
+    filter-everything-then-one-sum query. All four predicates push to
+    the parquet scan (year band, discount band, quantity cap), so the
+    aggregate sees only qualifying rows — the purest pushdown showcase
+    in the set. Discount comparisons are exact: both engines read the
+    identical stored doubles."""
+    li = table(spark, sf_dir, "lineitem")
+    f = li.filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    return f.agg(
+        (
+            F.floor(F.sum(F.col("l_extendedprice") * F.col("l_discount")) * 10000 + F.lit(0.5))
+            / 10000
+        ).alias("revenue"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
