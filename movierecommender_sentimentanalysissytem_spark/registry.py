@@ -221,14 +221,27 @@ _EXPENSIVE = frozenset(
 )
 
 
+# Keys first registered in round 4 — sorted AFTER the pre-existing
+# unchecked keys within their group, so they don't displace the
+# longer-waiting (and judge-flagged) LLM-tier curation keys from the
+# 50-key sweep budget. They naturally head the following round's queue.
+_NEW_R4 = frozenset(
+    """
+    rec_item_similarity agg_mode join_interval_overlap
+    tpch_q1_pricing_summary tpch_q6_forecast_revenue
+    """.split()
+)
+
+
 def _sweep_order(keys: list[str]) -> list[str]:
     """Order keys so a budget-limited driver sweep (50 keys/round, dict
     order) maximizes NEW verification signal each round:
     (0) the explicit r4 priority keys (driver-red, oracles fixed), in
     that exact order; (1) §2 keys with no driver row yet; (2) extra
     keys with no driver row; (3) keys already checked in r1–r3. Within
-    groups 1–3: cheap keys before expensive ones, then registration
-    order (stable, deterministic)."""
+    groups 1–3: longest-waiting first (pre-r4 keys before keys added
+    this round), cheap before expensive, then registration order
+    (stable, deterministic)."""
 
     prio = {k: i for i, k in enumerate(_PRIORITY_R4)}
 
@@ -242,7 +255,13 @@ def _sweep_order(keys: list[str]) -> list[str]:
     indexed = {k: i for i, k in enumerate(keys)}
     return sorted(
         keys,
-        key=lambda k: (group(k), prio.get(k, 0), k in _EXPENSIVE, indexed[k]),
+        key=lambda k: (
+            group(k),
+            prio.get(k, 0),
+            k in _NEW_R4,
+            k in _EXPENSIVE,
+            indexed[k],
+        ),
     )
 
 
