@@ -724,3 +724,74 @@ def tpch_q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("numwait"), "s_name")
         .limit(10)
     )
+
+
+@query(
+    "agg_weighted_avg",
+    oracle="""
+    SELECT p_brand,
+           CAST(SUM(l_quantity) AS BIGINT) AS total_qty,
+           FLOOR((SUM(l_extendedprice * l_quantity) / SUM(l_quantity))
+                 * 10000 + 0.5) / 10000 AS wavg_price
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    GROUP BY p_brand
+    """,
+)
+def agg_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-weighted average price per brand — the reporting
+    primitive plain AVG gets wrong. Both weighted sums fold map-side in
+    ONE aggregation pass (no separate totals query); the part dim
+    broadcasts onto the lineitem scan."""
+    li = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.sum("l_quantity").cast("bigint").alias("total_qty"),
+            round4(
+                F.sum(F.col("l_extendedprice") * F.col("l_quantity"))
+                / F.sum("l_quantity")
+            ).alias("wavg_price"),
+        )
+    )
+
+
+@query(
+    "quality_benford_digits",
+    oracle="""
+    SELECT CAST(SUBSTR(CAST(CAST(FLOOR(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1)
+                AS INTEGER) AS digit,
+           COUNT(*) AS n,
+           FLOOR((COUNT(*) * 1.0
+                  / (SELECT COUNT(*) FROM orders WHERE o_totalprice >= 1))
+                 * 10000 + 0.5) / 10000 AS frac
+    FROM orders WHERE o_totalprice >= 1
+    GROUP BY digit
+    """,
+)
+def quality_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-significant-digit distribution of order totals — the
+    Benford's-law data-quality screen (fabricated or truncated numeric
+    columns show skewed leading digits). Digit extraction is integer
+    string math (exact); the fraction divides two exact counts, so the
+    doubles are identical cross-engine. One aggregation plus a 1-row
+    total broadcast."""
+    o = table(spark, sf_dir, "orders").filter(F.col("o_totalprice") >= 1)
+    digits = o.select(
+        F.substring(
+            F.floor("o_totalprice").cast("bigint").cast("string"), 1, 1
+        )
+        .cast("int")
+        .alias("digit")
+    )
+    counts = digits.groupBy("digit").agg(F.count(F.lit(1)).alias("n"))
+    total = counts.agg(F.sum("n").alias("tot"))
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .select(
+            "digit",
+            "n",
+            round4(F.col("n") / F.col("tot")).alias("frac"),
+        )
+    )

@@ -51,6 +51,7 @@ NLJ_OK = {
     "tpch_q22_dormant_customers",  # 1-row avg-balance scalar broadcast
     "subq_any_all",           # 1-row ALL/ANY bound set broadcast
     "tpch_q11_important_stock",  # 1-row fraction-of-total threshold broadcast
+    "quality_benford_digits",    # 1-row digit-total broadcast cross join
 }
 
 
