@@ -732,3 +732,78 @@ def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("overlap_days"),
         )
     )
+
+
+@query(
+    "join_asof_nearest",
+    oracle="""
+    WITH candidates AS (
+        SELECT o_orderkey, e.event_id, e.value,
+               ROW_NUMBER() OVER (
+                   PARTITION BY o_orderkey
+                   ORDER BY abs(CAST(epoch(date_trunc('second', e.ts)) AS BIGINT)
+                               - CAST(epoch(
+                                   TIMESTAMP '2024-01-15 00:00:00'
+                                   + INTERVAL (o_orderkey % 14) DAY) AS BIGINT))
+                            ASC, e.event_id ASC) AS rn
+        FROM (SELECT * FROM orders WHERE o_orderkey % 100 = 0) o
+        JOIN events e
+          ON e.user_id = o.o_custkey % 150
+         AND abs(CAST(epoch(date_trunc('second', e.ts)) AS BIGINT)
+                 - CAST(epoch(TIMESTAMP '2024-01-15 00:00:00'
+                              + INTERVAL (o_orderkey % 14) DAY) AS BIGINT))
+             <= 86400
+    )
+    SELECT o_orderkey, event_id, ROUND(value, 4) AS nearest_value
+    FROM candidates WHERE rn = 1
+    """,
+)
+def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest as-of join with tolerance: the event CLOSEST in time to
+    each order's cutoff, in either direction, within ±1 day — the
+    direction='nearest' surface completing the as-of family (backward
+    = join_asof, forward = join_asof_forward). Sensor/feed alignment
+    is this shape: match each reading to the closest reference tick,
+    not merely the last one before it.
+
+    Scale mechanism: the ± tolerance bounds the candidate window on
+    both sides, so candidates come from one equi-join on the series
+    key plus the time band, then a per-probe-row window picks the
+    minimum |Δt| (deterministic integer seconds, event_id tiebreak) —
+    one shuffle + one partitioned window regardless of history length.
+    Unbounded nearest (no tolerance) is deliberately not offered: it
+    cannot bound per-key state at scale."""
+    o = (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 100 == 0)
+        .select(
+            "o_orderkey",
+            (F.col("o_custkey") % 150).alias("un_key"),
+            (
+                F.to_timestamp(F.lit("2024-01-15 00:00:00"))
+                + (F.col("o_orderkey") % 14).cast("int") * F.expr("INTERVAL 1 DAY")
+            ).alias("cutoff"),
+        )
+    )
+    e = table(spark, sf_dir, "events").withColumn(
+        "ts_s", F.date_trunc("second", F.col("ts"))
+    )
+    dt = F.abs(
+        F.unix_timestamp(F.col("ts_s")) - F.unix_timestamp(F.col("cutoff"))
+    )
+    cand = o.join(
+        e,
+        (e.user_id == o.un_key)
+        & (e.ts_s >= o.cutoff - F.expr("INTERVAL 1 DAY"))
+        & (e.ts_s <= o.cutoff + F.expr("INTERVAL 1 DAY")),
+    ).filter(dt <= 86400)
+    w = Window.partitionBy("o_orderkey").orderBy(
+        dt.asc(), F.col("event_id").asc()
+    )
+    return (
+        cand.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "o_orderkey", "event_id", F.round("value", 4).alias("nearest_value")
+        )
+    )
