@@ -310,7 +310,8 @@ def quality_fk_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT l_returnflag, l_extendedprice,
                ntile(8) OVER (
                    PARTITION BY l_returnflag
-                   ORDER BY l_extendedprice, l_orderkey, l_linenumber)
+                   ORDER BY l_extendedprice, l_orderkey, l_linenumber,
+                            l_partkey)
                    AS bucket
         FROM lineitem
     )
@@ -331,8 +332,11 @@ def profile_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     approx_percentile boundaries + one bucketing pass (the
     agg_approx_percentile path) to avoid one giant sorted partition."""
     li = table(spark, sf_dir, "lineitem")
+    # (l_orderkey, l_linenumber) alone is not unique in this fixture;
+    # l_partkey completes the key so ntile boundary assignment can
+    # never tie engine-dependently.
     w = Window.partitionBy("l_returnflag").orderBy(
-        "l_extendedprice", "l_orderkey", "l_linenumber"
+        "l_extendedprice", "l_orderkey", "l_linenumber", "l_partkey"
     )
     return (
         li.withColumn("bucket", F.ntile(8).over(w))
@@ -342,4 +346,51 @@ def profile_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             round4(F.min("l_extendedprice")).alias("lo"),
             round4(F.max("l_extendedprice")).alias("hi"),
         )
+    )
+
+
+@query(
+    "win_rolling_median",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_partkey,
+           CAST(MEDIAN(l_quantity) OVER (
+               PARTITION BY l_suppkey
+               ORDER BY l_orderkey, l_linenumber, l_partkey
+               ROWS BETWEEN 8 PRECEDING AND CURRENT ROW) AS DOUBLE)
+               AS med_qty
+    FROM lineitem WHERE l_suppkey <= 20
+    """,
+)
+def win_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling median over a trailing 9-row frame — a window aggregate
+    Spark has no native function for (percentile functions reject
+    moving frames). The portable form keeps the frame's values as a
+    sorted bounded array and selects the middle element(s):
+    ``collect_list OVER frame → array_sort → midpoint`` — state is the
+    9-row frame, not the partition, so the window operator's memory is
+    O(frame) per row and the plan is the ordinary one-shuffle
+    partitioned window. Median of an odd/even frame follows the
+    standard (lower+upper)/2 interpolation; quantities are integers so
+    the half-sums are exact doubles cross-engine.
+
+    DuckDB's native windowed MEDIAN is the oracle — proving the
+    array-selection rewrite semantically identical."""
+    li = table(spark, sf_dir, "lineitem").filter(F.col("l_suppkey") <= 20)
+    # (l_orderkey, l_linenumber) is NOT unique in this fixture (712
+    # duplicate pairs at sf0.01); l_partkey completes the unique order
+    # key — a ROWS frame over a tied ordering is nondeterministic.
+    w = (
+        Window.partitionBy("l_suppkey")
+        .orderBy("l_orderkey", "l_linenumber", "l_partkey")
+        .rowsBetween(-8, Window.currentRow)
+    )
+    vals = F.array_sort(F.collect_list("l_quantity").over(w))
+    n = F.size(vals)
+    lower = F.element_at(vals, ((n + 1) / 2).cast("int"))
+    upper = F.element_at(vals, (n / 2 + 1).cast("int"))
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_partkey",
+        ((lower + upper) / 2.0).cast("double").alias("med_qty"),
     )
