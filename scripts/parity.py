@@ -144,6 +144,7 @@ def main() -> int:
         SparkSession.builder.master("local[8]")
         .appName("parity")
         .config("spark.sql.shuffle.partitions", os.environ.get("PARITY_SHUFFLE_PARTITIONS", "32"))
+        .config("spark.sql.adaptive.enabled", os.environ.get("PARITY_AQE", "true"))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.driver.memory", "8g")
