@@ -52,6 +52,14 @@ REPRESENTATIVE = [
     "subq_correlated",
     "rec_top_items",
     "rec_item_similarity",
+    "agg_mode",
+    "agg_weighted_avg",
+    "quality_benford_digits",
+    "join_interval_overlap",
+    "join_asof_nearest",
+    "win_rolling_median",
+    "tpch_q1_pricing_summary",
+    "tpch_q6_forecast_revenue",
     "merge_upsert",
     "scd2_history",
     "join_lateral",
