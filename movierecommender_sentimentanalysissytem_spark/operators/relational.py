@@ -337,3 +337,37 @@ def sink_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.schema(
         "o_orderpriority string, n bigint, avg_price double"
     ).json(out)
+
+
+@query(
+    "scan_text_lines",
+    oracle="""
+    SELECT lang, COUNT(*) AS n_lines,
+           CAST(SUM(LENGTH(text)) AS BIGINT) AS total_chars
+    FROM documents GROUP BY lang
+    """,
+)
+def scan_text_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw-text source (``spark.read.text`` — one row per line): the
+    ingestion format of every log/corpus pipeline before schema exists.
+
+    Round-trips documents as ``lang<TAB>text`` lines through a temp
+    text directory, reads them back schemaless, and re-derives the
+    per-language profile — proving the line round-trip loses nothing.
+    Document texts are single-line in this corpus (no embedded
+    newlines), so lines == documents; a corpus with embedded newlines
+    would use ``wholetext`` or a length-prefixed frame instead."""
+    d = table(spark, sf_dir, "documents").select(
+        F.concat_ws("\t", F.col("lang"), F.col("text")).alias("value")
+    )
+    out = os.path.join(tempfile.mkdtemp(prefix="mrsas_text_"), "docs_txt")
+    d.write.mode("overwrite").text(out)
+    lines = spark.read.text(out)
+    parsed = lines.select(
+        F.substring_index("value", "\t", 1).alias("lang"),
+        F.expr("substring(value, instr(value, '\t') + 1)").alias("text"),
+    )
+    return parsed.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(F.length("text")).cast("bigint").alias("total_chars"),
+    )

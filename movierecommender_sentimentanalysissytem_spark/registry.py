@@ -230,7 +230,7 @@ _NEW_R4 = frozenset(
     rec_item_similarity agg_mode join_interval_overlap
     tpch_q1_pricing_summary tpch_q6_forecast_revenue
     agg_weighted_avg quality_benford_digits join_asof_nearest
-    win_rolling_median
+    win_rolling_median scan_text_lines
     """.split()
 )
 
