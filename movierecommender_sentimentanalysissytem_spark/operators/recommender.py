@@ -417,12 +417,20 @@ def rec_item_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     li = table(spark, sf_dir, "lineitem")
     o = table(spark, sf_dir, "orders")
+    # One explicit repartition on the user key serves the whole capped-
+    # ratings lineage: HashPartitioning(u) satisfies the (u, item)
+    # grouping (same-u rows are co-located), the cap window partitions
+    # by u, and the pair self-join keys on u — so none of them adds
+    # another full-data exchange.
     ratings_all = (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .groupBy(
+        .select(
             F.col("o_custkey").alias("u"),
             F.col("l_partkey").alias("item"),
+            "l_quantity",
         )
+        .repartition("u")
+        .groupBy("u", "item")
         .agg(F.sum("l_quantity").cast("bigint").alias("r"))
     )
     w_u = Window.partitionBy("u").orderBy(F.desc("r"), F.asc("item"))
