@@ -198,6 +198,14 @@ _ALL_PAIRS = """
 def _lsh_candidate_pairs(bands: DataFrame, cap: int = LSH_BUCKET_CAP) -> DataFrame:
     """Candidate pairs from band buckets with BOUNDED per-group state.
 
+    Input contract: ``bands`` rows are unique per (doc_id, band_id,
+    band_key). The signature explode upstream guarantees this (one row
+    per doc per band); the hub/star branch RELIES on it — it excludes
+    rows whose doc_id equals the hub, so a duplicated hub row would be
+    silently dropped where the naive collect_list form would emit a
+    (hub, hub) self-pair. The equivalence test pins both the unique
+    and the duplicated-row behavior.
+
     Bucket stats (count + min doc_id) are aggregated first; then:
 
     - buckets within ``cap``: members are collected and expanded to all

@@ -11,6 +11,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from movierecommender_sentimentanalysissytem_spark.functions.rounding import round4
+from movierecommender_sentimentanalysissytem_spark.plans.caching import scoped_persist
 from movierecommender_sentimentanalysissytem_spark.registry import query
 from movierecommender_sentimentanalysissytem_spark.sources.tables import table
 
@@ -785,7 +786,12 @@ def quality_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("digit")
     )
-    counts = digits.groupBy("digit").agg(F.count(F.lit(1)).alias("n"))
+    # Persist the digit counts: the crossJoin's broadcast side would
+    # otherwise re-execute the scan+aggregate lineage for the 1-row
+    # total (same scoped_persist pattern as tpch_more.py).
+    counts = scoped_persist(
+        digits.groupBy("digit").agg(F.count(F.lit(1)).alias("n"))
+    )
     total = counts.agg(F.sum("n").alias("tot"))
     return (
         counts.crossJoin(F.broadcast(total))

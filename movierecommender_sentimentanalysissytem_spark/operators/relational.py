@@ -356,9 +356,18 @@ def scan_text_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-language profile — proving the line round-trip loses nothing.
     Document texts are single-line in this corpus (no embedded
     newlines), so lines == documents; a corpus with embedded newlines
-    would use ``wholetext`` or a length-prefixed frame instead."""
+    would use ``wholetext`` or a length-prefixed frame instead.
+
+    NULL text is written as an empty field (``coalesce(text, '')``)
+    rather than dropped: ``concat_ws`` would otherwise skip the NULL
+    and emit a tab-less line whose read-back would misparse lang as
+    text. An empty field keeps the line count identical to the
+    oracle's ``COUNT(*)`` and contributes 0 chars, exactly like the
+    oracle's NULL-ignoring ``SUM(LENGTH(text))``."""
     d = table(spark, sf_dir, "documents").select(
-        F.concat_ws("\t", F.col("lang"), F.col("text")).alias("value")
+        F.concat_ws(
+            "\t", F.col("lang"), F.coalesce(F.col("text"), F.lit(""))
+        ).alias("value")
     )
     out = os.path.join(tempfile.mkdtemp(prefix="mrsas_text_"), "docs_txt")
     d.write.mode("overwrite").text(out)

@@ -159,21 +159,57 @@ _R3_DRIVER_CHECKED = frozenset(
     """.split()
 )
 
-# Every key with a non-red driver row (r1 + r2 + r3). Note the two ML
-# keys inside _R2_DRIVER_CHECKED are rows-only records, not hash-greens —
-# rows-only is the strongest check available for oracle-less keys, so
-# they are deprioritized the same way.
-_DRIVER_CHECKED = _R1_DRIVER_CHECKED | _R2_DRIVER_CHECKED | _R3_DRIVER_CHECKED
-
-# Round-4 front of the sweep queue: the two r3 hash-fails whose oracles
-# were fixed (CAST ... AS BIGINT). After them the 58 never-checked keys
-# fill the rest of the 50-key budget (48 fit; the ~10 that spill are the
-# expensive tail by design and become round 5's head once r4's greens
-# are folded in).
-_PRIORITY_R4 = (
-    "scan_schema_evolution",
-    "maintenance_compact_small_files",
+# Keys the driver's round-4 sweep confirmed (CORRECTNESS_r04.json): all
+# 50 rows non-red — 49 hash-green plus ``sim_threshold_join_lsh``
+# recorded rows-only by design (no oracle: LSH candidate recall is
+# pinned by a quality-floor test instead, per the r2 ML precedent). The
+# two former r3 hash-fails (``scan_schema_evolution``,
+# ``maintenance_compact_small_files``) re-verified green at sweep
+# positions 1–2 and are now folded in.
+_R4_DRIVER_CHECKED = frozenset(
+    """
+    scan_schema_evolution maintenance_compact_small_files
+    tpch_q16_supplier_cnt tpch_q21_waiting_suppliers tpch_q5_local_volume
+    tpch_q7_volume_shipping tpch_q8_market_share tpch_q12_priority_lines
+    tpch_q13_customer_distribution tpch_q15_top_supplier
+    tpch_q19_disjunctive_filter tpch_q2_min_cost_supplier
+    tpch_q11_important_stock tpch_q20_excess_suppliers
+    stats_median_mad anomaly_zscore win_rolling_distinct skyline_pareto
+    graph_triangle_count quality_fk_orphans profile_equidepth_histogram
+    timeseries_gapfill timeseries_locf timeseries_ewma
+    timeseries_multi_rollup
+    fn_bitwise fn_levenshtein fn_null_semantics fn_try_cast
+    fn_variant_json fn_collation_aware fn_nested_struct
+    sim_threshold_join_lsh embedding_centroid_assign
+    dedup_simhash dedup_ngram_jaccard dedup_embedding_cosine
+    text_langid text_quality_score text_token_count text_fingerprint
+    text_pii_redaction multimodal_feature_extract multimodal_frame_sample
+    decontaminate_ngram_overlap text_repetition_filter
+    corpus_mix_rebalance embedding_quantize_int8 pipeline_corpus_funnel
+    curation_shard_token_budget
+    """.split()
 )
+
+# Every key with a non-red driver row (r1 + r2 + r3 + r4). Note the two
+# ML keys inside _R2_DRIVER_CHECKED and sim_threshold_join_lsh in
+# _R4_DRIVER_CHECKED are rows-only records, not hash-greens — rows-only
+# is the strongest check available for oracle-less keys, so they are
+# deprioritized the same way.
+_DRIVER_CHECKED = (
+    _R1_DRIVER_CHECKED
+    | _R2_DRIVER_CHECKED
+    | _R3_DRIVER_CHECKED
+    | _R4_DRIVER_CHECKED
+)
+
+# Front of the current round's sweep queue: keys that MUST be checked
+# first regardless of grouping (driver-red keys whose oracles were just
+# fixed). Round 5: empty — r4 had no hash-fails, so no key needs a
+# forced re-check. The 20 never-checked keys (the expensive tail that
+# spilled past r4's 50-key budget, plus the round-4 additions) naturally
+# head the queue via the unchecked-first grouping; verifying them closes
+# driver coverage at 214/214.
+_PRIORITY: tuple[str, ...] = ()
 
 # SURVEY.md §2 inventory — the judge's coverage checklist. These outrank
 # extra keys in sweep priority.
@@ -238,14 +274,14 @@ _NEW_R4 = frozenset(
 def _sweep_order(keys: list[str]) -> list[str]:
     """Order keys so a budget-limited driver sweep (50 keys/round, dict
     order) maximizes NEW verification signal each round:
-    (0) the explicit r4 priority keys (driver-red, oracles fixed), in
+    (0) the explicit priority keys (driver-red, oracles fixed), in
     that exact order; (1) §2 keys with no driver row yet; (2) extra
-    keys with no driver row; (3) keys already checked in r1–r3. Within
-    groups 1–3: longest-waiting first (pre-r4 keys before keys added
-    this round), cheap before expensive, then registration order
-    (stable, deterministic)."""
+    keys with no driver row; (3) keys already checked in r1–r4. Within
+    groups 1–3: longest-waiting first (pre-existing keys before keys
+    added in the latest round), cheap before expensive, then
+    registration order (stable, deterministic)."""
 
-    prio = {k: i for i, k in enumerate(_PRIORITY_R4)}
+    prio = {k: i for i, k in enumerate(_PRIORITY)}
 
     def group(k: str) -> int:
         if k in prio:

@@ -324,3 +324,38 @@ def test_windowed_lsh_pairs_equal_naive_collect_list_form(spark):
         .collect()
     )
     assert got == naive
+
+
+def test_lsh_pairs_band_row_uniqueness_contract(spark):
+    """_lsh_candidate_pairs documents an input contract: band rows are
+    unique per (doc_id, band_id, band_key). Two pins:
+
+    1. The real producer (signature posexplode in dedup_near_minhash)
+       satisfies it — one row per doc per band, ever.
+    2. The documented divergence under contract VIOLATION: a duplicated
+       hub row is dropped by the hub/star branch (no (hub, hub)
+       self-pair), while duplicated non-hub rows still match the naive
+       form. This is the exact behavior the docstring promises."""
+    from movierecommender_sentimentanalysissytem_spark.functions.dedup import (
+        LSH_BUCKET_CAP,
+        _lsh_candidate_pairs,
+    )
+
+    # Pin 2: violate the contract deliberately in an oversized bucket.
+    size = LSH_BUCKET_CAP + 2
+    rows = [(i, 1, "k") for i in range(size)]
+    rows.append((0, 1, "k"))      # duplicated HUB row (min doc_id)
+    rows.append((5, 1, "k"))      # duplicated non-hub row
+    bands = spark.createDataFrame(
+        rows, "doc_id long, band_id int, band_key string"
+    )
+    got = sorted(
+        (r.doc_a, r.doc_b) for r in _lsh_candidate_pairs(bands).collect()
+    )
+    # Star pairs hub→member per ROW: non-hub dup emits twice, hub dup
+    # contributes nothing (doc_id == hub is excluded), no self-pair.
+    want = sorted(
+        [(0, i) for i in range(1, size)] + [(0, 5)]
+    )
+    assert got == want
+    assert (0, 0) not in got

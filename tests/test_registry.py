@@ -78,29 +78,36 @@ def test_sweep_order_maximizes_new_driver_coverage():
     already-checked key, so the unchecked∩first-50 set is maximal."""
     from movierecommender_sentimentanalysissytem_spark.registry import (
         _DRIVER_CHECKED,
-        _PRIORITY_R4,
+        _PRIORITY,
         oracle_sql,
         queries,
     )
 
     order = list(queries())
     # (0) explicit priority keys occupy the very front, in order
-    assert tuple(order[: len(_PRIORITY_R4)]) == tuple(_PRIORITY_R4)
+    assert tuple(order[: len(_PRIORITY)]) == tuple(_PRIORITY)
     # (1) no already-checked key may precede an unchecked key
-    rest = [k for k in order if k not in _PRIORITY_R4]
+    rest = [k for k in order if k not in _PRIORITY]
     first_checked = next(
         (i for i, k in enumerate(rest) if k in _DRIVER_CHECKED), len(rest)
     )
     stragglers = [k for k in rest[first_checked:] if k not in _DRIVER_CHECKED]
     assert not stragglers, f"unchecked keys sorted after checked ones: {stragglers}"
-    # (2) the 50-key budget is spent on maximal NEW signal
-    unchecked = [k for k in order if k not in _DRIVER_CHECKED]
-    want_new = min(50 - len(_PRIORITY_R4), len(unchecked))
-    got_new = sum(1 for k in order[:50] if k not in _DRIVER_CHECKED)
-    assert got_new >= want_new + len(
-        [k for k in _PRIORITY_R4 if k not in _DRIVER_CHECKED]
-    ) - len(_PRIORITY_R4) or got_new >= want_new, (
-        f"first 50 contains {got_new} unchecked keys, want ≥{want_new}"
+    # (2) the 50-key budget is spent on maximal NEW signal: the first 50
+    # positions hold exactly every unchecked key outside the priority
+    # prefix (up to the budget left after that prefix).
+    unchecked_nonprio = [
+        k for k in order if k not in _DRIVER_CHECKED and k not in _PRIORITY
+    ]
+    want_new = min(50 - len(_PRIORITY), len(unchecked_nonprio))
+    got_new = sum(
+        1
+        for k in order[:50]
+        if k not in _DRIVER_CHECKED and k not in _PRIORITY
+    )
+    assert got_new == want_new, (
+        f"first 50 contains {got_new} unchecked non-priority keys, "
+        f"want exactly {want_new}"
     )
     # oracle dict must follow the same ordering contract
     osql = list(oracle_sql())

@@ -23,13 +23,17 @@ def test_lsh_recall_against_brute_force(spark):
 
 
 def test_ivf_topk_overlaps_brute_force(spark):
+    """recall@3 of the IVF path vs the exact brute-force top-3.
+
+    IVF probes IVF_NPROBE=4 of 8 cells — measured recall 0.97 on this
+    corpus; the floor pins ≥ 0.9 so a quantizer/probe regression (or a
+    silent KMeans seed change) fails loudly."""
     exact = QS["sim_topk_neighbors"](spark, SF_SMALL).collect()
     ivf = QS["sim_topk_ivf"](spark, SF_SMALL).collect()
     exact_top = {(r.query_id, r.neighbor_id) for r in exact}
     ivf_top = {(r.query_id, r.neighbor_id) for r in ivf}
-    # IVF probes 2/8 cells; require ≥ 50% of true top-3 pairs recovered
     recall = len(exact_top & ivf_top) / len(exact_top)
-    assert recall >= 0.5, f"IVF recall {recall:.2f} < 0.5"
+    assert recall >= 0.9, f"IVF recall {recall:.2f} < 0.9"
 
 
 def test_cosine_kernel_self_similarity(spark):
