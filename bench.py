@@ -83,6 +83,20 @@ def main() -> None:
         table(spark, sf_dir, t).count()
     qs["agg_global"](spark, sf_dir).write.format("noop").mode("overwrite").save()
 
+    # Per-boot calibration: a fixed, shuffle-free, JVM-only fold whose
+    # cost depends ONLY on this machine's current CPU speed (measured
+    # post-warmup so JIT is settled). Cross-round bench comparisons
+    # divide by this to separate engine regressions from VM-speed
+    # drift between boots (r3→r4 showed a uniform ~40% environmental
+    # slowdown that was otherwise indistinguishable from a code
+    # regression — see BASELINE.md).
+    c0 = time.perf_counter()
+    spark.range(0, 100_000_000, 1, int(cpus)).selectExpr(
+        "sum(id * 3 + 7) AS s"
+    ).collect()
+    calib = round(time.perf_counter() - c0, 3)
+    print(f"# calib_sec: {calib:.3f}s", file=sys.stderr)
+
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = qs[name]
@@ -101,6 +115,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "calib_sec": calib,
             }
         )
     )

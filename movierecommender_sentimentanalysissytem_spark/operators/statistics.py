@@ -92,7 +92,7 @@ def anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
            COUNT(DISTINCT event_type) OVER (
                PARTITION BY user_id ORDER BY ts, event_id
                ROWS BETWEEN 9 PRECEDING AND CURRENT ROW) AS n_kinds
-    FROM events WHERE user_id <= 200
+    FROM events WHERE user_id <= 10
     """,
 )
 def win_rolling_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -102,8 +102,14 @@ def win_rolling_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     which keeps the dedup inside the window operator (set state is
     bounded by the frame length). The frame's ORDER BY carries
     event_id as a tiebreaker: frame membership must be a total order
-    or the two engines could legally disagree on ties."""
-    e = table(spark, sf_dir, "events").filter(F.col("user_id") <= 200)
+    or the two engines could legally disagree on ties.
+
+    The user_id <= 10 bound is inside the events user_id domain at
+    EVERY fixture SF (max is 14 at sf0.001), so the filter always
+    selects a non-empty proper subset — pinned in
+    tests/test_invariants.py so a fixture regeneration that shrinks
+    the domain fails loudly instead of silently blanking the query."""
+    e = table(spark, sf_dir, "events").filter(F.col("user_id") <= 10)
     w = (
         Window.partitionBy("user_id")
         .orderBy("ts", "event_id")

@@ -250,7 +250,7 @@ def udf_map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT user_id, COUNT(*) AS n_events,
            FLOOR(SUM(value) * 10000 + 0.5) / 10000 AS total_value
-    FROM events WHERE user_id <= 100 GROUP BY user_id
+    FROM events WHERE user_id <= 10 GROUP BY user_id
     """,
 )
 def udtf_table_argument(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -289,7 +289,9 @@ def udtf_table_argument(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     spark.udtf.register("mrsas_user_summary", UserSummary)
     e = table(spark, sf_dir, "events")
-    e.filter(F.col("user_id") <= 100).select(
+    # user_id <= 10 sits inside the domain at every SF (see
+    # tests/test_invariants.py fixture-domain pins).
+    e.filter(F.col("user_id") <= 10).select(
         "user_id", "event_id", "value"
     ).createOrReplaceTempView("mrsas_udtf_tbl")
     return spark.sql(

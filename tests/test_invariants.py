@@ -359,3 +359,79 @@ def test_lsh_pairs_band_row_uniqueness_contract(spark):
     )
     assert got == want
     assert (0, 0) not in got
+
+
+# Every literal filter constant whose semantics depend on the fixture
+# data domain, with its use sites. A driver fixture regeneration that
+# shrinks (or explodes) a column's domain must fail HERE, loudly,
+# instead of silently turning a selective filter into a no-op (it
+# happened once: events.user_id shipped as 0..149 at sf0.01, making a
+# historical `user_id <= 200` select everything).
+# (table, column, constant, strict_upper, use sites)
+FIXTURE_DOMAIN_CONSTANTS = [
+    ("events", "user_id", 10, True,
+     "statistics.win_rolling_distinct, udfs.udtf_table_argument"),
+    ("documents", "doc_id", 50, True,
+     "udfs.udf_python_scalar, scalar.fn_string_regexp"),
+    ("documents", "doc_id", 100, True,
+     "udfs.udf_pandas_vectorized, scalar.fn_hash"),
+    ("documents", "doc_id", 200, True,
+     "udfs.udf_arrow_optimized, text_analysis.text_pii_redaction"),
+    ("embeddings", "vec_id", 10, True,
+     "vector.sim_topk_neighbors, vector.sim_topk_ivf query blocks"),
+    ("embeddings", "vec_id", 0, False,
+     "vector.multimodal_columns fixed query vector"),
+]
+
+
+def test_fixture_filter_constants_inside_live_domain(spark):
+    """Each constant must select a NON-EMPTY, PROPER subset of its
+    column at every fixture SF the harness exercises (strict_upper
+    rows; equality anchors like vec_id == 0 just need membership).
+    Checked via the same table() loader the queries use."""
+    import duckdb
+
+    from tests.conftest import SF_ORACLE, SF_SMALL
+
+    failures = []
+    for sf_dir in (SF_SMALL, SF_ORACLE):
+        domains = {}
+        for tbl, col, const, strict, sites in FIXTURE_DOMAIN_CONSTANTS:
+            if (tbl, col) not in domains:
+                domains[(tbl, col)] = duckdb.sql(
+                    f"SELECT MIN({col}), MAX({col}) "
+                    f"FROM '{sf_dir}/{tbl}.parquet'"
+                ).fetchone()
+            mn, mx = domains[(tbl, col)]
+            ok = mn <= const < mx if strict else mn <= const <= mx
+            if not ok:
+                failures.append(
+                    f"{sf_dir} {tbl}.{col} domain [{mn}, {mx}] vs "
+                    f"constant {const} (used by: {sites})"
+                )
+    assert not failures, "\n".join(failures)
+
+
+def test_fixture_domain_list_matches_source():
+    """The FIXTURE_DOMAIN_CONSTANTS registry itself must not go stale:
+    every (column op constant) literal found in the package source must
+    be listed above, so a new fixture-coupled constant cannot be added
+    without a domain pin."""
+    import re
+    from pathlib import Path
+
+    pkg = Path(__file__).resolve().parent.parent / (
+        "movierecommender_sentimentanalysissytem_spark"
+    )
+    pat = re.compile(
+        r"(user_id|doc_id|vec_id)[\"']?\)?\s*(?:<=|<|==)\s*(\d+)"
+    )
+    found = set()
+    for py in pkg.rglob("*.py"):
+        for m in pat.finditer(py.read_text()):
+            found.add((m.group(1), int(m.group(2))))
+    listed = {(c, k) for _, c, k, _, _ in FIXTURE_DOMAIN_CONSTANTS}
+    unlisted = found - listed
+    assert not unlisted, (
+        f"fixture-coupled constants missing a domain pin: {unlisted}"
+    )
