@@ -655,6 +655,32 @@ def agg_boolean_family(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def deterministic_mode(
+    df: DataFrame, group_col: str, value_col: str
+) -> DataFrame:
+    """Deterministic MODE: counts → rank → keep rank 1, ties broken by
+    the smallest value. Engines' native ``mode()`` breaks ties
+    arbitrarily; this form is total-ordered so both engines agree. Two
+    aggregations, both partial-combining; the rank window partitions by
+    the group key (never global). State is one count per
+    (group, value) — bounded by value cardinality. Returns columns
+    (group_col, mode_value, mode_n). Tie-break determinism is pinned on
+    crafted exact ties in tests/test_operators.py."""
+    counts = df.groupBy(group_col, value_col).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = Window.partitionBy(group_col).orderBy(F.desc("n"), F.asc(value_col))
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            group_col,
+            F.col(value_col).alias("mode_value"),
+            F.col("n").alias("mode_n"),
+        )
+    )
+
+
 @query(
     "agg_mode",
     oracle="""
@@ -668,25 +694,11 @@ def agg_boolean_family(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic MODE per group: the most frequent l_linestatus per
-    return flag, ties broken by value — engines' native ``mode()``
-    breaks ties arbitrarily, so the portable form is counts → rank →
-    keep rank 1. Two aggregations, both partial-combining; the rank
-    window partitions by the outer group key (never global). State is
-    one count per (group, value) — bounded by value cardinality."""
+    """Most frequent l_linestatus per return flag via
+    ``deterministic_mode`` (see the helper for the plan rationale)."""
     li = table(spark, sf_dir, "lineitem")
-    counts = li.groupBy("l_returnflag", "l_linestatus").agg(
-        F.count(F.lit(1)).alias("n")
-    )
-    w = Window.partitionBy("l_returnflag").orderBy(
-        F.desc("n"), F.asc("l_linestatus")
-    )
-    return (
-        counts.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select(
-            "l_returnflag",
-            F.col("l_linestatus").alias("mode_linestatus"),
-            F.col("n").alias("mode_n"),
-        )
+    return deterministic_mode(li, "l_returnflag", "l_linestatus").select(
+        "l_returnflag",
+        F.col("mode_value").alias("mode_linestatus"),
+        "mode_n",
     )

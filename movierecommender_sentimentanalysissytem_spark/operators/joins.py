@@ -681,7 +681,15 @@ def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.min(day).alias("s"), F.max(day).alias("e"))
     )
-    w_days = 30
+    return _binned_interval_overlap(iv)
+
+
+def _binned_interval_overlap(iv: DataFrame, w_days: int = 30) -> DataFrame:
+    """Binned equi-join rewrite of the interval-overlap self-join over
+    an interval table (cust, okey, s, e). The RESULT is provably
+    independent of ``w_days`` (the bin width only trades probe-row
+    fan-out against bin-block size) — pinned across widths against the
+    naive theta join in tests/test_operators.py."""
     a = iv.select(
         F.col("cust"),
         F.col("okey").alias("order_a"),

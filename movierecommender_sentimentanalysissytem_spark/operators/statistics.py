@@ -390,13 +390,21 @@ def win_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("l_orderkey", "l_linenumber", "l_partkey")
         .rowsBetween(-8, Window.currentRow)
     )
-    vals = F.array_sort(F.collect_list("l_quantity").over(w))
-    n = F.size(vals)
-    lower = F.element_at(vals, ((n + 1) / 2).cast("int"))
-    upper = F.element_at(vals, (n / 2 + 1).cast("int"))
     return li.select(
         "l_orderkey",
         "l_linenumber",
         "l_partkey",
-        ((lower + upper) / 2.0).cast("double").alias("med_qty"),
+        rolling_median_col("l_quantity", w).alias("med_qty"),
     )
+
+
+def rolling_median_col(value_col: str, w) -> "F.Column":
+    """Median over an arbitrary window frame as a Column:
+    ``collect_list OVER frame → array_sort → midpoint`` with standard
+    (lower+upper)/2 interpolation for even frames. Odd/even frame-edge
+    behavior is pinned on literal frames in tests/test_operators.py."""
+    vals = F.array_sort(F.collect_list(value_col).over(w))
+    n = F.size(vals)
+    lower = F.element_at(vals, ((n + 1) / 2).cast("int"))
+    upper = F.element_at(vals, (n / 2 + 1).cast("int"))
+    return ((lower + upper) / 2.0).cast("double")

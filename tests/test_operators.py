@@ -185,3 +185,109 @@ def test_two_pass_ntile_matches_global_window(spark):
                 .collect()
             }
             assert got == exp, f"n={n}"
+
+
+def test_deterministic_mode_tie_break_smallest_value(spark):
+    """MODE tie-break on crafted EXACT ties: group 'a' has values tied
+    2-2 → the smaller value wins; group 'b' has a strict winner; group
+    'c' is a 3-way 1-1-1 tie → smallest again. Native mode() makes no
+    such promise, which is why the operator exists."""
+    from movierecommender_sentimentanalysissytem_spark.operators.aggregates import (
+        deterministic_mode,
+    )
+
+    rows = (
+        [("a", "y"), ("a", "y"), ("a", "x"), ("a", "x")]      # 2-2 tie
+        + [("b", "q"), ("b", "q"), ("b", "p")]                # q wins 2-1
+        + [("c", "k"), ("c", "j"), ("c", "m")]                # 1-1-1 tie
+    )
+    df = spark.createDataFrame(rows, "g string, v string")
+    got = {
+        (r.g, r.mode_value, r.mode_n)
+        for r in deterministic_mode(df, "g", "v").collect()
+    }
+    assert got == {("a", "x", 2), ("b", "q", 2), ("c", "j", 1)}
+
+
+def test_interval_overlap_bin_width_invariance(spark):
+    """The binned interval-overlap rewrite must produce the IDENTICAL
+    pair set for any bin width, equal to the naive theta join —
+    including touching intervals (e_a == s_b), nested intervals, point
+    intervals, and intervals spanning many bins."""
+    from movierecommender_sentimentanalysissytem_spark.operators.joins import (
+        _binned_interval_overlap,
+    )
+
+    rows = [
+        # cust 1: chain of overlaps + one disjoint
+        (1, 10, 0, 10), (1, 11, 10, 20),    # touch at day 10 → overlap 1
+        (1, 12, 21, 25),                     # disjoint from 11 (gap)
+        (1, 13, 2, 100),                     # spans many 30-day bins
+        # cust 2: nested + point intervals
+        (2, 20, 50, 90), (2, 21, 60, 61),    # nested
+        (2, 22, 90, 90),                     # point, touches 20's end
+        (2, 23, 91, 91),                     # point, disjoint
+        # cust 3: identical intervals
+        (3, 30, 5, 6), (3, 31, 5, 6),
+    ]
+    iv = spark.createDataFrame(rows, "cust long, okey long, s long, e long")
+
+    a, b = iv.alias("a"), iv.alias("b")
+    naive = {
+        (r.cust, r.order_a, r.order_b, r.overlap_days)
+        for r in a.join(
+            b,
+            (F.col("a.cust") == F.col("b.cust"))
+            & (F.col("a.okey") < F.col("b.okey"))
+            & (F.col("a.s") <= F.col("b.e"))
+            & (F.col("b.s") <= F.col("a.e")),
+        )
+        .select(
+            F.col("a.cust").alias("cust"),
+            F.col("a.okey").alias("order_a"),
+            F.col("b.okey").alias("order_b"),
+            (
+                F.least(F.col("a.e"), F.col("b.e"))
+                - F.greatest(F.col("a.s"), F.col("b.s"))
+                + 1
+            ).cast("bigint").alias("overlap_days"),
+        )
+        .collect()
+    }
+    assert naive  # the fixture actually exercises overlaps
+
+    for w_days in (1, 7, 30, 1000):
+        got = {
+            (r.cust, r.order_a, r.order_b, r.overlap_days)
+            for r in _binned_interval_overlap(iv, w_days).collect()
+        }
+        assert got == naive, f"w_days={w_days} diverged from naive"
+
+
+def test_rolling_median_odd_even_frame_edges(spark):
+    """Rolling median on a literal frame with hand-computed values —
+    exercising the 1-row (odd), 2-row (even, interpolated), and full
+    odd/even frames, plus duplicate values inside a frame."""
+    from pyspark.sql.window import Window
+
+    from movierecommender_sentimentanalysissytem_spark.operators.statistics import (
+        rolling_median_col,
+    )
+
+    vals = [5.0, 1.0, 4.0, 4.0, 2.0]
+    rows = [(1, i, v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "g int, i int, v double")
+    w = (
+        Window.partitionBy("g").orderBy("i").rowsBetween(-3, Window.currentRow)
+    )
+    got = {
+        r.i: r.med
+        for r in df.select("i", rolling_median_col("v", w).alias("med")).collect()
+    }
+    assert got == {
+        0: 5.0,          # [5]            odd, single row
+        1: 3.0,          # [1,5]          even, (1+5)/2
+        2: 4.0,          # [1,4,5]        odd
+        3: 4.0,          # [1,4,4,5]      even, duplicates, (4+4)/2
+        4: 3.0,          # [1,2,4,4]      frame slides off 5, (2+4)/2
+    }
