@@ -173,3 +173,27 @@ def test_two_pass_ntile_single_full_shuffle(spark):
     # HashAggregate must appear with count(1) partial function
     assert "partial_count" in plan
     assert "rangepartitioning" not in plan  # old 3-shuffle shape is gone
+
+
+def test_interval_overlap_is_hash_join_not_nested_loop(spark):
+    """The binned interval-overlap rewrite exists to turn an
+    inequality-only self-join (nested loop at any scale) into a hash
+    equi-join on (customer, bin) with the exact predicate as a join
+    filter — the plan must show the hash join and no loop join."""
+    plan = _plan(spark, "join_interval_overlap")
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_benford_counts_computed_once(spark):
+    """quality_benford_digits persists the digit counts; the 1-row
+    total's broadcast side must re-read the cache, not re-run the
+    scan+aggregate lineage (exactly one parquet scan of orders in the
+    plan)."""
+    plan = _plan(spark, "quality_benford_digits")
+    # BOTH consumers (counts rows + 1-row total broadcast) must read
+    # the InMemoryRelation. The formatted text prints the cached
+    # lineage (incl. its parquet scan) under each InMemoryRelation
+    # reference, so count cache reads, not scan strings.
+    assert plan.count("InMemoryTableScan") >= 2
