@@ -277,11 +277,28 @@ def _sweep_order(keys: list[str]) -> list[str]:
     (0) the explicit priority keys (driver-red, oracles fixed), in
     that exact order; (1) §2 keys with no driver row yet; (2) extra
     keys with no driver row; (3) keys already checked in r1–r4. Within
-    groups 1–3: longest-waiting first (pre-existing keys before keys
+    groups 1–2: longest-waiting first (pre-existing keys before keys
     added in the latest round), cheap before expensive, then
-    registration order (stable, deterministic)."""
+    registration order (stable, deterministic). Within group 3:
+    STALEST driver record first (r1-checked before r4-checked) — once
+    every key has a row (round 5 closes coverage at 214/214), the
+    budget left after the unchecked head re-verifies the keys whose
+    last driver check is oldest, so regressions surface instead of the
+    same recent keys being re-confirmed."""
 
     prio = {k: i for i, k in enumerate(_PRIORITY)}
+    last_checked = {}
+    for rnd, checked in enumerate(
+        (
+            _R1_DRIVER_CHECKED,
+            _R2_DRIVER_CHECKED,
+            _R3_DRIVER_CHECKED,
+            _R4_DRIVER_CHECKED,
+        ),
+        start=1,
+    ):
+        for k in checked:
+            last_checked[k] = rnd
 
     def group(k: str) -> int:
         if k in prio:
@@ -296,6 +313,7 @@ def _sweep_order(keys: list[str]) -> list[str]:
         key=lambda k: (
             group(k),
             prio.get(k, 0),
+            last_checked.get(k, 0),
             k in _NEW_R4,
             k in _EXPENSIVE,
             indexed[k],

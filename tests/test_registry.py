@@ -112,3 +112,28 @@ def test_sweep_order_maximizes_new_driver_coverage():
     # oracle dict must follow the same ordering contract
     osql = list(oracle_sql())
     assert osql == [k for k in order if k in set(osql)]
+
+
+def test_checked_tail_is_staleness_ordered():
+    """Once every key has a driver row, the budget left after the
+    unchecked head should re-verify the STALEST records first: within
+    the already-checked tail, a key last checked in round i must never
+    appear after a key last checked in round j > i."""
+    from movierecommender_sentimentanalysissytem_spark.registry import (
+        _R1_DRIVER_CHECKED,
+        _R2_DRIVER_CHECKED,
+        _R3_DRIVER_CHECKED,
+        _R4_DRIVER_CHECKED,
+        queries,
+    )
+
+    last = {}
+    for rnd, checked in enumerate(
+        (_R1_DRIVER_CHECKED, _R2_DRIVER_CHECKED,
+         _R3_DRIVER_CHECKED, _R4_DRIVER_CHECKED),
+        start=1,
+    ):
+        for k in checked:
+            last[k] = rnd
+    seq = [last[k] for k in queries() if k in last]
+    assert seq == sorted(seq), "checked tail not staleness-ordered"
