@@ -394,7 +394,7 @@ def test_fixture_filter_constants_inside_live_domain(spark):
     from tests.conftest import SF_ORACLE, SF_SMALL
 
     failures = []
-    for sf_dir in (SF_SMALL, SF_ORACLE):
+    for sf_dir in (SF_SMALL, SF_ORACLE, "/root/testdata/sf0.1"):
         domains = {}
         for tbl, col, const, strict, sites in FIXTURE_DOMAIN_CONSTANTS:
             if (tbl, col) not in domains:
