@@ -28,7 +28,10 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from movierecommender_sentimentanalysissytem_spark.functions.rounding import round4
-from movierecommender_sentimentanalysissytem_spark.plans.caching import scoped_persist
+from movierecommender_sentimentanalysissytem_spark.plans.caching import (
+    scoped_local_checkpoint,
+    scoped_persist,
+)
 from movierecommender_sentimentanalysissytem_spark.registry import query
 from movierecommender_sentimentanalysissytem_spark.sources.tables import table
 
@@ -540,23 +543,23 @@ def _clusters_oracle() -> str:
     """
 
 
-@query("dedup_clusters", oracle=_clusters_oracle())
-def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Connected components over the near-dup pair graph: every doc in
-    at least one MinHash-verified pair gets a cluster id = the minimum
-    doc_id reachable through near-dup edges (the canonical
-    representative production dedup keeps).
+def min_label_components(pairs: DataFrame, max_rounds: int = 10) -> DataFrame:
+    """Connected components over an undirected pair list
+    (doc_a, doc_b) → (node, root): every node labelled with the MINIMUM
+    id reachable from it.
 
-    Spark side: iterative min-label propagation over DataFrames —
-    the one genuinely iterative algorithm in the engine (ALS aside).
-    Each round joins labels to the symmetric edge list and takes the
-    elementwise min; near-dup components have tiny diameters, so the
-    loop converges in a handful of rounds (bounded at 10; at 100 TB
-    each round is one shuffle join and intermediate labels would be
-    checkpointed every few rounds to cut lineage). Oracle: DuckDB
-    recursive-CTE transitive closure — SQL-checked end-to-end.
-    """
-    pairs = dedup_near_minhash(spark, sf_dir).select("doc_a", "doc_b")
+    Iterative min-label propagation WITH pointer jumping: each round
+    (1) takes the min over neighbors' labels, then (2) re-labels
+    through the label table itself (root := label[root]). The jump
+    step doubles the effective reach per round, so convergence takes
+    O(log diameter) rounds, not O(diameter) — a chain-of-near-dups
+    component hundreds of docs long (drifting boilerplate in a web
+    corpus) converges inside the round bound where plain propagation
+    would silently return wrong labels (pinned on a crafted 40-chain
+    in tests/test_operators.py). Each round is two shuffle joins; at
+    100 TB intermediate labels would be checkpointed every few rounds
+    to cut lineage. Cache hygiene: holds ≤1 label generation persisted
+    at any time."""
     sym = scoped_persist(
         pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
         .unionByName(
@@ -564,23 +567,42 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    labels = scoped_persist(
+    # Each generation is eagerly local-checkpointed: the jump step
+    # references the label frame twice, so WITHOUT lineage truncation
+    # the logical plan doubles per round and analysis OOMs the driver
+    # around round ~8 — the checkpoint keeps every round's plan
+    # constant-size (see plans/caching.py::scoped_local_checkpoint).
+    labels = scoped_local_checkpoint(
         sym.select(F.col("a").alias("node"))
         .distinct()
         .withColumn("root", F.col("node"))
     )
-    for _ in range(10):
+    for _ in range(max_rounds):
         neighbor_min = (
             labels.join(sym, labels.node == sym.a)
             .groupBy(F.col("b").alias("node"))
             .agg(F.min("root").alias("nroot"))
         )
-        new_labels = scoped_persist(
+        prop = scoped_persist(
             labels.join(neighbor_min, "node", "left")
             .select(
                 "node",
                 F.least(
                     F.col("root"), F.coalesce(F.col("nroot"), F.col("root"))
+                ).alias("root"),
+            )
+        )
+        # Pointer jump: follow the freshly-propagated label one more
+        # hop through the label table (roots are node ids, so the
+        # lookup is a self-join on the same frame).
+        lut = prop.select(
+            F.col("node").alias("r_node"), F.col("root").alias("r_root")
+        )
+        new_labels = scoped_local_checkpoint(
+            prop.join(lut, prop.root == F.col("r_node"), "left").select(
+                "node",
+                F.least(
+                    F.col("root"), F.coalesce(F.col("r_root"), F.col("root"))
                 ).alias("root"),
             )
         )
@@ -591,14 +613,30 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             .limit(1)
             .count()
         )
-        # the convergence count materialized new_labels, so the old
-        # generation's cache is dead weight — drop it before looping
-        # (cache hygiene: a 10-round run must hold ≤1 label cache).
-        labels.unpersist()
+        # new_labels is materialized (eager checkpoint), so the prop
+        # cache is dead weight — drop it before looping. Superseded
+        # label checkpoints are released with the scoped caches at the
+        # next query build.
+        prop.unpersist()
         labels = new_labels
         if changed == 0:
             break
     sym.unpersist()
+    return labels
+
+
+@query("dedup_clusters", oracle=_clusters_oracle())
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the near-dup pair graph: every doc in
+    at least one MinHash-verified pair gets a cluster id = the minimum
+    doc_id reachable through near-dup edges (the canonical
+    representative production dedup keeps). See
+    ``min_label_components`` for the pointer-jumping mechanism; the
+    oracle is DuckDB's recursive-CTE transitive closure — SQL-checked
+    end-to-end.
+    """
+    pairs = dedup_near_minhash(spark, sf_dir).select("doc_a", "doc_b")
+    labels = min_label_components(pairs)
     return labels.select(
         F.col("node").alias("doc_id"), F.col("root").alias("cluster_id")
     )

@@ -20,6 +20,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 
 _SCOPED: list[DataFrame] = []
+# (scala SparkContext, rdd id) pairs backing scoped local checkpoints
+_SCOPED_CP: list[tuple[object, int]] = []
 
 
 def scoped_persist(df: DataFrame) -> DataFrame:
@@ -29,12 +31,53 @@ def scoped_persist(df: DataFrame) -> DataFrame:
     return df
 
 
+def _persistent_ids(jsc) -> set[int]:
+    ids: set[int] = set()
+    it = jsc.getPersistentRDDs().keysIterator()
+    while it.hasNext():
+        ids.add(it.next())
+    return ids
+
+
+def scoped_local_checkpoint(df: DataFrame) -> DataFrame:
+    """Eagerly local-checkpoint ``df`` — TRUNCATING its lineage — and
+    register the backing RDD for release with the scoped caches.
+
+    This is the tool for iterative algorithms: a loop whose next
+    generation references the previous one more than once grows its
+    logical plan EXPONENTIALLY in rounds (each reference embeds the
+    full upstream plan), which OOMs the driver during analysis long
+    before executors see data. A checkpoint resets the plan to a leaf
+    each round. ``localCheckpoint`` stores partitions on executors
+    (block manager) — no distributed-FS round trip; at 100 TB with
+    executor loss concerns, reliable ``checkpoint(dir)`` swaps in with
+    the same semantics. DataFrame.unpersist does NOT free checkpoint
+    RDDs, so release happens at the RDD level via the id diff captured
+    here."""
+    sc = df.sparkSession.sparkContext
+    jsc = sc._jsc.sc()
+    before = _persistent_ids(jsc)
+    cp = df.localCheckpoint(eager=True)
+    for rid in _persistent_ids(jsc) - before:
+        _SCOPED_CP.append((jsc, rid))
+    return cp
+
+
 def release_scoped_caches() -> None:
-    """Unpersist every registered DataFrame (idempotent, never raises
-    on an already-released or dead SparkContext cache)."""
+    """Unpersist every registered DataFrame and checkpoint RDD
+    (idempotent, never raises on an already-released or dead
+    SparkContext cache)."""
     while _SCOPED:
         df = _SCOPED.pop()
         try:
             df.unpersist()
+        except Exception:  # noqa: BLE001 — context may already be gone
+            pass
+    while _SCOPED_CP:
+        jsc, rid = _SCOPED_CP.pop()
+        try:
+            m = jsc.getPersistentRDDs()
+            if m.contains(rid):
+                m.apply(rid).unpersist(False)
         except Exception:  # noqa: BLE001 — context may already be gone
             pass

@@ -291,3 +291,33 @@ def test_rolling_median_odd_even_frame_edges(spark):
         3: 4.0,          # [1,4,4,5]      even, duplicates, (4+4)/2
         4: 3.0,          # [1,2,4,4]      frame slides off 5, (2+4)/2
     }
+
+
+def test_min_label_components_crafted_graphs(spark):
+    """Connected components on crafted graphs: a 40-node chain (deep
+    diameter — plain min-propagation capped at 10 rounds would label it
+    WRONG; pointer jumping converges), a cycle, a star, an isolated
+    pair, and self-loop/duplicate edges."""
+    from movierecommender_sentimentanalysissytem_spark.functions.dedup import (
+        min_label_components,
+    )
+
+    edges = []
+    # chain 100..139 listed high-to-low so the min label (100) must
+    # travel the full 39-hop diameter
+    edges += [(i + 1, i) for i in range(100, 139)]
+    # cycle 200-201-202-200
+    edges += [(200, 201), (201, 202), (202, 200)]
+    # star centered high with smaller leaf ids
+    edges += [(300, 7), (300, 8), (300, 9)]
+    # isolated pair + duplicate edge + self-loop noise
+    edges += [(400, 401), (400, 401), (500, 500)]
+    df = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    got = {r.node: r.root for r in min_label_components(df).collect()}
+
+    for n in range(100, 140):
+        assert got[n] == 100, f"chain node {n} labelled {got[n]}"
+    assert got[200] == got[201] == got[202] == 200
+    assert got[300] == got[7] == got[8] == got[9] == 7
+    assert got[400] == got[401] == 400
+    assert got[500] == 500
