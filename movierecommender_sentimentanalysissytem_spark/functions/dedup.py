@@ -621,6 +621,14 @@ def min_label_components(pairs: DataFrame, max_rounds: int = 10) -> DataFrame:
         labels = new_labels
         if changed == 0:
             break
+    else:
+        # Exhausting the bound without a fixed point means some
+        # component's labels are WRONG (its diameter exceeds ~2^rounds
+        # under pointer jumping) — refuse to return them silently.
+        raise RuntimeError(
+            f"min_label_components did not converge in {max_rounds} "
+            "rounds; raise max_rounds (reach doubles per round)"
+        )
     sym.unpersist()
     return labels
 

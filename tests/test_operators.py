@@ -321,3 +321,18 @@ def test_min_label_components_crafted_graphs(spark):
     assert got[300] == got[7] == got[8] == got[9] == 7
     assert got[400] == got[401] == 400
     assert got[500] == 500
+
+
+def test_min_label_components_raises_when_round_bound_too_small(spark):
+    """Exhausting max_rounds without convergence must raise, never
+    return silently-wrong labels."""
+    import pytest
+
+    from movierecommender_sentimentanalysissytem_spark.functions.dedup import (
+        min_label_components,
+    )
+
+    edges = [(i + 1, i) for i in range(0, 30)]  # 31-node chain
+    df = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        min_label_components(df, max_rounds=2)
