@@ -84,17 +84,23 @@ def main() -> None:
     qs["agg_global"](spark, sf_dir).write.format("noop").mode("overwrite").save()
 
     # Per-boot calibration: a fixed, shuffle-free, JVM-only fold whose
-    # cost depends ONLY on this machine's current CPU speed (measured
-    # post-warmup so JIT is settled). Cross-round bench comparisons
-    # divide by this to separate engine regressions from VM-speed
-    # drift between boots (r3→r4 showed a uniform ~40% environmental
-    # slowdown that was otherwise indistinguishable from a code
-    # regression — see BASELINE.md).
-    c0 = time.perf_counter()
-    spark.range(0, 100_000_000, 1, int(cpus)).selectExpr(
-        "sum(id * 3 + 7) AS s"
-    ).collect()
-    calib = round(time.perf_counter() - c0, 3)
+    # cost depends ONLY on this machine's current CPU speed. Cross-round
+    # bench comparisons divide by this to separate engine regressions
+    # from VM-speed drift between boots (r3→r4 showed a uniform ~40%
+    # environmental slowdown that was otherwise indistinguishable from
+    # a code regression — see BASELINE.md). One untimed run settles
+    # this codepath's codegen/JIT; the median of three timed runs
+    # suppresses single-sample noise (the constant scales every
+    # normalized comparison, so it must be stable).
+    def _calib_run() -> float:
+        t = time.perf_counter()
+        spark.range(0, 100_000_000, 1, int(cpus)).selectExpr(
+            "sum(id * 3 + 7) AS s"
+        ).collect()
+        return time.perf_counter() - t
+
+    _calib_run()  # warm the fold itself
+    calib = round(sorted(_calib_run() for _ in range(3))[1], 3)
     print(f"# calib_sec: {calib:.3f}s", file=sys.stderr)
 
     timings: dict[str, float] = {}

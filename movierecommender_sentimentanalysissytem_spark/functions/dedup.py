@@ -29,6 +29,7 @@ from pyspark.sql.window import Window
 
 from movierecommender_sentimentanalysissytem_spark.functions.rounding import round4
 from movierecommender_sentimentanalysissytem_spark.plans.caching import (
+    release_local_checkpoint,
     scoped_local_checkpoint,
     scoped_persist,
 )
@@ -567,6 +568,11 @@ def min_label_components(pairs: DataFrame, max_rounds: int = 10) -> DataFrame:
         )
         .distinct()
     )
+    # Materialize sym BEFORE the first checkpoint so its cache-buffer
+    # RDD is never mis-attributed to a generation's capture set (see
+    # scoped_local_checkpoint's attribution note) — the in-loop early
+    # release below must never drop the edge cache.
+    sym.count()
     # Each generation is eagerly local-checkpointed: the jump step
     # references the label frame twice, so WITHOUT lineage truncation
     # the logical plan doubles per round and analysis OOMs the driver
@@ -614,20 +620,26 @@ def min_label_components(pairs: DataFrame, max_rounds: int = 10) -> DataFrame:
             .count()
         )
         # new_labels is materialized (eager checkpoint), so the prop
-        # cache is dead weight — drop it before looping. Superseded
-        # label checkpoints are released with the scoped caches at the
-        # next query build.
+        # cache and the superseded generation's checkpoint blocks are
+        # dead weight — drop both before looping (≤1 label generation
+        # alive at any time).
         prop.unpersist()
+        release_local_checkpoint(labels)
         labels = new_labels
         if changed == 0:
             break
     else:
-        # Exhausting the bound without a fixed point means some
-        # component's labels are WRONG (its diameter exceeds ~2^rounds
-        # under pointer jumping) — refuse to return them silently.
+        # Exhausting the bound without OBSERVING a fixed point: a
+        # fixed point is only observable one round after it is reached
+        # (the no-change round), so max_rounds must be sized as
+        # expected-convergence-rounds + 1. Some component's labels may
+        # be wrong (diameter beyond ~2^(max_rounds-1) under pointer
+        # jumping) — refuse to return them silently.
         raise RuntimeError(
-            f"min_label_components did not converge in {max_rounds} "
-            "rounds; raise max_rounds (reach doubles per round)"
+            f"min_label_components did not observe convergence within "
+            f"{max_rounds} rounds; raise max_rounds (reach doubles per "
+            "round, and observing the fixed point costs one extra "
+            "round)"
         )
     sym.unpersist()
     return labels

@@ -11,8 +11,17 @@ slow eviction churn at best, executor-memory pressure at 100 TB.
 ``release_scoped_caches()`` unpersists everything registered. The
 registry wraps every query so each *build* first releases the caches
 of the previously built query — a sweep therefore holds at most one
-query's caches at any time. Releasing is always safe: an unpersisted
-DataFrame silently recomputes from lineage.
+query's caches at any time.
+
+Release contract (two tiers):
+- ``scoped_persist`` frames: releasing is ALWAYS safe — an unpersisted
+  DataFrame silently recomputes from lineage.
+- ``scoped_local_checkpoint`` frames: releasing DESTROYS the data (the
+  checkpoint truncated the lineage, so there is nothing to recompute
+  from). A query whose result derives from a scoped checkpoint must be
+  fully consumed before the next registry build — which the driver
+  sweep, parity harness, and bench all guarantee (collect/write, then
+  build the next query).
 """
 
 from __future__ import annotations
@@ -52,15 +61,45 @@ def scoped_local_checkpoint(df: DataFrame) -> DataFrame:
     (block manager) — no distributed-FS round trip; at 100 TB with
     executor loss concerns, reliable ``checkpoint(dir)`` swaps in with
     the same semantics. DataFrame.unpersist does NOT free checkpoint
-    RDDs, so release happens at the RDD level via the id diff captured
-    here."""
+    RDDs, so release happens at the RDD level.
+
+    Attribution: the backing RDD ids are captured as the diff of
+    ``getPersistentRDDs`` around the eager checkpoint job. Any LAZY
+    cache that first materializes during that job lands in the same
+    capture set — so callers that intend to early-release a
+    superseded generation (``release_local_checkpoint``) must
+    materialize their plain caches (e.g. ``df.count()``) BEFORE the
+    first checkpoint, keeping each capture set exactly one
+    generation's RDDs. All persists in this codebase go through the
+    scoped system, so a mis-captured id is at worst an early cache
+    drop (recomputes), never data loss.
+
+    The captured ids are attached to the returned frame
+    (``_mrsas_cp_ids``) for targeted early release."""
     sc = df.sparkSession.sparkContext
     jsc = sc._jsc.sc()
     before = _persistent_ids(jsc)
     cp = df.localCheckpoint(eager=True)
-    for rid in _persistent_ids(jsc) - before:
+    ids = _persistent_ids(jsc) - before
+    for rid in ids:
         _SCOPED_CP.append((jsc, rid))
+    cp._mrsas_cp_ids = (jsc, tuple(ids))
     return cp
+
+
+def release_local_checkpoint(cp: DataFrame) -> None:
+    """Early-release one scoped checkpoint's backing RDDs (for a
+    SUPERSEDED generation in an iterative loop — the caller must have
+    already materialized everything derived from it). Idempotent with
+    the deferred release in ``release_scoped_caches``."""
+    jsc, ids = getattr(cp, "_mrsas_cp_ids", (None, ()))
+    for rid in ids:
+        try:
+            m = jsc.getPersistentRDDs()
+            if m.contains(rid):
+                m.apply(rid).unpersist(False)
+        except Exception:  # noqa: BLE001 — context may already be gone
+            pass
 
 
 def release_scoped_caches() -> None:

@@ -334,5 +334,5 @@ def test_min_label_components_raises_when_round_bound_too_small(spark):
 
     edges = [(i + 1, i) for i in range(0, 30)]  # 31-node chain
     df = spark.createDataFrame(edges, "doc_a long, doc_b long")
-    with pytest.raises(RuntimeError, match="did not converge"):
+    with pytest.raises(RuntimeError, match="did not observe convergence"):
         min_label_components(df, max_rounds=2)
