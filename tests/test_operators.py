@@ -336,3 +336,29 @@ def test_min_label_components_raises_when_round_bound_too_small(spark):
     df = spark.createDataFrame(edges, "doc_a long, doc_b long")
     with pytest.raises(RuntimeError, match="did not observe convergence"):
         min_label_components(df, max_rounds=2)
+
+
+def test_min_label_components_holds_one_generation(spark):
+    """The loop's early release must keep at most ONE label generation's
+    checkpoint RDDs persisted at exit (plus the edge cache), no matter
+    how many rounds ran — the ≤1-generation property the docstring and
+    SCALE.md claim."""
+    from movierecommender_sentimentanalysissytem_spark.functions.dedup import (
+        min_label_components,
+    )
+    from movierecommender_sentimentanalysissytem_spark.plans.caching import (
+        release_scoped_caches,
+    )
+
+    release_scoped_caches()
+    jsc = spark.sparkContext._jsc.sc()
+    baseline = jsc.getPersistentRDDs().size()
+    edges = [(i + 1, i) for i in range(100, 140)]  # 6+ rounds
+    df = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    labels = min_label_components(df)
+    labels.collect()
+    # live now: the FINAL generation's checkpoint only (sym + prop are
+    # Dataset-unpersisted in the loop; superseded checkpoints released)
+    assert jsc.getPersistentRDDs().size() - baseline <= 2
+    release_scoped_caches()
+    assert jsc.getPersistentRDDs().size() <= baseline
