@@ -39,8 +39,12 @@ def stats_median_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     med = e.groupBy(F.col("event_type").alias("mt")).agg(
         F.median("value").alias("med_raw")
     )
+    # eqNullSafe: the oracle's GROUP BY keeps a NULL event_type group,
+    # so the median join-back must not drop it (NULL == NULL is false
+    # under a plain equi-join — a latent one-row hash mismatch on any
+    # fixture generation with NULL event types).
     return (
-        e.join(F.broadcast(med), e.event_type == F.col("mt"))
+        e.join(F.broadcast(med), e.event_type.eqNullSafe(F.col("mt")))
         .groupBy("event_type")
         .agg(
             round4(F.first("med_raw")).alias("med"),
@@ -90,7 +94,8 @@ def anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT event_id, user_id,
            COUNT(DISTINCT event_type) OVER (
-               PARTITION BY user_id ORDER BY ts, event_id
+               PARTITION BY user_id
+               ORDER BY date_trunc('second', ts), event_id
                ROWS BETWEEN 9 PRECEDING AND CURRENT ROW) AS n_kinds
     FROM events WHERE user_id <= 10
     """,
@@ -100,8 +105,11 @@ def win_rolling_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     user's trailing 10 events. Spark windows reject COUNT(DISTINCT)
     outright — the standard rewrite is size(collect_set() OVER frame),
     which keeps the dedup inside the window operator (set state is
-    bounded by the frame length). The frame's ORDER BY carries
-    event_id as a tiebreaker: frame membership must be a total order
+    bounded by the frame length). The frame's ORDER BY truncates ts to
+    the second (FIXTURES.md rule: never order cross-engine on raw ts —
+    DuckDB sees the file's ns values, Spark the µs rebuild, so a
+    sub-µs component would order the engines differently) and carries
+    event_id as the tiebreaker: frame membership must be a total order
     or the two engines could legally disagree on ties.
 
     The user_id <= 10 bound is inside the events user_id domain at
@@ -112,7 +120,7 @@ def win_rolling_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = table(spark, sf_dir, "events").filter(F.col("user_id") <= 10)
     w = (
         Window.partitionBy("user_id")
-        .orderBy("ts", "event_id")
+        .orderBy(F.date_trunc("second", F.col("ts")), F.col("event_id"))
         .rowsBetween(-9, Window.currentRow)
     )
     return e.select(

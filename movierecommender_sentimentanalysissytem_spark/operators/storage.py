@@ -5,6 +5,7 @@ two layout levers that matter most at 100 TB).
 
 from __future__ import annotations
 
+import glob
 import os
 import tempfile
 
@@ -174,9 +175,6 @@ def scan_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     reality of any long-lived 100 TB dataset (readers must never
     break on old files). The aggregate proves old rows surface with
     NULL and new rows carry values."""
-    import os
-    import tempfile
-
     o = table(spark, sf_dir, "orders")
     out = os.path.join(tempfile.mkdtemp(prefix="mrsas_evo_"), "orders_evo")
     # generation 1: original schema
@@ -216,10 +214,6 @@ def maintenance_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFra
     restores it. Row count and sum prove the rewrite is lossless;
     actual file counts are asserted against the declared literals so
     the oracle check fails if compaction misbehaves."""
-    import glob
-    import os
-    import tempfile
-
     o = table(spark, sf_dir, "orders")
     base = tempfile.mkdtemp(prefix="mrsas_compact_")
     small, big = os.path.join(base, "small"), os.path.join(base, "big")

@@ -42,10 +42,15 @@ if _HAS_DS_API:
             self.n_parts = int(options.get("n_parts", 4))
 
         def partitions(self):
-            step = max(1, self.n_rows // self.n_parts)
+            # exactly n_parts contiguous chunks (ceil-divided), never
+            # n_parts+1 — the declared parallelism IS the contract
+            # (pinned in tests/test_operators.py)
+            n, p = self.n_rows, max(1, self.n_parts)
+            bounds = [min(n, (n * i + p - 1) // p) for i in range(p + 1)]
             return [
-                _SeqPartition(i, min(i + step, self.n_rows))
-                for i in range(0, self.n_rows, step)
+                _SeqPartition(bounds[i], bounds[i + 1])
+                for i in range(p)
+                if bounds[i] < bounds[i + 1] or n == 0 and i == 0
             ]
 
         def read(self, partition):
@@ -114,7 +119,15 @@ if _HAS_DS_API:
         the two-phase commit shape every real sink (JDBC, object
         store, warehouse) implements: executors write side files and
         return commit messages; ``commit`` publishes a manifest; a
-        failed job never publishes, so readers see all-or-nothing."""
+        failed job never publishes, so readers see all-or-nothing.
+
+        Storage contract: ``path`` must be visible to BOTH executors
+        (which open part files there) and the driver (which writes the
+        manifest and re-reads the parts) — i.e. a DFS/object-store
+        mount on a real cluster, exactly like every file sink. The
+        harness satisfies it trivially under local mode with a
+        tempdir; on a multi-node cluster a worker-local path would
+        strand the part files away from the driver's commit."""
 
         def __init__(self, options) -> None:
             self.path = options.get("path")

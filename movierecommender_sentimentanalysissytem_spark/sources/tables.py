@@ -46,13 +46,27 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     Spark reads natively as TIMESTAMP_NTZ. We sniff the loaded dtype
     and normalize both to session-zone TimestampType (session tz is
     pinned to UTC, so the NTZ→TZ cast is wall-clock identity).
+
+    The legacy conf is set ONLY if the native read actually rejects
+    the file (nanos generation): a session-global conf flipped as a
+    side effect of loading one table would silently change how every
+    later nanos-typed parquet read in the session behaves. On the µs
+    generation (current fixtures) the conf is never touched.
     """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(path)
+        try:
+            df = spark.read.parquet(path)
+        except Exception:
+            # TIMESTAMP(NANOS) fixture generation: re-read as raw int64
+            # ns. The conf stays set for the session afterward BY
+            # DESIGN — every engine read goes through table(), and the
+            # flag only affects nanos-typed columns, which this session
+            # then wants read the same way.
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+            df = spark.read.parquet(path)
         ts_type = dict(df.dtypes).get("ts")
         if ts_type == "bigint":
             return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))

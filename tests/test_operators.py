@@ -362,3 +362,28 @@ def test_min_label_components_holds_one_generation(spark):
     assert jsc.getPersistentRDDs().size() - baseline <= 2
     release_scoped_caches()
     assert jsc.getPersistentRDDs().size() <= baseline
+
+
+def test_python_datasource_partition_contract():
+    """_SeqReader must emit exactly n_parts partitions covering
+    [0, n_rows) contiguously for divisible AND non-divisible splits."""
+    import pytest
+
+    from movierecommender_sentimentanalysissytem_spark.sources.pysource import (
+        _HAS_DS_API,
+    )
+
+    if not _HAS_DS_API:
+        pytest.skip("Spark 4 DataSource API unavailable")
+    from movierecommender_sentimentanalysissytem_spark.sources.pysource import (
+        _SeqReader,
+    )
+
+    for n_rows, n_parts in ((1000, 4), (1001, 4), (10, 4), (7, 3)):
+        parts = _SeqReader(
+            {"n_rows": str(n_rows), "n_parts": str(n_parts)}
+        ).partitions()
+        assert len(parts) == n_parts, (n_rows, n_parts, len(parts))
+        assert parts[0].start == 0 and parts[-1].end == n_rows
+        for a, b in zip(parts, parts[1:]):
+            assert a.end == b.start  # contiguous, no gap/overlap
