@@ -521,3 +521,36 @@ def curation_shard_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", "n_words", "shard")
     )
+
+
+@query(
+    "quality_duplicate_rate_by_source",
+    oracle="""
+    SELECT source, COUNT(*) AS n_docs,
+           COUNT(DISTINCT text) AS n_distinct,
+           FLOOR((1.0 - CAST(COUNT(DISTINCT text) AS DOUBLE) / COUNT(*))
+                 * 10000 + 0.5) / 10000 AS dup_rate
+    FROM documents GROUP BY source
+    """,
+)
+def quality_duplicate_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source duplication audit: how much of each ingest source is
+    exact-duplicate text — the triage report that decides WHERE a
+    dedup pass (functions/dedup.py) spends its budget, and the metric
+    a crawl-health dashboard alerts on. COUNT(DISTINCT text) over
+    full document bodies would shuffle every byte at 100 TB; there the
+    distinct key becomes the 128-bit content hash (dedup_exact's md5
+    family — collision-negligible, 16 bytes/row). The fixture-scale
+    formulation keeps raw text so the oracle is definitionally exact.
+    The dup-rate ratio divides exact integer counts — identical
+    doubles in both engines before the 4-dp guard round."""
+    d = table(spark, sf_dir, "documents")
+    return d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count_distinct(F.col("text")).alias("n_distinct"),
+        round4(
+            1.0
+            - F.count_distinct(F.col("text")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("dup_rate"),
+    )

@@ -285,3 +285,55 @@ def text_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         redacted.alias("redacted"),
         (redacted != F.col("text")).alias("was_redacted"),
     )
+
+
+@query(
+    "text_word_entropy",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id, unnest(str_split(text, ' ')) AS w FROM documents
+    ),
+    tf AS (SELECT doc_id, w, COUNT(*) AS c FROM tok GROUP BY doc_id, w),
+    n AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+                 COUNT(*) AS n_distinct
+          FROM tf GROUP BY doc_id)
+    SELECT tf.doc_id, ANY_VALUE(n_tokens) AS n_tokens,
+           ANY_VALUE(n_distinct) AS n_distinct,
+           FLOOR(-SUM((CAST(c AS DOUBLE) / n_tokens)
+                      * ln(CAST(c AS DOUBLE) / n_tokens)) * 10000 + 0.5)
+               / 10000 AS entropy
+    FROM tf JOIN n USING (doc_id)
+    GROUP BY tf.doc_id
+    """,
+)
+def text_word_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document unigram Shannon entropy (nats) — the
+    information-density quality signal that separates natural prose
+    from boilerplate and keyword stuffing (low entropy = few dominant
+    tokens; pairs with text_repetition_filter's rule-based gates).
+    Explode → per-(doc, token) counts → per-doc −Σ p·ln p: two
+    shuffles, both keyed on doc_id, both map-side combinable. The
+    p·ln p terms are ratios of exact integer counts, so both engines
+    fold identical doubles; only the term-summation order differs,
+    absorbed by the 4-dp round. At 100 TB the explode fan-out is the
+    cost center — the groupBy collapses it back before anything wide
+    moves."""
+    d = table(spark, sf_dir, "documents")
+    tf = (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    n = tf.groupBy(F.col("doc_id").alias("nd")).agg(
+        F.sum("c").alias("n_tokens"), F.count(F.lit(1)).alias("n_distinct")
+    )
+    p = F.col("c").cast("double") / F.col("n_tokens")
+    return (
+        tf.join(n, tf.doc_id == F.col("nd"))
+        .groupBy("doc_id")
+        .agg(
+            F.any_value("n_tokens").alias("n_tokens"),
+            F.any_value("n_distinct").alias("n_distinct"),
+            round4(-F.sum(p * F.log(p))).alias("entropy"),
+        )
+    )

@@ -397,3 +397,88 @@ def embedding_centroid_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
             round4(F.col("sim")).alias("cos_sim"),
         )
     )
+
+
+@query(
+    "sim_matmul_topk",
+    oracle=f"""
+    SELECT query_id, neighbor_id, cos_sim, rn FROM (
+        SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+               FLOOR({_DCOS} * 10000 + 0.5) / 10000 AS cos_sim,
+               CAST(ROW_NUMBER() OVER (
+                   PARTITION BY a.vec_id
+                   ORDER BY FLOOR({_DCOS} * 10000 + 0.5) / 10000 DESC,
+                            b.vec_id ASC) AS INTEGER) AS rn
+        FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+        WHERE a.vec_id < 10
+    ) t WHERE rn <= 3
+    """,
+)
+def sim_matmul_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force top-3 neighbors computed as BLOCK MATRIX MULTIPLY —
+    the BLAS-backed executor kernel that replaces sim_topk_neighbors'
+    per-pair JVM fold when the query block is large enough to amortize
+    Arrow transfer (~10-100× on wide blocks). Each Arrow batch of
+    candidates becomes one float64 GEMM against the broadcast,
+    pre-normalized query matrix; every batch emits only its LOCAL
+    top-3 per query (selection under a total order commutes with
+    union, so the global window over ≤ 3·batches·|Q| rows reproduces
+    exact top-k — nothing near-quadratic ever shuffles).
+
+    The 10-row query block is collected driver-side by design (same
+    bounded-block contract as sim_topk_neighbors; at scale it is a
+    parameter table, not data). BLAS reorders additions, so scores can
+    differ from the oracle's in-order fold in the last ulps: BOTH
+    engines therefore rank on the 4-dp-rounded score (neighbor_id
+    tiebreak) — the rounding that elsewhere only guards projection here
+    defines the ranking, making the GEMM path hash-exact.
+    """
+    import numpy as np
+    import pandas as pd
+
+    e = table(spark, sf_dir, "embeddings")
+    qrows = (
+        e.filter(F.col("vec_id") < 10)
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    out_schema = "query_id long, neighbor_id long, cos_sim double"
+    if not qrows:  # empty corpus/query block: empty result, same schema
+        return spark.createDataFrame([], out_schema + ", rn int")
+    qids = np.array([r["vec_id"] for r in qrows], dtype=np.int64)
+    qmat = np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in qrows])
+    qunit = qmat / np.linalg.norm(qmat, axis=1, keepdims=True)
+
+    def gemm_topk(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            b = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in pdf["embedding"]]
+            )
+            bn = np.linalg.norm(b, axis=1, keepdims=True)
+            scores = (b / bn) @ qunit.T  # (batch, |Q|)
+            cos4 = np.floor(scores * 10000 + 0.5) / 10000
+            out = []
+            for j, qid in enumerate(qids):
+                mask = ids != qid
+                cand_ids, cand = ids[mask], cos4[mask, j]
+                # local top-3 under the SAME total order as the global
+                # window: rounded score desc, neighbor_id asc
+                order = np.lexsort((cand_ids, -cand))[:3]
+                for i in order:
+                    out.append((qid, cand_ids[i], cand[i]))
+            yield pd.DataFrame(
+                out, columns=["query_id", "neighbor_id", "cos_sim"]
+            )
+
+    local = e.select("vec_id", "embedding").mapInPandas(gemm_topk, out_schema)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        local.withColumn("rn", F.row_number().over(w).cast("int"))
+        .filter(F.col("rn") <= 3)
+        .select("query_id", "neighbor_id", "cos_sim", "rn")
+    )

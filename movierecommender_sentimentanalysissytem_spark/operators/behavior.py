@@ -1,0 +1,255 @@
+"""Behavioral event analytics: batch time-gap sessionization,
+last-touch attribution, and RFM user segmentation — the
+clickstream-shaped operators that sit between the raw events table and
+the recommender/funnel tier (funnel_conversion, cohort_retention).
+
+All three follow the events-table determinism rules (FIXTURES.md):
+order within a user only on (second-truncated ts, event_id) — a total
+order both engines agree on — and never project a raw ns timestamp.
+Every plan shuffles on user_id once and keeps window state bounded by
+a single user's history.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from movierecommender_sentimentanalysissytem_spark.functions.rounding import round4
+from movierecommender_sentimentanalysissytem_spark.registry import query
+from movierecommender_sentimentanalysissytem_spark.sources.tables import table
+
+# Epoch seconds of the second-truncated event time — the one timestamp
+# projection both engines compute identically on the ns fixture.
+_SEC = "CAST(epoch(date_trunc('second', ts)) AS BIGINT)"
+
+
+def _sec_col() -> F.Column:
+    return F.unix_timestamp(F.date_trunc("second", F.col("ts")))
+
+
+@query(
+    "sessionize_batch",
+    oracle=f"""
+    WITH o AS (
+        SELECT user_id, event_id, event_type, {_SEC} AS sec,
+               lag({_SEC}) OVER (
+                   PARTITION BY user_id
+                   ORDER BY {_SEC}, event_id) AS prev_sec
+        FROM events
+    ),
+    marked AS (
+        SELECT *, CASE WHEN prev_sec IS NULL OR sec - prev_sec > 1800
+                       THEN 1 ELSE 0 END AS is_new
+        FROM o
+    ),
+    sess AS (
+        SELECT *, SUM(is_new) OVER (
+                   PARTITION BY user_id
+                   ORDER BY sec, event_id) AS session_id
+        FROM marked
+    )
+    SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+           MIN(sec) AS start_sec, COUNT(*) AS n_events,
+           MAX(sec) - MIN(sec) AS duration_s,
+           CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_purchases
+    FROM sess GROUP BY user_id, session_id
+    """,
+)
+def sessionize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization: a 30-minute inactivity gap starts a new
+    session (the batch twin of stream_session_window; the
+    integer-island variant is win_gaps_islands). The classic two-window
+    composition — lag marks session starts, a running sum of the marks
+    numbers the sessions — needs one shuffle on user_id; both windows
+    and the final rollup share that partitioning, so Catalyst plans a
+    single exchange. Session state never leaves the window frame: at
+    100 TB a user's history sorts within its partition and spills if
+    pathological, but no cross-user state exists."""
+    e = table(spark, sf_dir, "events").withColumn("sec", _sec_col())
+    w = Window.partitionBy("user_id").orderBy("sec", "event_id")
+    marked = e.withColumn(
+        "is_new",
+        F.when(
+            F.lag("sec").over(w).isNull()
+            | (F.col("sec") - F.lag("sec").over(w) > 1800),
+            1,
+        ).otherwise(0),
+    )
+    sess = marked.withColumn(
+        "session_id", F.sum("is_new").over(w).cast("bigint")
+    )
+    return sess.groupBy("user_id", "session_id").agg(
+        F.min("sec").alias("start_sec"),
+        F.count(F.lit(1)).alias("n_events"),
+        (F.max("sec") - F.min("sec")).alias("duration_s"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias(
+            "n_purchases"
+        ),
+    )
+
+
+@query(
+    "attribution_last_touch",
+    oracle=f"""
+    WITH o AS (
+        SELECT user_id, event_id, event_type, {_SEC} AS sec,
+               last_value(CASE WHEN event_type = 'click' THEN event_id END
+                          IGNORE NULLS) OVER w AS click_id,
+               last_value(CASE WHEN event_type = 'click' THEN {_SEC} END
+                          IGNORE NULLS) OVER w AS click_sec
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY {_SEC}, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT event_id AS purchase_id, user_id, click_id AS attributed_click_id,
+           sec - click_sec AS gap_s
+    FROM o WHERE event_type = 'purchase'
+    """,
+)
+def attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution: each purchase credits the user's most
+    recent preceding click (NULL when no click came before — preserved,
+    not dropped: unattributed purchases are the interesting rows in an
+    attribution audit). ``last(..., ignoreNulls) OVER (unbounded
+    preceding..current)`` carries the latest click forward as running
+    window state — O(1) per row, one user_id shuffle, no self-join of
+    purchases against clicks (which would re-shuffle both sides and
+    skew on heavy clickers). A time-capped variant would add a range
+    frame on sec; the uncapped form keeps the oracle windowed
+    identically in both engines."""
+    e = table(spark, sf_dir, "events").withColumn("sec", _sec_col())
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("sec", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    click_id = F.last(
+        F.when(F.col("event_type") == "click", F.col("event_id")),
+        ignorenulls=True,
+    ).over(w)
+    click_sec = F.last(
+        F.when(F.col("event_type") == "click", F.col("sec")),
+        ignorenulls=True,
+    ).over(w)
+    return (
+        e.withColumn("click_id", click_id)
+        .withColumn("click_sec", click_sec)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            F.col("click_id").alias("attributed_click_id"),
+            (F.col("sec") - F.col("click_sec")).alias("gap_s"),
+        )
+    )
+
+
+@query(
+    "rec_rfm_segmentation",
+    oracle=f"""
+    WITH p AS (
+        SELECT user_id, MAX({_SEC}) AS last_sec, COUNT(*) AS freq,
+               FLOOR(SUM(value) * 10000 + 0.5) / 10000 AS monetary
+        FROM events WHERE event_type = 'purchase' GROUP BY user_id
+    ),
+    m AS (
+        SELECT MAX(last_sec) AS now_sec,
+               quantile_cont(last_sec, [0.25, 0.5, 0.75]) AS l_t,
+               quantile_cont(freq, [0.25, 0.5, 0.75]) AS f_t,
+               quantile_cont(monetary, [0.25, 0.5, 0.75]) AS m_t
+        FROM p
+    ),
+    scored AS (
+        SELECT user_id,
+               CAST(now_sec - last_sec AS BIGINT) AS recency_s,
+               freq, monetary,
+               -- recency: LOWER is better -> quartile 1 = most recent;
+               -- recency above its p-quantile <=> last_sec below the
+               -- (1-p)-quantile of last_sec
+               1 + CAST(last_sec < l_t[3] AS INT)
+                 + CAST(last_sec < l_t[2] AS INT)
+                 + CAST(last_sec < l_t[1] AS INT) AS r_q,
+               -- frequency / monetary: HIGHER is better -> quartile 1 = top
+               1 + CAST(freq <= f_t[3] AS INT) + CAST(freq <= f_t[2] AS INT)
+                 + CAST(freq <= f_t[1] AS INT) AS f_q,
+               1 + CAST(monetary <= m_t[3] AS INT)
+                 + CAST(monetary <= m_t[2] AS INT)
+                 + CAST(monetary <= m_t[1] AS INT) AS m_q
+        FROM p CROSS JOIN m
+    )
+    SELECT user_id, recency_s, freq, monetary, r_q, f_q, m_q,
+           CAST(r_q AS VARCHAR) || '-' || CAST(f_q AS VARCHAR) || '-'
+               || CAST(m_q AS VARCHAR) AS segment
+    FROM scored
+    """,
+)
+def rec_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation over purchase events: per-user recency (seconds
+    behind the latest purchase anywhere), frequency, and monetary sum,
+    each cut into quartiles at the exact interpolated 25/50/75
+    boundaries, composed into an 'r-f-m' segment label. Deliberately
+    NOT a global ntile() — a total-order window over every user is the
+    single-task cliff win_ntile_percent had to engineer around; here
+    the boundaries are a 1-row aggregate broadcast back for a row-local
+    bucket comparison, so the plan is two map-side-combinable passes
+    whatever the user count. Monetary is 4-dp-rounded BEFORE the
+    boundary comparison on both sides (double purchase sums are
+    summation-order noisy; boundary decisions must see identical
+    operands). Quartile convention: strict '>' pushes a user on a
+    recency boundary into the better bucket, '<=' does the same for
+    frequency/monetary — pinned in tests."""
+    p = (
+        table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .withColumn("sec", _sec_col())
+        .groupBy("user_id")
+        .agg(
+            F.max("sec").alias("last_sec"),
+            F.count(F.lit(1)).alias("freq"),
+            round4(F.sum("value")).alias("monetary"),
+        )
+    )
+    m = p.agg(
+        F.max("last_sec").alias("now_sec"),
+        F.percentile(
+            F.col("last_sec"), F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75))
+        ).alias("l_t"),
+        F.percentile(
+            F.col("freq"), F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75))
+        ).alias("f_t"),
+        F.percentile(
+            F.col("monetary"), F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75))
+        ).alias("m_t"),
+    )
+    rec = F.col("now_sec") - F.col("last_sec")
+    scored = p.crossJoin(F.broadcast(m)).select(
+        "user_id",
+        rec.cast("bigint").alias("recency_s"),
+        "freq",
+        "monetary",
+        (
+            1
+            + (F.col("last_sec") < F.element_at("l_t", 3)).cast("int")
+            + (F.col("last_sec") < F.element_at("l_t", 2)).cast("int")
+            + (F.col("last_sec") < F.element_at("l_t", 1)).cast("int")
+        ).alias("r_q"),
+        (
+            1
+            + (F.col("freq") <= F.element_at("f_t", 3)).cast("int")
+            + (F.col("freq") <= F.element_at("f_t", 2)).cast("int")
+            + (F.col("freq") <= F.element_at("f_t", 1)).cast("int")
+        ).alias("f_q"),
+        (
+            1
+            + (F.col("monetary") <= F.element_at("m_t", 3)).cast("int")
+            + (F.col("monetary") <= F.element_at("m_t", 2)).cast("int")
+            + (F.col("monetary") <= F.element_at("m_t", 1)).cast("int")
+        ).alias("m_q"),
+    )
+    return scored.withColumn(
+        "segment",
+        F.concat_ws("-", F.col("r_q"), F.col("f_q"), F.col("m_q")),
+    )

@@ -1,0 +1,370 @@
+"""Inferential statistics over the fixture tables: closed-form OLS,
+chi-square independence, two-sample Kolmogorov–Smirnov, Gini
+concentration, IQR outlier gating, and lag-1 autocorrelation — the
+hypothesis-testing tier a data-quality / drift-monitoring pipeline
+layers above the descriptive profiles (profile_table, stats_median_mad).
+
+Every statistic here is expressed as ordinary aggregates + bounded
+broadcasts — one or two shuffles on the group key, no iteration, no
+driver-side math — so each plan is the one you'd run at 100 TB. Exact
+DuckDB oracles throughout (the statistics are deterministic given the
+4-dp stable rounding of FIXTURES.md).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from movierecommender_sentimentanalysissytem_spark.functions.rounding import round4
+from movierecommender_sentimentanalysissytem_spark.registry import query
+from movierecommender_sentimentanalysissytem_spark.sources.tables import table
+
+
+@query(
+    "stats_linear_regression",
+    oracle="""
+    SELECT l_returnflag,
+           FLOOR(regr_slope(l_extendedprice, l_quantity) * 10000 + 0.5)
+               / 10000 AS slope,
+           FLOOR(regr_intercept(l_extendedprice, l_quantity) * 10000 + 0.5)
+               / 10000 AS intercept,
+           FLOOR(regr_r2(l_extendedprice, l_quantity) * 10000 + 0.5)
+               / 10000 AS r2,
+           COUNT(*) AS n
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def stats_linear_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group closed-form OLS (price on quantity): slope =
+    covar_pop/var_pop, intercept = ȳ − slope·x̄, r² = corr² — the
+    moment identities DuckDB's regr_* family implements natively, so
+    the oracle proves the composition. One partial-aggregable pass:
+    every moment (sums, sums of squares, cross products) map-side
+    combines, so the plan is a single shuffle of 5-number summaries
+    per group regardless of data size. Rounded to 4 dp — the moments
+    are summation-order-sensitive in the last ulps, the statistics are
+    not at 4 dp (magnitudes ~1e3, relative noise ~1e-12).
+
+    Degenerate groups mirror the SQL-standard regr_* semantics the
+    oracle implements: constant x → NULL slope/intercept/r2 (ANSI
+    Spark would otherwise raise DIVIDE_BY_ZERO — try_divide makes the
+    NULL explicit); constant y under varying x → r2 = 1. r² is
+    computed as cov²/(vx·vy) rather than corr² because Spark's corr
+    itself divides by the zero variance."""
+    li = table(spark, sf_dir, "lineitem")
+    agg = li.groupBy("l_returnflag").agg(
+        F.covar_pop("l_quantity", "l_extendedprice").alias("cxy"),
+        F.var_pop("l_quantity").alias("vx"),
+        F.var_pop("l_extendedprice").alias("vy"),
+        F.avg("l_quantity").alias("mx"),
+        F.avg("l_extendedprice").alias("my"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    slope = F.try_divide(F.col("cxy"), F.col("vx"))
+    r2 = (
+        F.when(F.col("vx") == 0, F.lit(None).cast("double"))
+        .when(F.col("vy") == 0, F.lit(1.0))
+        .otherwise(F.col("cxy") * F.col("cxy") / (F.col("vx") * F.col("vy")))
+    )
+    return agg.select(
+        "l_returnflag",
+        round4(slope).alias("slope"),
+        round4(F.col("my") - slope * F.col("mx")).alias("intercept"),
+        round4(r2).alias("r2"),
+        "n",
+    )
+
+
+@query(
+    "stats_chi_square",
+    oracle="""
+    WITH joined AS (
+        SELECT c_mktsegment AS seg, o_orderpriority AS prio
+        FROM orders JOIN customer ON o_custkey = c_custkey
+    ),
+    obs AS (SELECT seg, prio, COUNT(*) AS o FROM joined GROUP BY seg, prio),
+    rt AS (SELECT seg, COUNT(*) AS r FROM joined GROUP BY seg),
+    ct AS (SELECT prio, COUNT(*) AS c FROM joined GROUP BY prio),
+    tot AS (SELECT COUNT(*) AS n FROM joined)
+    SELECT FLOOR((SUM(CAST(o AS DOUBLE) * o * n / (CAST(r AS DOUBLE) * c))
+                  - ANY_VALUE(n)) * 10000 + 0.5) / 10000 AS chi2,
+           CAST(((SELECT COUNT(*) FROM rt) - 1)
+                * ((SELECT COUNT(*) FROM ct) - 1) AS BIGINT) AS dof
+    FROM obs JOIN rt USING (seg) JOIN ct USING (prio) CROSS JOIN tot
+    """,
+)
+def stats_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square test of independence for market segment × order
+    priority. Uses the algebraic identity χ² = Σ o²/e − N (e =
+    row·col/N), which needs only the OBSERVED cells — empty cells
+    contribute 0 to Σ o²/e and the −N absorbs their expected mass, so
+    no dense cross-product of category domains is ever materialized.
+    The contingency counts shuffle once on the pair key; the row/col
+    marginals and N are tiny re-aggregations of those counts,
+    broadcast back. Output is one fixed-width row at any scale."""
+    j = (
+        table(spark, sf_dir, "orders")
+        .join(
+            table(spark, sf_dir, "customer"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .select(F.col("c_mktsegment").alias("seg"),
+                F.col("o_orderpriority").alias("prio"))
+    )
+    obs = j.groupBy("seg", "prio").agg(F.count(F.lit(1)).alias("o"))
+    # marginals derived FROM the cell counts (no second scan of the join)
+    rt = obs.groupBy("seg").agg(F.sum("o").alias("r"))
+    ct = obs.groupBy("prio").agg(F.sum("o").alias("c"))
+    tot = obs.agg(F.sum("o").alias("n"))
+    chi = (
+        obs.join(F.broadcast(rt), "seg")
+        .join(F.broadcast(ct), "prio")
+        .crossJoin(F.broadcast(tot))
+        .agg(
+            round4(
+                F.sum(
+                    F.col("o").cast("double") * F.col("o") * F.col("n")
+                    / (F.col("r").cast("double") * F.col("c"))
+                )
+                - F.any_value("n")
+            ).alias("chi2")
+        )
+    )
+    dof = (
+        rt.agg(F.count(F.lit(1)).alias("nr"))
+        .crossJoin(ct.agg(F.count(F.lit(1)).alias("nc")))
+        .select(
+            ((F.col("nr") - 1) * (F.col("nc") - 1)).cast("bigint").alias("dof")
+        )
+    )
+    return chi.crossJoin(F.broadcast(dof))
+
+
+@query(
+    "stats_ks_two_sample",
+    oracle="""
+    WITH s AS (
+        SELECT o_orderpriority AS prio, o_totalprice AS v,
+               CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END AS is_o
+        FROM orders WHERE o_orderstatus IN ('O', 'F')
+    ),
+    pts AS (
+        SELECT prio, v, SUM(is_o) AS co, SUM(1 - is_o) AS cf
+        FROM s GROUP BY prio, v
+    ),
+    tot AS (SELECT prio, CAST(SUM(is_o) AS BIGINT) AS n_o,
+                   CAST(SUM(1 - is_o) AS BIGINT) AS n_f
+            FROM s GROUP BY prio),
+    cdf AS (
+        SELECT prio,
+               SUM(co) OVER (PARTITION BY prio ORDER BY v) AS ro,
+               SUM(cf) OVER (PARTITION BY prio ORDER BY v) AS rf
+        FROM pts
+    )
+    SELECT prio AS o_orderpriority,
+           FLOOR(MAX(ABS(CAST(ro AS DOUBLE) / n_o
+                         - CAST(rf AS DOUBLE) / n_f)) * 10000 + 0.5)
+               / 10000 AS d_stat,
+           ANY_VALUE(n_o) AS n_o, ANY_VALUE(n_f) AS n_f
+    FROM cdf JOIN tot USING (prio)
+    WHERE n_o > 0 AND n_f > 0
+    GROUP BY prio
+    """,
+)
+def stats_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov D statistic per order priority:
+    do open ('O') and finished ('F') orders draw their totals from the
+    same distribution? The empirical CDFs are evaluated at every
+    DISTINCT value (group first — the window then orders a strictly
+    increasing key, so no tiebreak is needed and frame membership is
+    engine-independent), as running sums over one value-ordered window
+    per group. The CDFs are ratios of exact integer counts, so both
+    engines divide bit-identical operands; D is rounded at 4 dp only
+    as a final guard. Two shuffles on the group key (distinct + sorted
+    window); the sort parallelizes across the five priority groups."""
+    s = (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus").isin("O", "F"))
+        .select(
+            F.col("o_orderpriority").alias("prio"),
+            F.col("o_totalprice").alias("v"),
+            F.when(F.col("o_orderstatus") == "O", 1).otherwise(0).alias("is_o"),
+        )
+    )
+    pts = s.groupBy("prio", "v").agg(
+        F.sum("is_o").alias("co"), F.sum(1 - F.col("is_o")).alias("cf")
+    )
+    # KS is undefined when either sample is empty — drop such groups
+    # BEFORE the cdf division (under ANSI Spark, /0 raises; DuckDB
+    # would emit inf — neither is a statistic).
+    tot = (
+        s.groupBy("prio")
+        .agg(
+            F.sum("is_o").alias("n_o"), F.sum(1 - F.col("is_o")).alias("n_f")
+        )
+        .filter((F.col("n_o") > 0) & (F.col("n_f") > 0))
+    )
+    w = Window.partitionBy("prio").orderBy("v")
+    cdf = pts.select(
+        "prio",
+        F.sum("co").over(w).alias("ro"),
+        F.sum("cf").over(w).alias("rf"),
+    )
+    return (
+        cdf.join(F.broadcast(tot), "prio")
+        .groupBy(F.col("prio").alias("o_orderpriority"))
+        .agg(
+            round4(
+                F.max(
+                    F.abs(
+                        F.col("ro").cast("double") / F.col("n_o")
+                        - F.col("rf").cast("double") / F.col("n_f")
+                    )
+                )
+            ).alias("d_stat"),
+            F.any_value("n_o").alias("n_o"),
+            F.any_value("n_f").alias("n_f"),
+        )
+    )
+
+
+@query(
+    "stats_gini_concentration",
+    oracle="""
+    WITH ranked AS (
+        SELECT o_orderpriority AS prio, o_totalprice AS v,
+               ROW_NUMBER() OVER (
+                   PARTITION BY o_orderpriority
+                   ORDER BY o_totalprice, o_orderkey) AS i
+        FROM orders
+    )
+    SELECT prio AS o_orderpriority,
+           FLOOR((2.0 * SUM(i * v) / (COUNT(*) * SUM(v))
+                  - (COUNT(*) + 1.0) / COUNT(*)) * 10000 + 0.5)
+               / 10000 AS gini,
+           COUNT(*) AS n
+    FROM ranked GROUP BY prio
+    """,
+)
+def stats_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of order-value concentration per priority
+    class, via the rank formula G = 2·Σ(i·xᵢ)/(n·Σx) − (n+1)/n over
+    values ranked ascending. Σ(i·xᵢ) is invariant under permuting
+    equal values (they contribute identical products whichever rank a
+    tie takes), but the ORDER BY still carries o_orderkey so both
+    engines assign a total order — hygiene, not a correctness need.
+    One partitioned window (rank) + one groupBy on the same key: the
+    sort parallelizes per group and the aggregate map-side combines."""
+    o = table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    ranked = o.select(
+        F.col("o_orderpriority").alias("prio"),
+        F.col("o_totalprice").alias("v"),
+        F.row_number().over(w).alias("i"),
+    )
+    n = F.count(F.lit(1))
+    return ranked.groupBy(F.col("prio").alias("o_orderpriority")).agg(
+        round4(
+            2.0 * F.sum(F.col("i") * F.col("v")) / (n * F.sum("v"))
+            - (n + 1.0) / n
+        ).alias("gini"),
+        n.alias("n"),
+    )
+
+
+@query(
+    "quality_outlier_iqr",
+    oracle="""
+    WITH q AS (
+        SELECT l_returnflag,
+               quantile_cont(l_extendedprice, 0.25) AS lo_q,
+               quantile_cont(l_extendedprice, 0.75) AS hi_q
+        FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l.l_returnflag,
+           FLOOR(lo_q * 10000 + 0.5) / 10000 AS q1,
+           FLOOR(hi_q * 10000 + 0.5) / 10000 AS q3,
+           FLOOR((hi_q - lo_q) * 10000 + 0.5) / 10000 AS iqr,
+           CAST(SUM(CASE WHEN l_extendedprice < lo_q - 1.5 * (hi_q - lo_q)
+                           OR l_extendedprice > hi_q + 1.5 * (hi_q - lo_q)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+    FROM lineitem l JOIN q USING (l_returnflag)
+    GROUP BY l.l_returnflag, lo_q, hi_q
+    """,
+)
+def quality_outlier_iqr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey-fence outlier audit per return flag: exact interpolated
+    quartiles (Spark ``percentile`` ≡ DuckDB ``quantile_cont`` — both
+    the linear-interpolation definition over identical input doubles,
+    hence bit-identical), IQR, and the count of rows outside
+    [q1 − 1.5·IQR, q3 + 1.5·IQR]. The fence comparison uses the RAW
+    quartiles on both sides — identical derivations, identical
+    decisions. Exact percentiles shuffle the group's values once; the
+    3-row quartile table broadcasts back over a second scan. At
+    100 TB the q-pass swaps to approx_percentile boundaries (the
+    agg_approx_percentile path) without touching the fence logic."""
+    li = table(spark, sf_dir, "lineitem")
+    q = li.groupBy(F.col("l_returnflag").alias("qf")).agg(
+        F.percentile("l_extendedprice", F.lit(0.25)).alias("q1"),
+        F.percentile("l_extendedprice", F.lit(0.75)).alias("q3"),
+    )
+    iqr = F.col("q3") - F.col("q1")
+    out = (F.col("l_extendedprice") < F.col("q1") - 1.5 * iqr) | (
+        F.col("l_extendedprice") > F.col("q3") + 1.5 * iqr
+    )
+    return (
+        li.join(F.broadcast(q), F.col("l_returnflag") == F.col("qf"))
+        .groupBy("l_returnflag")
+        .agg(
+            round4(F.any_value("q1")).alias("q1"),
+            round4(F.any_value("q3")).alias("q3"),
+            round4(F.any_value(iqr)).alias("iqr"),
+            F.sum(F.when(out, 1).otherwise(0)).alias("n_outliers"),
+        )
+    )
+
+
+@query(
+    "stats_autocorr_daily",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type, date_trunc('day', ts) AS day,
+               COUNT(*) AS n
+        FROM events GROUP BY event_type, day
+    ),
+    lagged AS (
+        SELECT event_type, n,
+               lag(n) OVER (PARTITION BY event_type ORDER BY day) AS prev_n
+        FROM daily
+    )
+    SELECT event_type,
+           FLOOR(corr(n, prev_n) * 10000 + 0.5) / 10000 AS autocorr_lag1,
+           COUNT(prev_n) AS n_pairs
+    FROM lagged GROUP BY event_type
+    """,
+)
+def stats_autocorr_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1 autocorrelation of the daily event count per event type —
+    the burstiness/seasonality probe of a stream-health monitor.
+    Daily counts roll up first (day-truncation also erases the ns-vs-µs
+    fixture divergence, FIXTURES.md); lag pairs come from one
+    day-ordered window per type (days are distinct after the rollup —
+    strictly increasing order key, no tiebreak needed); corr is the
+    single-pass moment aggregate. The lag is over OBSERVED days —
+    calendar gaps pair across the gap identically in both engines.
+    Everything shuffles on event_type only, and the windowed series is
+    one row per day — bounded regardless of raw event volume."""
+    e = table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("event_type").orderBy("day")
+    lagged = daily.select(
+        "event_type", "n", F.lag("n").over(w).alias("prev_n")
+    )
+    return lagged.groupBy("event_type").agg(
+        round4(F.corr("n", "prev_n")).alias("autocorr_lag1"),
+        F.count("prev_n").alias("n_pairs"),
+    )

@@ -184,6 +184,27 @@ def skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
     return survivors(local, [])
 
 
+def _supplier_cooccurrence_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Undirected distinct edge set (a < b) of the supplier
+    co-occurrence graph: two suppliers share an edge iff they appear on
+    the same order. One equi-self-join on the order key — quadratic
+    only within an order's supplier set, which is bounded by order
+    size, not graph size."""
+    lo = (
+        table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    b = lo.select(
+        F.col("l_orderkey").alias("k"), F.col("l_suppkey").alias("s2")
+    )
+    return (
+        lo.join(b, (lo.l_orderkey == b.k) & (lo.l_suppkey < b.s2))
+        .select(F.col("l_suppkey").alias("a"), F.col("s2").alias("b"))
+        .distinct()
+    )
+
+
 @query(
     "graph_triangle_count",
     oracle="""
@@ -210,19 +231,7 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     fans out from low-degree vertices only: the hub vertex that makes
     id-ordered wedge joins quadratic at 100 TB never becomes a wedge
     center. Same count, skew-proof plan — the MR/GraphX standard."""
-    lo = (
-        table(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_suppkey")
-        .distinct()
-    )
-    b = lo.select(
-        F.col("l_orderkey").alias("k"), F.col("l_suppkey").alias("s2")
-    )
-    und = (
-        lo.join(b, (lo.l_orderkey == b.k) & (lo.l_suppkey < b.s2))
-        .select(F.col("l_suppkey").alias("a"), F.col("s2").alias("b"))
-        .distinct()
-    )
+    und = _supplier_cooccurrence_edges(spark, sf_dir)
     # degree of each vertex over the undirected edge set
     deg = (
         und.select(F.col("a").alias("x"))
@@ -255,6 +264,59 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             "left_semi",
         )
         .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+
+
+@query(
+    "graph_degree_stats",
+    oracle="""
+    WITH lo AS (
+        SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem
+    ),
+    wedges AS (
+        SELECT a.l_suppkey AS u, b.l_suppkey AS v,
+               COUNT(*) AS w
+        FROM lo a JOIN lo b ON a.l_orderkey = b.l_orderkey
+        WHERE a.l_suppkey < b.l_suppkey
+        GROUP BY u, v
+    )
+    SELECT x AS supplier, COUNT(*) AS degree,
+           CAST(SUM(w) AS BIGINT) AS strength
+    FROM (
+        SELECT u AS x, w FROM wedges UNION ALL SELECT v, w FROM wedges
+    ) GROUP BY x
+    """,
+)
+def graph_degree_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vertex degree and strength (weighted degree = total
+    co-occurrence count) of the supplier co-occurrence graph — the
+    diagnostic run before any graph algorithm: it decides whether
+    triangle counting needs degree orientation, whether joins need
+    skew salting, and how fast components will converge. The weighted
+    edge list aggregates the order-key self-join once (each pair with
+    its co-occurrence multiplicity); vertex stats are one groupBy over
+    the symmetrized list. Both aggregations map-side combine; the
+    unweighted distinct-edge twin of this build is shared with
+    graph_triangle_count via _supplier_cooccurrence_edges."""
+    lo = (
+        table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    b = lo.select(
+        F.col("l_orderkey").alias("k"), F.col("l_suppkey").alias("s2")
+    )
+    wedges = (
+        lo.join(b, (lo.l_orderkey == b.k) & (lo.l_suppkey < b.s2))
+        .groupBy(F.col("l_suppkey").alias("u"), F.col("s2").alias("v"))
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    sym = wedges.select(F.col("u").alias("x"), "w").unionAll(
+        wedges.select(F.col("v").alias("x"), "w")
+    )
+    return sym.groupBy(F.col("x").alias("supplier")).agg(
+        F.count(F.lit(1)).alias("degree"),
+        F.sum("w").alias("strength"),
     )
 
 

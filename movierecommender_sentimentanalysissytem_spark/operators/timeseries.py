@@ -219,3 +219,66 @@ def timeseries_multi_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_value",
         )
     )
+
+
+@query(
+    "timeseries_resample_ohlc",
+    oracle="""
+    WITH o AS (
+        SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+               value,
+               ROW_NUMBER() OVER (
+                   PARTITION BY event_type, date_trunc('day', ts)
+                   ORDER BY date_trunc('second', ts) ASC, event_id ASC)
+                   AS rn_a,
+               ROW_NUMBER() OVER (
+                   PARTITION BY event_type, date_trunc('day', ts)
+                   ORDER BY date_trunc('second', ts) DESC, event_id DESC)
+                   AS rn_d
+        FROM events
+    )
+    SELECT event_type, day,
+           MAX(CASE WHEN rn_a = 1 THEN value END) AS open,
+           MAX(value) AS high, MIN(value) AS low,
+           MAX(CASE WHEN rn_d = 1 THEN value END) AS close,
+           COUNT(*) AS n_events,
+           FLOOR(SUM(value) * 10000 + 0.5) / 10000 AS total_value
+    FROM o GROUP BY event_type, day
+    """,
+)
+def timeseries_resample_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Downsample the event stream to daily OHLC bars per event type —
+    the finance-style resample every metrics store implements (open =
+    first value of the day, close = last). First/last are row_number
+    picks over one partitioned window pair ordered on (second-truncated
+    ts, event_id) — a total order, so bar edges are engine-exact; the
+    asc and desc windows share one hash partitioning, so Catalyst plans
+    a single exchange with two sorts. High/low/volume fold in the same
+    final rollup. Open/close/high/low project RAW doubles (exact row
+    picks need no rounding); only the summed volume is 4-dp-rounded."""
+    e = table(spark, sf_dir, "events").select(
+        "event_type",
+        F.date_trunc("day", F.col("ts")).alias("d"),
+        F.date_trunc("second", F.col("ts")).alias("sec"),
+        "event_id",
+        "value",
+    )
+    wa = Window.partitionBy("event_type", "d").orderBy(
+        F.col("sec").asc(), F.col("event_id").asc()
+    )
+    wd = Window.partitionBy("event_type", "d").orderBy(
+        F.col("sec").desc(), F.col("event_id").desc()
+    )
+    return (
+        e.withColumn("rn_a", F.row_number().over(wa))
+        .withColumn("rn_d", F.row_number().over(wd))
+        .groupBy("event_type", F.col("d").cast("date").alias("day"))
+        .agg(
+            F.max(F.when(F.col("rn_a") == 1, F.col("value"))).alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max(F.when(F.col("rn_d") == 1, F.col("value"))).alias("close"),
+            F.count(F.lit(1)).alias("n_events"),
+            round4(F.sum("value")).alias("total_value"),
+        )
+    )

@@ -52,6 +52,8 @@ NLJ_OK = {
     "subq_any_all",           # 1-row ALL/ANY bound set broadcast
     "tpch_q11_important_stock",  # 1-row fraction-of-total threshold broadcast
     "quality_benford_digits",    # 1-row digit-total broadcast cross join
+    "stats_chi_square",       # 1-row N-total and 1-row dof broadcast crosses
+    "rec_rfm_segmentation",   # 1-row quartile-boundary broadcast cross join
 }
 
 

@@ -99,6 +99,21 @@ REPRESENTATIVE = [
     "subq_any_all",
     "fn_nested_struct",
     "agg_boolean_family",
+    # round-5 additions. stats_chi_square excluded: its chi2 is a global
+    # aggregate (grand-total row on empty input, like tpch_q6).
+    "stats_linear_regression",
+    "stats_ks_two_sample",
+    "stats_gini_concentration",
+    "quality_outlier_iqr",
+    "stats_autocorr_daily",
+    "sessionize_batch",
+    "attribution_last_touch",
+    "rec_rfm_segmentation",
+    "graph_degree_stats",
+    "timeseries_resample_ohlc",
+    "text_word_entropy",
+    "quality_duplicate_rate_by_source",
+    "sim_matmul_topk",
 ]
 
 
