@@ -660,3 +660,36 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return labels.select(
         F.col("node").alias("doc_id"), F.col("root").alias("cluster_id")
     )
+
+
+@query(
+    "dedup_keep_best",
+    oracle="""
+    SELECT doc_id, source, n_chars FROM (
+        SELECT doc_id, source, n_chars,
+               ROW_NUMBER() OVER (
+                   PARTITION BY text
+                   ORDER BY n_chars DESC, doc_id ASC) AS rn
+        FROM documents
+    ) t WHERE rn = 1
+    """,
+)
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup with CANONICAL SELECTION: each duplicate group keeps
+    its best representative (highest quality proxy, here n_chars; ties
+    to the smallest doc_id — a total order, so the keeper is
+    engine-exact). dedup_exact keeps the minimum id; real curation
+    pipelines keep the best-scored copy — same one-shuffle
+    row_number-over-content-key plan, different ORDER BY. At 100 TB
+    the partition key becomes the 128-bit content hash rather than the
+    raw text (dedup_exact's documented scale path), and the quality
+    column comes from text_quality_score instead of a length proxy."""
+    d = table(spark, sf_dir, "documents")
+    w = Window.partitionBy("text").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id").asc()
+    )
+    return (
+        d.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "source", "n_chars")
+    )

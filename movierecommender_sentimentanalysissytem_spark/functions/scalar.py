@@ -543,3 +543,54 @@ def fn_nested_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("s.fin.bal").alias("bal"),
         F.col("s.fin.seg").alias("seg"),
     )
+
+
+@query(
+    "fn_url_extract",
+    oracle="""
+    WITH u AS (
+        SELECT doc_id,
+               'https://' || source || '.example.com/' || lang || '/doc-'
+                   || CAST(doc_id AS VARCHAR) || '?q='
+                   || split_part(text, ' ', 1) AS url
+        FROM documents
+    )
+    SELECT doc_id, url,
+           regexp_extract(url, '^https?://([^/?#]+)', 1) AS host,
+           regexp_extract(url, '^https?://[^/?#]+(/[^?#]*)', 1) AS path,
+           regexp_extract(url, '[?&]q=([^&#]*)', 1) AS q_param,
+           regexp_extract(url, '\\.([a-z]+)\\.[a-z]+/', 1) AS subdomain_tld
+    FROM u
+    """,
+)
+def fn_url_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL parsing as pure regexp_extract — host, path, query
+    parameter, and a capture-group slice — over URLs synthesized from
+    document metadata (the fixtures carry no URL column; the
+    mechanics, not the corpus, are what the key pins). The patterns
+    are deliberately lookaround-free and anchor-simple so Java regex
+    (Spark) and RE2-ish DuckDB agree character-for-character; Spark's
+    dedicated parse_url() is avoided because the oracle engine has no
+    equivalent and the regex form IS the portable contract. Row-local
+    expression work — whole-stage codegen, no shuffle at any scale."""
+    d = table(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://"),
+        F.col("source"),
+        F.lit(".example.com/"),
+        F.col("lang"),
+        F.lit("/doc-"),
+        F.col("doc_id").cast("string"),
+        F.lit("?q="),
+        F.substring_index("text", " ", 1),
+    )
+    return d.select(
+        "doc_id",
+        url.alias("url"),
+        F.regexp_extract(url, r"^https?://([^/?#]+)", 1).alias("host"),
+        F.regexp_extract(url, r"^https?://[^/?#]+(/[^?#]*)", 1).alias("path"),
+        F.regexp_extract(url, r"[?&]q=([^&#]*)", 1).alias("q_param"),
+        F.regexp_extract(url, r"\.([a-z]+)\.[a-z]+/", 1).alias(
+            "subdomain_tld"
+        ),
+    )

@@ -9,6 +9,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from movierecommender_sentimentanalysissytem_spark.functions.rounding import round4
 from movierecommender_sentimentanalysissytem_spark.registry import query
@@ -335,5 +336,75 @@ def text_word_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.any_value("n_tokens").alias("n_tokens"),
             F.any_value("n_distinct").alias("n_distinct"),
             round4(-F.sum(p * F.log(p))).alias("entropy"),
+        )
+    )
+
+
+@query(
+    "text_bigram_lm",
+    oracle="""
+    WITH pairs AS (
+        SELECT u.bigram AS bg FROM (
+            SELECT list_transform(range(1, len(w)),
+                                  i -> w[i] || ' ' || w[i + 1]) AS bigrams
+            FROM (SELECT string_split(text, ' ') AS w FROM documents) s
+        ) b, unnest(b.bigrams) AS u(bigram)
+    ),
+    c12 AS (
+        SELECT split_part(bg, ' ', 1) AS w1, split_part(bg, ' ', 2) AS w2,
+               COUNT(*) AS n12
+        FROM pairs GROUP BY w1, w2
+    ),
+    c1 AS (SELECT w1, CAST(SUM(n12) AS BIGINT) AS n1 FROM c12 GROUP BY w1)
+    SELECT w1, w2, n12,
+           FLOOR((CAST(n12 AS DOUBLE) / n1) * 10000 + 0.5) / 10000 AS p,
+           rn
+    FROM (
+        SELECT c12.w1, w2, n12, n1,
+               CAST(ROW_NUMBER() OVER (
+                   PARTITION BY c12.w1
+                   ORDER BY n12 DESC, w2 ASC) AS INTEGER) AS rn
+        FROM c12 JOIN c1 USING (w1)
+    ) t WHERE rn <= 3
+    """,
+)
+def text_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-based bigram language model: P(next | word) with the top-3
+    continuations per head word — the corpus-statistics core of
+    suggestion/perplexity tooling (text_ngrams counts the surface
+    forms; this normalizes them into conditional probabilities).
+    Bigrams come from the same JVM higher-order zip as text_ngrams;
+    head-word totals are derived FROM the bigram counts (no second
+    corpus pass) and joined back — vocabulary-sized, broadcastable.
+    The probability divides exact integer counts (identical doubles
+    cross-engine before the guard round); ranking ties break on the
+    continuation word, a total order."""
+    d = table(spark, sf_dir, "documents")
+    bigrams = F.expr(
+        "transform(sequence(1, size(split(text, ' ')) - 1),"
+        " i -> concat(element_at(split(text, ' '), i), ' ',"
+        "             element_at(split(text, ' '), i + 1)))"
+    )
+    c12 = (
+        d.select(F.explode(bigrams).alias("bg"))
+        .select(
+            F.substring_index("bg", " ", 1).alias("w1"),
+            F.substring_index("bg", " ", -1).alias("w2"),
+        )
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("n12"))
+    )
+    c1 = c12.groupBy(F.col("w1").alias("h")).agg(F.sum("n12").alias("n1"))
+    w = Window.partitionBy("w1").orderBy(F.col("n12").desc(), F.col("w2").asc())
+    return (
+        c12.join(F.broadcast(c1), c12.w1 == F.col("h"))
+        .withColumn("rn", F.row_number().over(w).cast("int"))
+        .filter(F.col("rn") <= 3)
+        .select(
+            "w1",
+            "w2",
+            "n12",
+            round4(F.col("n12").cast("double") / F.col("n1")).alias("p"),
+            "rn",
         )
     )

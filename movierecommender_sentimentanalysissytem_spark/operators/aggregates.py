@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from movierecommender_sentimentanalysissytem_spark.functions.rounding import round4
 from movierecommender_sentimentanalysissytem_spark.registry import query
 from movierecommender_sentimentanalysissytem_spark.sources.tables import table
 
@@ -701,4 +702,38 @@ def agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_returnflag",
         F.col("mode_value").alias("mode_linestatus"),
         "mode_n",
+    )
+
+
+@query(
+    "agg_latest_by_key",
+    oracle="""
+    SELECT o_orderpriority,
+           FLOOR(arg_max(o_totalprice, o_orderkey) * 10000 + 0.5) / 10000
+               AS latest_price,
+           arg_max(o_custkey, o_orderkey) AS latest_custkey,
+           FLOOR(arg_min(o_totalprice, o_orderkey) * 10000 + 0.5) / 10000
+               AS first_price,
+           MAX(o_orderkey) AS latest_key,
+           COUNT(*) AS n
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def agg_latest_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """max_by/min_by (SQL arg_max/arg_min): the attributes of the
+    newest- and oldest-keyed order per priority — last-value-per-key
+    compaction as a single aggregate instead of a window + rn = 1
+    filter (win_row_number_topk's shape). The ordering column is
+    o_orderkey, UNIQUE by fixture contract, so the argmax row is a
+    total-order pick — max_by over a tied ordering is unspecified in
+    both engines and would be a latent cross-engine divergence.
+    Aggregate state is one (key, value) pair per group — map-side
+    combinable, no sort, no window buffer."""
+    o = table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        round4(F.max_by("o_totalprice", "o_orderkey")).alias("latest_price"),
+        F.max_by("o_custkey", "o_orderkey").alias("latest_custkey"),
+        round4(F.min_by("o_totalprice", "o_orderkey")).alias("first_price"),
+        F.max("o_orderkey").alias("latest_key"),
+        F.count(F.lit(1)).alias("n"),
     )

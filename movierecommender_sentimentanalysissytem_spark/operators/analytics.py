@@ -801,3 +801,57 @@ def quality_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
             round4(F.col("n") / F.col("tot")).alias("frac"),
         )
     )
+
+
+@query(
+    "profile_topk_values",
+    oracle="""
+    WITH s AS (
+        SELECT 'o_orderstatus' AS col_name, o_orderstatus AS value
+        FROM orders
+        UNION ALL
+        SELECT 'o_orderpriority', o_orderpriority FROM orders
+        UNION ALL
+        SELECT 'c_mktsegment', c_mktsegment FROM customer
+    ),
+    c AS (SELECT col_name, value, COUNT(*) AS n FROM s
+          GROUP BY col_name, value)
+    SELECT col_name, value, n, rn FROM (
+        SELECT col_name, value, n,
+               CAST(ROW_NUMBER() OVER (
+                   PARTITION BY col_name
+                   ORDER BY n DESC, value ASC) AS INTEGER) AS rn
+        FROM c
+    ) t WHERE rn <= 3
+    """,
+)
+def profile_topk_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-3 most frequent values per profiled column — the
+    categorical twin of profile_numeric_histogram, and the exact
+    ground truth the sketch-based agg_approx_top_k trades against.
+    Columns unpivot into one (col_name, value) stream so a single
+    count + per-column ranking serves any number of profiled columns;
+    ties rank by value, a total order. Each per-column group holds at
+    most |distinct values| rows after the first aggregate — the
+    ranking windows are tiny however large the tables are."""
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    s = (
+        o.select(
+            F.lit("o_orderstatus").alias("col_name"),
+            F.col("o_orderstatus").alias("value"),
+        )
+        .unionAll(
+            o.select(F.lit("o_orderpriority"), F.col("o_orderpriority"))
+        )
+        .unionAll(c.select(F.lit("c_mktsegment"), F.col("c_mktsegment")))
+    )
+    counts = s.groupBy("col_name", "value").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("col_name").orderBy(
+        F.col("n").desc(), F.col("value").asc()
+    )
+    return (
+        counts.withColumn("rn", F.row_number().over(w).cast("int"))
+        .filter(F.col("rn") <= 3)
+        .select("col_name", "value", "n", "rn")
+    )

@@ -253,3 +253,43 @@ def rec_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
         "segment",
         F.concat_ws("-", F.col("r_q"), F.col("f_q"), F.col("m_q")),
     )
+
+
+@query(
+    "events_time_profile",
+    oracle=f"""
+    WITH b AS (
+        SELECT ({_SEC} // 86400 + 3) % 7 AS weekday,
+               ({_SEC} % 86400) // 3600 AS hour,
+               value
+        FROM events
+    )
+    SELECT CAST(weekday AS INTEGER) AS weekday, CAST(hour AS INTEGER) AS hour,
+           COUNT(*) AS n,
+           FLOOR(AVG(value) * 10000 + 0.5) / 10000 AS avg_value
+    FROM b GROUP BY weekday, hour
+    """,
+)
+def events_time_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekday × hour activity heatmap (0 = Monday; epoch day 0 was a
+    Thursday, hence the +3) — the seasonality profile capacity
+    planning and anomaly baselines read. Bucketing is pure integer
+    arithmetic on the epoch second (identical cross-engine, no
+    timezone/locale dependence — Spark's dayofweek and DuckDB's
+    dow/isodow number weekdays differently, so neither is used), and
+    the rollup is one ≤ 168-group map-side-combinable aggregate: at
+    100 TB this stays a single scan with a trivial shuffle."""
+    e = table(spark, sf_dir, "events").withColumn("sec", _sec_col())
+    return (
+        e.select(
+            (((F.col("sec") / 86400).cast("bigint") + 3) % 7)
+            .cast("int").alias("weekday"),
+            (F.col("sec") % 86400 / 3600).cast("int").alias("hour"),
+            "value",
+        )
+        .groupBy("weekday", "hour")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            round4(F.avg("value")).alias("avg_value"),
+        )
+    )

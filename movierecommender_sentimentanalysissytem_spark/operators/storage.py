@@ -283,3 +283,70 @@ def sort_zorder_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("zy").alias("max_zy"),
         )
     )
+
+
+@query(
+    "join_temporal_snapshot",
+    oracle="""
+    WITH dim AS (
+        SELECT c_custkey AS k,
+               FLOOR(c_acctbal * 10000 + 0.5) / 10000 AS bal,
+               1 AS version,
+               TIMESTAMP '1995-01-01' AS valid_from,
+               TIMESTAMP '1998-01-01' AS valid_to
+        FROM customer
+        UNION ALL
+        SELECT c_custkey,
+               FLOOR(c_acctbal * 1.1 * 10000 + 0.5) / 10000,
+               2, TIMESTAMP '1998-01-01', NULL
+        FROM customer
+    )
+    SELECT o_orderkey, o_custkey, bal AS bal_asof, version
+    FROM orders JOIN dim ON o_custkey = k
+    WHERE o_orderdate >= valid_from
+      AND (valid_to IS NULL OR o_orderdate < valid_to)
+    """,
+)
+def join_temporal_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (temporal snapshot) join: each order picks the
+    dimension VERSION that was valid on its order date — the lookup
+    every feature store and SCD2 consumer runs (scd2_history builds
+    such a dimension; this is its read side). The versioned dim is
+    derived inline (two balance versions split at 1998-01-01). The
+    plan is the one that survives 100 TB: an EQUI-join on the entity
+    key carries the handful of versions per key, and the validity
+    interval is a residual filter on the joined row — never a raw
+    range-theta join (which degenerates to a broadcast nested loop).
+    With half-open [from, to) intervals partitioning the timeline,
+    every order matches exactly one version — row count is invariant
+    (|orders|), a property the oracle's hash implicitly pins."""
+    c = table(spark, sf_dir, "customer")
+    v1 = c.select(
+        F.col("c_custkey").alias("k"),
+        round4(F.col("c_acctbal")).alias("bal"),
+        F.lit(1).alias("version"),
+        F.lit("1995-01-01").cast("timestamp").alias("valid_from"),
+        F.lit("1998-01-01").cast("timestamp").alias("valid_to"),
+    )
+    v2 = c.select(
+        F.col("c_custkey").alias("k"),
+        round4(F.col("c_acctbal") * 1.1).alias("bal"),
+        F.lit(2).alias("version"),
+        F.lit("1998-01-01").cast("timestamp").alias("valid_from"),
+        F.lit(None).cast("timestamp").alias("valid_to"),
+    )
+    dim = v1.unionByName(v2)
+    o = table(spark, sf_dir, "orders")
+    return (
+        o.join(dim, o.o_custkey == dim.k)
+        .filter(
+            (F.col("o_orderdate") >= F.col("valid_from"))
+            & (
+                F.col("valid_to").isNull()
+                | (F.col("o_orderdate") < F.col("valid_to"))
+            )
+        )
+        .select(
+            "o_orderkey", "o_custkey", F.col("bal").alias("bal_asof"), "version"
+        )
+    )

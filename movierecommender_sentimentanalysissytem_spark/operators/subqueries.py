@@ -183,3 +183,50 @@ def sql_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY m
         """
     )
+
+
+@query(
+    "subq_not_in_nulls",
+    oracle="""
+    SELECT
+        (SELECT COUNT(*) FROM customer
+         WHERE c_custkey NOT IN (
+             SELECT CASE WHEN o_orderstatus = 'P' THEN NULL
+                         ELSE o_custkey END
+             FROM orders)) AS n_not_in,
+        (SELECT COUNT(*) FROM customer c
+         WHERE NOT EXISTS (
+             SELECT 1 FROM orders o
+             WHERE (CASE WHEN o.o_orderstatus = 'P' THEN NULL
+                         ELSE o.o_custkey END) = c.c_custkey))
+            AS n_not_exists
+    """,
+)
+def subq_not_in_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT IN vs NOT EXISTS under NULLs — the classic three-valued-
+    logic trap, pinned as a semantic contract: the subquery maps
+    pending orders' keys to NULL, so ``NOT IN`` (x <> ALL) can never
+    be TRUE once one NULL exists (n_not_in = 0 whenever a 'P' order
+    exists), while ``NOT EXISTS`` ignores the NULLs and counts
+    customers with no non-pending order. Catalyst plans NOT IN as a
+    null-aware anti join (a broadcast of the key set + null flag, NOT
+    a per-row subquery) and NOT EXISTS as an ordinary left-anti —
+    both single-pass at scale. One fixed-width row out."""
+    _view(spark, sf_dir, "customer", "sq_customer")
+    _view(spark, sf_dir, "orders", "sq_orders")
+    return spark.sql(
+        """
+        SELECT
+            (SELECT COUNT(*) FROM sq_customer
+             WHERE c_custkey NOT IN (
+                 SELECT CASE WHEN o_orderstatus = 'P' THEN NULL
+                             ELSE o_custkey END
+                 FROM sq_orders)) AS n_not_in,
+            (SELECT COUNT(*) FROM sq_customer c
+             WHERE NOT EXISTS (
+                 SELECT 1 FROM sq_orders o
+                 WHERE (CASE WHEN o.o_orderstatus = 'P' THEN NULL
+                             ELSE o.o_custkey END) = c.c_custkey))
+                AS n_not_exists
+        """
+    )

@@ -282,3 +282,46 @@ def timeseries_resample_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
             round4(F.sum("value")).alias("total_value"),
         )
     )
+
+
+@query(
+    "timeseries_mom_growth",
+    oracle="""
+    WITH monthly AS (
+        SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+               FLOOR(SUM(o_totalprice) * 10000 + 0.5) / 10000 AS revenue,
+               COUNT(*) AS n_orders
+        FROM orders GROUP BY month
+    )
+    SELECT month, revenue, n_orders,
+           FLOOR(((revenue - lag(revenue) OVER (ORDER BY month))
+                  / lag(revenue) OVER (ORDER BY month)) * 10000 + 0.5)
+               / 10000 AS mom_growth
+    FROM monthly
+    """,
+)
+def timeseries_mom_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month revenue growth — the KPI trend line every
+    revenue dashboard opens with. The monthly rollup is the heavy,
+    fully distributed pass (map-side combinable sums); the lag/growth
+    window then runs GLOBAL but over one row per month — O(months)
+    rows regardless of order volume, the same bounded-global-window
+    class as win_ntile_percent's O(buckets) offset pass (reviewed in
+    plans/audit.py). Growth divides the 4-dp-ROUNDED revenues on both
+    sides, so the ratio sees identical operands; the first month's
+    growth is NULL (no prior), never a division error."""
+    o = table(spark, sf_dir, "orders")
+    monthly = o.groupBy(
+        F.date_trunc("month", F.col("o_orderdate")).cast("date").alias("month")
+    ).agg(
+        round4(F.sum("o_totalprice")).alias("revenue"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+    w = Window.orderBy("month")
+    prev = F.lag("revenue").over(w)
+    return monthly.select(
+        "month",
+        "revenue",
+        "n_orders",
+        round4((F.col("revenue") - prev) / prev).alias("mom_growth"),
+    )

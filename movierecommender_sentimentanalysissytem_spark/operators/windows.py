@@ -408,3 +408,43 @@ def win_pattern_sequence(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("e2").alias("purchase_eid"),
         F.date_format("ts_s", "yyyy-MM-dd HH:mm:ss").alias("started"),
     )
+
+
+@query(
+    "win_share_of_total",
+    oracle="""
+    SELECT event_id, user_id,
+           FLOOR((value / SUM(value) OVER (PARTITION BY user_id))
+                 * 10000 + 0.5) / 10000 AS share_of_user,
+           CAST(COUNT(*) OVER (PARTITION BY user_id) AS BIGINT)
+               AS n_user_events
+    FROM events WHERE event_type = 'purchase'
+    """,
+)
+def win_share_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Share-of-group projection: each purchase's fraction of its
+    user's total spend — the percent-of-total idiom every BI layer
+    ships. The window has PARTITION BY but no ORDER BY, so the frame
+    is the whole partition and the operator computes ONE sum per
+    group, broadcast to its rows — no sort, no running state, one
+    user_id shuffle. (A global share-of-ALL variant would instead use
+    a 1-row aggregate broadcast, the tpch_q11 pattern — a global
+    no-order window is a single-partition cliff.) Both engines divide
+    their own partition sums, which can differ in final ulps from
+    summation order — absorbed by the 4-dp guard round."""
+    from movierecommender_sentimentanalysissytem_spark.functions.rounding import (
+        round4,
+    )
+
+    e = table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    w = Window.partitionBy("user_id")
+    return e.select(
+        "event_id",
+        "user_id",
+        round4(F.col("value") / F.sum("value").over(w)).alias(
+            "share_of_user"
+        ),
+        F.count(F.lit(1)).over(w).alias("n_user_events"),
+    )

@@ -54,7 +54,44 @@ NLJ_OK = {
     "quality_benford_digits",    # 1-row digit-total broadcast cross join
     "stats_chi_square",       # 1-row N-total and 1-row dof broadcast crosses
     "rec_rfm_segmentation",   # 1-row quartile-boundary broadcast cross join
+    # reviewed single-partition sorts over BOUNDED rollups (the consumer-
+    # aware SinglePartition check, live since round 5):
+    "curation_shard_token_budget",  # offsets pass: O(buckets) rows
+    "skyline_pareto",               # global pass over union of local
+                                    # skylines: O(buckets · |sizes|) rows
+    "timeseries_mom_growth",        # growth window: O(months) rows
 }
+
+
+def _single_partition_consumers(plan: str) -> list[str]:
+    """Names of the plan nodes that directly consume a SinglePartition
+    Exchange, from ``explain("formatted")`` output: the detail blocks
+    identify which Exchange ids are single-partition; the indented tree
+    gives each id's consumer (nearest shallower line above)."""
+    import re
+
+    tree, _, details = plan.partition("\n\n")
+    sp_ids = {
+        m.group(1)
+        for m in re.finditer(
+            r"\((\d+)\) Exchange\n(?:(?!\n\().)*?SinglePartition",
+            details,
+            re.S,
+        )
+    }
+    lines = []
+    for raw in tree.splitlines():
+        m = re.match(r"^([:+\-| ]*)\*?\(?\d*\)?\s*(\w[\w .]*) \((\d+)\)", raw)
+        if m:
+            lines.append((len(m.group(1)), m.group(2).strip(), m.group(3)))
+    consumers = []
+    for i, (indent, _name, nid) in enumerate(lines):
+        if nid in sp_ids:
+            for j in range(i - 1, -1, -1):
+                if lines[j][0] < indent:
+                    consumers.append(lines[j][1])
+                    break
+    return consumers
 
 
 def audit_plans(spark: SparkSession, sf_dir: str) -> list[str]:
@@ -81,11 +118,20 @@ def audit_plans(spark: SparkSession, sf_dir: str) -> list[str]:
             flags.append("CartesianProduct")
         if "BroadcastNestedLoopJoin" in plan and key not in NLJ_OK:
             flags.append("BroadcastNestedLoopJoin (unreviewed)")
-        if "Exchange SinglePartition" in plan and key not in NLJ_OK:
-            # global limits produce a final single-partition exchange,
-            # which is fine when the data reaching it is already tiny
-            if "TakeOrderedAndProject" not in plan and "Limit" not in plan:
-                flags.append("SinglePartition exchange")
+        # formatted explain prints the distribution on the Exchange
+        # node's detail line ("Arguments: SinglePartition, ..."), never
+        # as the literal "Exchange SinglePartition" (the narrower match
+        # was dead code until round 5). A single-partition exchange is
+        # only a cliff when a global SORT/WINDOW consumes it — every
+        # global aggregate legitimately funnels its per-partition
+        # partials through one; so walk the tree for the consumer.
+        if key not in NLJ_OK:
+            for consumer in _single_partition_consumers(plan):
+                if consumer.startswith(("Sort", "Window")):
+                    flags.append(
+                        f"SinglePartition exchange into {consumer}"
+                    )
+                    break
         if flags:
             flags_out.append(f"{key}: {', '.join(flags)}")
     return flags_out

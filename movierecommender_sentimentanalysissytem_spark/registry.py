@@ -284,6 +284,9 @@ _NEW_R5 = frozenset(
     sessionize_batch attribution_last_touch rec_rfm_segmentation
     graph_degree_stats timeseries_resample_ohlc text_word_entropy
     quality_duplicate_rate_by_source sim_matmul_topk
+    agg_latest_by_key timeseries_mom_growth join_temporal_snapshot
+    subq_not_in_nulls text_bigram_lm dedup_keep_best events_time_profile
+    fn_url_extract win_share_of_total profile_topk_values
     """.split()
 )
 

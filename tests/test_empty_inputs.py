@@ -114,6 +114,17 @@ REPRESENTATIVE = [
     "text_word_entropy",
     "quality_duplicate_rate_by_source",
     "sim_matmul_topk",
+    # round-5 batch 2. subq_not_in_nulls excluded: scalar-subquery
+    # counts produce a grand-total row on empty input.
+    "agg_latest_by_key",
+    "timeseries_mom_growth",
+    "join_temporal_snapshot",
+    "text_bigram_lm",
+    "dedup_keep_best",
+    "events_time_profile",
+    "fn_url_extract",
+    "win_share_of_total",
+    "profile_topk_values",
 ]
 
 

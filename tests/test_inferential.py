@@ -295,3 +295,151 @@ def test_matmul_topk_matches_jvm_fold_ranking(spark):
     assert sorted(map(tuple, got.collect())) == sorted(
         map(tuple, want.collect())
     )
+
+
+def test_latest_by_key_picks_unique_key_order(spark, crafted):
+    rows = {
+        r["o_orderpriority"]: r
+        for r in QS["agg_latest_by_key"](spark, crafted).collect()
+    }
+    ident = rows["ident"]  # keys 0..5 carry prices 10,10,20,20,30,30
+    assert ident["latest_price"] == 30.0 and ident["first_price"] == 10.0
+    assert ident["latest_key"] == 5 and ident["n"] == 6
+
+
+def test_mom_growth_sequence(spark, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("mom_sf"))
+    rows = []
+    k = 0
+    for month, rev_rows in (
+        (1, (60.0, 40.0)),  # 100
+        (2, (150.0,)),      # +50%
+        (3, (120.0,)),      # -20%
+    ):
+        for v in rev_rows:
+            rows.append((k, 0, "O", v, dt.datetime(2024, month, 15), "x"))
+            k += 1
+    _write(
+        spark, out, "orders", rows,
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    )
+    got = sorted(
+        QS["timeseries_mom_growth"](spark, out).collect(),
+        key=lambda r: r["month"],
+    )
+    assert [r["revenue"] for r in got] == [100.0, 150.0, 120.0]
+    assert got[0]["mom_growth"] is None
+    assert got[1]["mom_growth"] == 0.5
+    assert got[2]["mom_growth"] == -0.2
+
+
+def test_temporal_snapshot_picks_valid_version(spark, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("pit_sf"))
+    _write(
+        spark, out, "customer", [(7, "c", 0, 100.0, "SEG")],
+        "c_custkey long, c_name string, c_nationkey int, c_acctbal double, "
+        "c_mktsegment string",
+    )
+    _write(
+        spark, out, "orders",
+        [(1, 7, "O", 5.0, dt.datetime(1996, 6, 1), "x"),
+         (2, 7, "O", 5.0, dt.datetime(2000, 1, 1), "x")],
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    )
+    got = {
+        r["o_orderkey"]: r
+        for r in QS["join_temporal_snapshot"](spark, out).collect()
+    }
+    assert len(got) == 2  # exactly one version per order
+    assert got[1]["version"] == 1 and got[1]["bal_asof"] == 100.0
+    assert got[2]["version"] == 2 and got[2]["bal_asof"] == 110.0
+
+
+def test_not_in_null_trap(spark, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("notin_sf"))
+    _write(
+        spark, out, "customer",
+        [(1, "a", 0, 0.0, "S"), (2, "b", 0, 0.0, "S"), (3, "c", 0, 0.0, "S")],
+        "c_custkey long, c_name string, c_nationkey int, c_acctbal double, "
+        "c_mktsegment string",
+    )
+    _write(
+        spark, out, "orders",
+        [(1, 1, "O", 1.0, T0, "x"), (2, 2, "P", 1.0, T0, "x")],
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    )
+    row = QS["subq_not_in_nulls"](spark, out).collect()[0]
+    # one 'P' order -> a NULL in the NOT IN list -> NOT IN yields nobody
+    assert row["n_not_in"] == 0
+    # NOT EXISTS ignores the NULL: customers 2 and 3 lack non-P orders
+    assert row["n_not_exists"] == 2
+
+
+def test_bigram_lm_conditional_probabilities(spark, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("lm_sf"))
+    _write(
+        spark, out, "documents", [(1, "a b a b a c", "en", "s", 11)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    got = {
+        (r["w1"], r["w2"]): r
+        for r in QS["text_bigram_lm"](spark, out).collect()
+    }
+    assert got[("a", "b")]["n12"] == 2
+    assert got[("a", "b")]["p"] == pytest.approx(2 / 3, abs=1e-4)
+    assert got[("a", "c")]["p"] == pytest.approx(1 / 3, abs=1e-4)
+    assert got[("b", "a")]["p"] == 1.0
+    assert got[("a", "b")]["rn"] == 1 and got[("a", "c")]["rn"] == 2
+
+
+def test_dedup_keep_best_tie_breaks_to_smallest_id(spark, crafted):
+    kept = {r["doc_id"] for r in QS["dedup_keep_best"](spark, crafted).collect()}
+    assert kept == {1, 2, 3, 5}  # docs 3/4 share "p q"; equal len -> min id
+
+
+def test_events_time_profile_single_cell(spark, crafted):
+    got = QS["events_time_profile"](spark, crafted).collect()
+    # 2024-01-01 is a Monday; every crafted event is in hour 0
+    assert len(got) == 1
+    assert (got[0]["weekday"], got[0]["hour"], got[0]["n"]) == (0, 0, 7)
+
+
+def test_share_of_total_sums_to_one(spark, crafted):
+    rows = QS["win_share_of_total"](spark, crafted).collect()
+    u2 = sorted(
+        r["share_of_user"] for r in rows if r["user_id"] == 2
+    )
+    assert u2 == [
+        pytest.approx(5 / 12, abs=1e-4), pytest.approx(7 / 12, abs=1e-4)
+    ]
+    u1 = [r for r in rows if r["user_id"] == 1]
+    assert len(u1) == 1 and u1[0]["share_of_user"] == 1.0
+
+
+def test_profile_topk_deterministic_tie_order(spark, crafted):
+    got = QS["profile_topk_values"](spark, crafted).collect()
+    pri = [r["value"] for r in sorted(
+        (r for r in got if r["col_name"] == "o_orderpriority"),
+        key=lambda r: r["rn"],
+    )]
+    # counts: ident 6, then disj/flat/onehot all 4 -> value-asc tiebreak
+    assert pri == ["ident", "disj", "flat"]
+    st = [r["value"] for r in sorted(
+        (r for r in got if r["col_name"] == "o_orderstatus"),
+        key=lambda r: r["rn"],
+    )]
+    assert st == ["O", "F"]
+
+
+def test_url_extract_components(spark, crafted):
+    row = {
+        r["doc_id"]: r for r in QS["fn_url_extract"](spark, crafted).collect()
+    }[1]
+    assert row["url"] == "https://uni.example.com/en/doc-1?q=a"
+    assert row["host"] == "uni.example.com"
+    assert row["path"] == "/en/doc-1"
+    assert row["q_param"] == "a"
+    assert row["subdomain_tld"] == "example"
