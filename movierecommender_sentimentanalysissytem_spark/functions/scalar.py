@@ -594,3 +594,51 @@ def fn_url_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
             "subdomain_tld"
         ),
     )
+
+
+@query(
+    "fn_array_setops",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id, string_split(text, ' ') AS toks,
+               ['the', 'a', 'data', 'join', 'spark'] AS probe
+        FROM documents
+    )
+    SELECT doc_id,
+           list_sort(list_distinct(
+               list_filter(toks, x -> list_contains(probe, x))))
+               AS inter,
+           list_sort(list_distinct(
+               list_filter(toks, x -> NOT list_contains(probe, x))))
+               AS except_probe,
+           CAST(len(list_distinct(list_concat(toks, probe))) AS INTEGER)
+               AS n_union
+    FROM t
+    """,
+)
+def fn_array_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array set operations — intersection, difference, distinct-union
+    cardinality — of each document's token array against a literal
+    probe vocabulary. Both engines express all three through the SAME
+    filter/contains/distinct/sort composition rather than their native
+    array_intersect/list_intersect, whose dedup-and-order conventions
+    are engine-specific: the sorted-distinct normal form makes array
+    VALUES hash-comparable. Pure higher-order JVM expressions — the
+    lambda runs inside codegen, zero shuffles, linear at any scale."""
+    d = table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    probe = F.array(*[F.lit(w) for w in ("the", "a", "data", "join", "spark")])
+    return d.select(
+        "doc_id",
+        F.array_sort(
+            F.array_distinct(
+                F.filter(toks, lambda x: F.array_contains(probe, x))
+            )
+        ).alias("inter"),
+        F.array_sort(
+            F.array_distinct(
+                F.filter(toks, lambda x: ~F.array_contains(probe, x))
+            )
+        ).alias("except_probe"),
+        F.size(F.array_distinct(F.concat(toks, probe))).alias("n_union"),
+    )

@@ -737,3 +737,59 @@ def agg_latest_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("o_orderkey").alias("latest_key"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+@query(
+    "agg_percentile_disc",
+    oracle="""
+    WITH r AS (
+        SELECT o_orderpriority AS prio, o_totalprice AS v,
+               ROW_NUMBER() OVER (
+                   PARTITION BY o_orderpriority
+                   ORDER BY o_totalprice, o_orderkey) AS rn,
+               COUNT(*) OVER (PARTITION BY o_orderpriority) AS n
+        FROM orders
+    )
+    SELECT prio AS o_orderpriority,
+           FLOOR(MAX(CASE WHEN rn = (n + 1) // 2 THEN v END)
+                 * 10000 + 0.5) / 10000 AS p50_disc,
+           FLOOR(MAX(CASE WHEN rn = (9 * n + 9) // 10 THEN v END)
+                 * 10000 + 0.5) / 10000 AS p90_disc,
+           ANY_VALUE(n) AS n
+    FROM r GROUP BY prio
+    """,
+)
+def agg_percentile_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISCRETE percentiles (p50/p90): the smallest data value whose
+    cumulative rank reaches p·n — an actual row's value, never an
+    interpolation (agg_percentile is the continuous twin). Both sides
+    compute the index as INTEGER arithmetic — ceil(p·n) written as
+    (n+1)//2 and (9n+9)//10 — because ceil(0.9 * n) in doubles can
+    land on either side of an integer depending on how the engine
+    rounds 0.9·n, a one-rank cross-engine divergence. The picked value
+    is permutation-invariant under ties (equal values fill adjacent
+    ranks), and one rank/count window + one rollup on the same key is
+    the whole plan. At 100 TB the exact sort swaps for
+    approx_percentile the same way quality_outlier_iqr documents."""
+    o = table(spark, sf_dir, "orders")
+    wr = Window.partitionBy("o_orderpriority").orderBy(
+        "o_totalprice", "o_orderkey"
+    )
+    wn = Window.partitionBy("o_orderpriority")
+    r = o.select(
+        F.col("o_orderpriority").alias("prio"),
+        F.col("o_totalprice").alias("v"),
+        F.row_number().over(wr).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    p50_at = F.expr("(n + 1) div 2")
+    p90_at = F.expr("(9 * n + 9) div 10")
+    return r.groupBy(F.col("prio").alias("o_orderpriority")).agg(
+        round4(F.max(F.when(F.col("rn") == p50_at, F.col("v")))).alias(
+            "p50_disc"
+        ),
+        round4(F.max(F.when(F.col("rn") == p90_at, F.col("v")))).alias(
+            "p90_disc"
+        ),
+        F.any_value("n").alias("n"),
+    )

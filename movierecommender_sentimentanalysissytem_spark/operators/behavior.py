@@ -293,3 +293,106 @@ def events_time_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             round4(F.avg("value")).alias("avg_value"),
         )
     )
+
+
+@query(
+    "events_transition_matrix",
+    oracle=f"""
+    WITH o AS (
+        SELECT event_type AS cur_type,
+               lead(event_type) OVER (
+                   PARTITION BY user_id
+                   ORDER BY {_SEC}, event_id) AS next_type
+        FROM events
+    ),
+    c AS (
+        SELECT cur_type, next_type, COUNT(*) AS n
+        FROM o WHERE next_type IS NOT NULL
+        GROUP BY cur_type, next_type
+    ),
+    t AS (SELECT cur_type, CAST(SUM(n) AS BIGINT) AS n_cur FROM c
+          GROUP BY cur_type)
+    SELECT cur_type, next_type, n,
+           FLOOR((CAST(n AS DOUBLE) / n_cur) * 10000 + 0.5) / 10000 AS p
+    FROM c JOIN t USING (cur_type)
+    """,
+)
+def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences: P(next event type | current) — the behavioral twin of
+    text_bigram_lm (same count-normalize shape, sequences instead of
+    token streams). Successors come from one lead() pass per user
+    (ordered on the FIXTURES.md total order); each user's final event
+    has no successor and drops out. Row totals are derived FROM the
+    transition counts and broadcast back — |event types|² is tiny at
+    any data scale, so everything after the lead window is a
+    fixed-size report. Probabilities divide exact integer counts."""
+    e = table(spark, sf_dir, "events").withColumn("sec", _sec_col())
+    w = Window.partitionBy("user_id").orderBy("sec", "event_id")
+    o = e.select(
+        F.col("event_type").alias("cur_type"),
+        F.lead("event_type").over(w).alias("next_type"),
+    ).filter(F.col("next_type").isNotNull())
+    c = o.groupBy("cur_type", "next_type").agg(F.count(F.lit(1)).alias("n"))
+    t = c.groupBy(F.col("cur_type").alias("ct")).agg(F.sum("n").alias("n_cur"))
+    return (
+        c.join(F.broadcast(t), c.cur_type == F.col("ct"))
+        .select(
+            "cur_type",
+            "next_type",
+            "n",
+            round4(F.col("n").cast("double") / F.col("n_cur")).alias("p"),
+        )
+    )
+
+
+@query(
+    "time_to_conversion",
+    oracle=f"""
+    WITH su AS (
+        SELECT user_id, MIN({_SEC}) AS signup_sec
+        FROM events WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    conv AS (
+        SELECT e.user_id, MIN({_SEC}) AS convert_sec
+        FROM events e JOIN su ON e.user_id = su.user_id
+        WHERE e.event_type = 'purchase' AND {_SEC} >= su.signup_sec
+        GROUP BY e.user_id
+    )
+    SELECT user_id, signup_sec, convert_sec,
+           convert_sec - signup_sec AS delta_s
+    FROM su JOIN conv USING (user_id)
+    """,
+)
+def time_to_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert: per user, the gap between first signup and the
+    first purchase at-or-after it (users who never complete both legs
+    drop out — the survival-analysis censoring boundary). Two
+    MIN-aggregates and one user_id equi-join; the at-or-after
+    constraint is a residual predicate on the joined row, not a range
+    join. funnel_conversion counts WHO converts; this measures HOW
+    FAST — the pairing every activation dashboard plots. All epoch
+    arithmetic on second-truncated integers (FIXTURES.md)."""
+    e = table(spark, sf_dir, "events").withColumn("sec", _sec_col())
+    su = (
+        e.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("sec").alias("signup_sec"))
+    )
+    conv = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(su.select(F.col("user_id").alias("su_uid"), "signup_sec"),
+              F.col("user_id") == F.col("su_uid"))
+        .filter(F.col("sec") >= F.col("signup_sec"))
+        .groupBy("user_id")
+        .agg(F.min("sec").alias("convert_sec"))
+    )
+    return (
+        su.join(conv, "user_id")
+        .select(
+            "user_id",
+            "signup_sec",
+            "convert_sec",
+            (F.col("convert_sec") - F.col("signup_sec")).alias("delta_s"),
+        )
+    )

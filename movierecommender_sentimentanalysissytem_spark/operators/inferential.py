@@ -368,3 +368,68 @@ def stats_autocorr_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         round4(F.corr("n", "prev_n")).alias("autocorr_lag1"),
         F.count("prev_n").alias("n_pairs"),
     )
+
+
+@query(
+    "stats_t_test_welch",
+    oracle="""
+    WITH s AS (
+        SELECT o_orderpriority AS prio,
+               AVG(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END) AS m1,
+               var_samp(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END)
+                   AS v1,
+               COUNT(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS n1,
+               AVG(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END) AS m2,
+               var_samp(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END)
+                   AS v2,
+               COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS n2
+        FROM orders GROUP BY prio
+    )
+    SELECT prio AS o_orderpriority,
+           FLOOR(((m1 - m2) / sqrt(v1 / n1 + v2 / n2)) * 10000 + 0.5)
+               / 10000 AS t_stat,
+           FLOOR((power(v1 / n1 + v2 / n2, 2)
+                  / (power(v1 / n1, 2) / (n1 - 1)
+                     + power(v2 / n2, 2) / (n2 - 1))) * 10000 + 0.5)
+               / 10000 AS dof,
+           n1 AS n_o, n2 AS n_f
+    FROM s WHERE n1 > 1 AND n2 > 1
+    """,
+)
+def stats_t_test_welch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance t statistic (with Welch–Satterthwaite
+    degrees of freedom) comparing open vs finished order totals per
+    priority — the parametric sibling of stats_ks_two_sample. Both
+    samples' moments come from ONE conditional-aggregate pass over the
+    group (no per-status re-scan, no join); the statistic is row-local
+    arithmetic on the 6-number summary. Groups where either sample has
+    fewer than 2 observations carry no defined variance and are
+    dropped, mirroring the KS empty-sample rule. Same formula text on
+    both sides; the 4-dp round absorbs moment summation-order noise."""
+    is_o = F.col("o_orderstatus") == "O"
+    is_f = F.col("o_orderstatus") == "F"
+    o = table(spark, sf_dir, "orders")
+    price = F.col("o_totalprice")
+    s = o.groupBy(F.col("o_orderpriority").alias("prio")).agg(
+        F.avg(F.when(is_o, price)).alias("m1"),
+        F.var_samp(F.when(is_o, price)).alias("v1"),
+        F.count(F.when(is_o, 1)).alias("n1"),
+        F.avg(F.when(is_f, price)).alias("m2"),
+        F.var_samp(F.when(is_f, price)).alias("v2"),
+        F.count(F.when(is_f, 1)).alias("n2"),
+    )
+    se2 = F.col("v1") / F.col("n1") + F.col("v2") / F.col("n2")
+    dof = F.pow(se2, 2) / (
+        F.pow(F.col("v1") / F.col("n1"), 2) / (F.col("n1") - 1)
+        + F.pow(F.col("v2") / F.col("n2"), 2) / (F.col("n2") - 1)
+    )
+    return (
+        s.filter((F.col("n1") > 1) & (F.col("n2") > 1))
+        .select(
+            F.col("prio").alias("o_orderpriority"),
+            round4((F.col("m1") - F.col("m2")) / F.sqrt(se2)).alias("t_stat"),
+            round4(dof).alias("dof"),
+            F.col("n1").alias("n_o"),
+            F.col("n2").alias("n_f"),
+        )
+    )

@@ -478,3 +478,59 @@ def rolling_median_col(value_col: str, w) -> "F.Column":
     lower = F.element_at(vals, ((n + 1) / 2).cast("int"))
     upper = F.element_at(vals, (n / 2 + 1).cast("int"))
     return ((lower + upper) / 2.0).cast("double")
+
+
+@query(
+    "quality_null_profile",
+    oracle="""
+    SELECT 'events.props' AS col_name, COUNT(*) AS n_rows,
+           COUNT(*) - COUNT(props) AS n_null,
+           CAST(SUM(CASE WHEN props = '' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_empty,
+           FLOOR((1.0 - CAST(COUNT(props) AS DOUBLE) / COUNT(*))
+                 * 10000 + 0.5) / 10000 AS null_ratio
+    FROM events
+    UNION ALL
+    SELECT 'documents.text', COUNT(*), COUNT(*) - COUNT(text),
+           CAST(SUM(CASE WHEN text = '' THEN 1 ELSE 0 END) AS BIGINT),
+           FLOOR((1.0 - CAST(COUNT(text) AS DOUBLE) / COUNT(*))
+                 * 10000 + 0.5) / 10000
+    FROM documents
+    UNION ALL
+    SELECT 'orders.o_orderstatus', COUNT(*), COUNT(*) - COUNT(o_orderstatus),
+           CAST(SUM(CASE WHEN o_orderstatus = '' THEN 1 ELSE 0 END)
+                AS BIGINT),
+           FLOOR((1.0 - CAST(COUNT(o_orderstatus) AS DOUBLE) / COUNT(*))
+                 * 10000 + 0.5) / 10000
+    FROM orders
+    """,
+)
+def quality_null_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Completeness audit: per profiled column, row count, NULL count,
+    empty-string count, and null ratio — the first report a data
+    contract check emits (quality_fk_orphans covers referential
+    integrity; this covers presence). Each column is one COUNT-family
+    aggregate over its own table — map-side combinable single scans
+    unioned into a fixed-width report; on the current fixtures every
+    count is zero, which is exactly what the audit asserts (the
+    mechanics stay pinned if a regeneration ever ships NULLs)."""
+
+    def profile(df: DataFrame, tbl: str, col: str) -> DataFrame:
+        return df.agg(
+            F.lit(f"{tbl}.{col}").alias("col_name"),
+            F.count(F.lit(1)).alias("n_rows"),
+            (F.count(F.lit(1)) - F.count(F.col(col))).alias("n_null"),
+            F.sum(F.when(F.col(col) == "", 1).otherwise(0)).alias("n_empty"),
+            round4(
+                1.0 - F.count(F.col(col)).cast("double") / F.count(F.lit(1))
+            ).alias("null_ratio"),
+        ).select("col_name", "n_rows", "n_null", "n_empty", "null_ratio")
+
+    e = table(spark, sf_dir, "events")
+    d = table(spark, sf_dir, "documents")
+    o = table(spark, sf_dir, "orders")
+    return (
+        profile(e, "events", "props")
+        .unionByName(profile(d, "documents", "text"))
+        .unionByName(profile(o, "orders", "o_orderstatus"))
+    )

@@ -287,6 +287,8 @@ _NEW_R5 = frozenset(
     agg_latest_by_key timeseries_mom_growth join_temporal_snapshot
     subq_not_in_nulls text_bigram_lm dedup_keep_best events_time_profile
     fn_url_extract win_share_of_total profile_topk_values
+    stats_t_test_welch quality_null_profile events_transition_matrix
+    time_to_conversion agg_percentile_disc fn_array_setops
     """.split()
 )
 

@@ -125,6 +125,13 @@ REPRESENTATIVE = [
     "fn_url_extract",
     "win_share_of_total",
     "profile_topk_values",
+    # round-5 batch 3. quality_null_profile excluded: a fixed-width
+    # per-column report legitimately emits its rows on empty tables.
+    "stats_t_test_welch",
+    "events_transition_matrix",
+    "time_to_conversion",
+    "agg_percentile_disc",
+    "fn_array_setops",
 ]
 
 

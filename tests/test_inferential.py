@@ -443,3 +443,95 @@ def test_url_extract_components(spark, crafted):
     assert row["path"] == "/en/doc-1"
     assert row["q_param"] == "a"
     assert row["subdomain_tld"] == "example"
+
+
+def test_welch_t_zero_on_identical_samples(spark, crafted):
+    got = {
+        r["o_orderpriority"]: r
+        for r in QS["stats_t_test_welch"](spark, crafted).collect()
+    }
+    assert got["ident"]["t_stat"] == 0.0  # same O/F samples -> equal means
+    assert got["disj"]["t_stat"] < 0      # O mean 1.5 far below F mean 150
+    # single-sample groups have no defined variance pair -> absent
+    assert set(got) == {"ident", "disj"}
+
+
+def test_null_profile_counts(spark, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("null_sf"))
+    _write(
+        spark, out, "documents",
+        [(1, None, "en", "s", 0), (2, "", "en", "s", 0), (3, "x", "en", "s", 1)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    _write(
+        spark, out, "events", [(1, T0, 1, "view", 1.0, "{}")],
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    _write(
+        spark, out, "orders", [(1, 1, "O", 1.0, T0, "x")],
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    )
+    got = {
+        r["col_name"]: r
+        for r in QS["quality_null_profile"](spark, out).collect()
+    }
+    d = got["documents.text"]
+    assert (d["n_rows"], d["n_null"], d["n_empty"]) == (3, 1, 1)
+    assert d["null_ratio"] == pytest.approx(1 / 3, abs=1e-4)
+    assert got["events.props"]["n_null"] == 0
+
+
+def test_transition_matrix_probabilities(spark, crafted):
+    got = {
+        (r["cur_type"], r["next_type"]): r
+        for r in QS["events_transition_matrix"](spark, crafted).collect()
+    }
+    # user 1: view->view->purchase; user 2: purchase->click->click->purchase
+    assert got[("view", "view")]["p"] == 0.5
+    assert got[("view", "purchase")]["p"] == 0.5
+    assert got[("click", "click")]["p"] == 0.5
+    assert got[("click", "purchase")]["p"] == 0.5
+    assert got[("purchase", "click")]["p"] == 1.0
+    assert len(got) == 5
+
+
+def test_time_to_conversion_ignores_pre_signup_purchases(spark, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("ttc_sf"))
+    rows = [
+        (1, T0 + dt.timedelta(seconds=50), 1, "purchase", 1.0, "{}"),
+        (2, T0 + dt.timedelta(seconds=100), 1, "signup", 0.0, "{}"),
+        (3, T0 + dt.timedelta(seconds=300), 1, "purchase", 1.0, "{}"),
+        (4, T0, 2, "signup", 0.0, "{}"),       # never converts
+        (5, T0, 3, "purchase", 1.0, "{}"),     # never signs up
+    ]
+    _write(
+        spark, out, "events", rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    got = {r["user_id"]: r for r in QS["time_to_conversion"](spark, out).collect()}
+    assert set(got) == {1}
+    assert got[1]["delta_s"] == 200  # the pre-signup purchase is ignored
+
+
+def test_percentile_disc_integer_rank_picks(spark, crafted):
+    got = {
+        r["o_orderpriority"]: r
+        for r in QS["agg_percentile_disc"](spark, crafted).collect()
+    }
+    # 'ident' = [10,10,20,20,30,30]: p50 rank (6+1)//2=3 -> 20;
+    # p90 rank (54+9)//10=6 -> 30
+    assert got["ident"]["p50_disc"] == 20.0
+    assert got["ident"]["p90_disc"] == 30.0
+    assert got["flat"]["p50_disc"] == 5.0 and got["flat"]["p90_disc"] == 5.0
+
+
+def test_array_setops_sorted_distinct_form(spark, crafted):
+    row = {
+        r["doc_id"]: r for r in QS["fn_array_setops"](spark, crafted).collect()
+    }[1]  # text "a b c d"; probe {the, a, data, join, spark}
+    assert row["inter"] == ["a"]
+    assert row["except_probe"] == ["b", "c", "d"]
+    assert row["n_union"] == 8  # 4 tokens + 5 probe words - 1 overlap
