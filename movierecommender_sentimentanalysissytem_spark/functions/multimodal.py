@@ -2,12 +2,16 @@
 
 Images/audio/video are opaque ``binary`` columns with typed metadata;
 decode / feature-extract / frame-sample run as Arrow-batched pandas
-functions over ``mapInPandas``. The real media codecs are NOT in this
-container (SURVEY.md environment), so the decode step is STUBBED: a
-clearly-marked ``decode_media`` raises ``NotImplementedError`` for real
-codecs and a deterministic fake decoder stands in for tests. Everything
-Spark-side — schema, partitioning, UDF signatures, Arrow batch shapes —
-is real and tested.
+functions over ``mapInPandas``. Decode is REAL for every format a
+codec-less container can honestly parse — RIFF/WAVE PCM through the
+stdlib ``wave`` parser and binary PPM (P6) through a validating reader
+(multimodal_decode_audio / multimodal_decode_image, both SQL-checked
+byte-for-byte). Compressed codecs (jpeg/mp3/mp4) need PIL/ffmpeg, which
+are NOT installed here: ``decode_media`` raises ``NotImplementedError``
+for those rather than faking an answer, and the byte-level plumbing
+keys use a clearly-marked identity stand-in. Everything Spark-side —
+schema, partitioning, UDF signatures, Arrow batch shapes — is real and
+tested.
 
 The fixture has no binary table, so a deterministic surrogate is built
 in-plan: ``media = unhex(md5(text) || md5('2:' || text))`` with metadata
@@ -35,16 +39,70 @@ from movierecommender_sentimentanalysissytem_spark.registry import query
 from movierecommender_sentimentanalysissytem_spark.sources.tables import table
 
 
+def parse_wav(blob: bytes) -> tuple[int, int, int, bytes]:
+    """REAL RIFF/WAVE decode via the stdlib ``wave`` parser (PCM needs
+    no codec library): validates the chunk structure and returns
+    (n_channels, sample_rate, n_frames, pcm_bytes). Malformed headers
+    raise ``wave.Error`` — a corrupt blob fails loudly, it does not
+    produce silent garbage features."""
+    import io
+    import wave
+
+    with wave.open(io.BytesIO(blob)) as w:
+        return (
+            w.getnchannels(),
+            w.getframerate(),
+            w.getnframes(),
+            w.readframes(w.getnframes()),
+        )
+
+
+def parse_ppm(blob: bytes) -> tuple[int, int, int, bytes]:
+    """REAL binary-PPM (P6) decode — the uncompressed image format a
+    codec-less container can still genuinely parse. Validates magic,
+    dimensions, maxval, and payload length; returns (width, height,
+    maxval, rgb_bytes)."""
+    if not blob.startswith(b"P6"):
+        raise ValueError("not a binary PPM (P6) blob")
+    fields: list[int] = []
+    pos = 2
+    while len(fields) < 3:
+        while pos < len(blob) and blob[pos : pos + 1].isspace():
+            pos += 1
+        start = pos
+        while pos < len(blob) and not blob[pos : pos + 1].isspace():
+            pos += 1
+        if start == pos:
+            raise ValueError("truncated PPM header")
+        fields.append(int(blob[start:pos]))
+    pos += 1  # single whitespace after maxval
+    width, height, maxval = fields
+    if maxval != 255:
+        raise ValueError(f"unsupported PPM maxval {maxval}")
+    pixels = blob[pos:]
+    if len(pixels) != width * height * 3:
+        raise ValueError(
+            f"PPM payload {len(pixels)} bytes != {width}x{height}x3"
+        )
+    return width, height, maxval, pixels
+
+
 def decode_media(blob: bytes, media_type: str) -> bytes:
     """Decode a media blob to raw samples/pixels.
 
-    STUB: real decoding needs image/audio codecs (PIL, ffmpeg, …) that
-    are not installed in this environment. The fake ``media_type``
-    is handled deterministically so the surrounding Spark plumbing is
-    exercised end-to-end; any real codec request fails loudly.
+    REAL decoders cover the codec-less formats a bare container can
+    parse: ``wav`` (RIFF/WAVE PCM, stdlib ``wave``) and ``ppm``
+    (binary P6). Compressed codecs (jpeg/mp3/mp4, …) need PIL/ffmpeg,
+    which are NOT installed here — those requests fail loudly rather
+    than fake an answer. ``fake`` is the identity stand-in the
+    byte-level plumbing keys use.
     """
     if media_type == "fake":
         return blob  # identity "decode" — deterministic stand-in
+    if media_type == "wav":
+        return parse_wav(blob)[3]
+    if media_type == "ppm":
+        return parse_ppm(blob)[3]
     raise NotImplementedError(
         f"decode for media_type={media_type!r} requires codec libraries "
         "not present in this environment (PIL/ffmpeg/torchaudio)"
@@ -220,3 +278,193 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     media = _media_table(spark, sf_dir)
     return media.mapInPandas(sample, _FRAME_SCHEMA)
+
+
+# Constant headers for the synthesized REAL media blobs. The payloads
+# are md5-derived (so DuckDB can reconstruct every byte); the headers
+# are genuine format headers with FIXED geometry, so their hex is a
+# literal: WAV = PCM mono 16-bit 8000 Hz, 16 samples (32 bytes);
+# PPM = P6, 4x4, maxval 255 (48 bytes).
+_WAV_HDR_HEX = (
+    "524946464400000057415645666d7420100000000100010"
+    "0401f0000803e0000020010006461746120000000"
+)
+_PPM_HDR_HEX = "50360a3420340a3235350a"
+
+_AUDIO_ORACLE = """
+    WITH hexes AS (
+        SELECT doc_id, md5(text) || md5('2:' || text) AS hx FROM documents
+    ),
+    smp AS (
+        SELECT doc_id,
+               CAST('0x' || substr(hx, j*4 + 1, 2) AS INTEGER)
+                   + 256 * CAST('0x' || substr(hx, j*4 + 3, 2) AS INTEGER)
+                   AS u
+        FROM hexes, range(0, 16) t(j)
+    ),
+    s AS (
+        SELECT doc_id, CASE WHEN u >= 32768 THEN u - 65536 ELSE u END AS v
+        FROM smp
+    )
+    SELECT doc_id,
+           16 AS n_samples, 8000 AS sample_rate,
+           FLOOR(AVG(v) * 10000 + 0.5) / 10000 AS mean_amp,
+           CAST(MIN(v) AS INTEGER) AS min_amp,
+           CAST(MAX(v) AS INTEGER) AS max_amp,
+           FLOOR(sqrt(AVG(CAST(v AS DOUBLE) * v)) * 10000 + 0.5) / 10000
+               AS rms
+    FROM s GROUP BY doc_id
+"""
+
+
+@query("multimodal_decode_audio", oracle=_AUDIO_ORACLE)
+def multimodal_decode_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode in the pipeline: each document carries a
+    genuine RIFF/WAVE blob (fixed PCM header + md5-derived payload),
+    parsed by the stdlib ``wave`` module inside the Arrow batch
+    iterator — header validation, frame extraction, and int16 LE
+    sample unpacking are all the real thing, not a stub (compressed
+    codecs remain NotImplementedError by design; see decode_media).
+    The emitted waveform statistics (mean/min/max amplitude, RMS) are
+    SQL-checked exactly: the oracle rebuilds every sample from the
+    payload's hex digits, including the signed 16-bit wraparound.
+    The sample_rate column comes FROM the decoder, pinning header
+    parsing, not just payload math."""
+    import struct
+
+    import pandas as pd
+
+    def extract(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            out = {
+                "doc_id": [], "n_samples": [], "sample_rate": [],
+                "mean_amp": [], "min_amp": [], "max_amp": [], "rms": [],
+            }
+            for doc_id, blob in zip(pdf["doc_id"], pdf["media"]):
+                _nch, rate, n, pcm = parse_wav(bytes(blob))
+                vals = struct.unpack(f"<{n}h", pcm)
+                out["doc_id"].append(doc_id)
+                out["n_samples"].append(n)
+                out["sample_rate"].append(rate)
+                out["mean_amp"].append(sum(vals) / n)
+                out["min_amp"].append(min(vals))
+                out["max_amp"].append(max(vals))
+                out["rms"].append((sum(v * v for v in vals) / n) ** 0.5)
+            yield pd.DataFrame(out)
+
+    d = table(spark, sf_dir, "documents")
+    media = d.select(
+        "doc_id",
+        F.unhex(
+            F.concat(
+                F.lit(_WAV_HDR_HEX),
+                F.md5("text"),
+                F.md5(F.concat(F.lit("2:"), F.col("text"))),
+            )
+        ).alias("media"),
+    )
+    raw = media.mapInPandas(
+        extract,
+        "doc_id long, n_samples int, sample_rate int, mean_amp double,"
+        " min_amp int, max_amp int, rms double",
+    )
+    return raw.select(
+        "doc_id",
+        "n_samples",
+        "sample_rate",
+        F.floor(F.col("mean_amp") * 10000 + 0.5) / 10000,
+        "min_amp",
+        "max_amp",
+        F.floor(F.col("rms") * 10000 + 0.5) / 10000,
+    ).toDF(
+        "doc_id", "n_samples", "sample_rate", "mean_amp", "min_amp",
+        "max_amp", "rms",
+    )
+
+
+_IMAGE_ORACLE = """
+    WITH hexes AS (
+        SELECT doc_id,
+               md5(text) || md5('2:' || text) || md5('3:' || text) AS hx
+        FROM documents
+    ),
+    px AS (
+        SELECT doc_id, k % 3 AS chan,
+               CAST('0x' || substr(hx, k*2 + 1, 2) AS INTEGER) AS b
+        FROM hexes, range(0, 48) t(k)
+    )
+    SELECT doc_id, 4 AS width, 4 AS height,
+           FLOOR(AVG(CASE WHEN chan = 0 THEN b END) * 10000 + 0.5) / 10000
+               AS r_mean,
+           FLOOR(AVG(CASE WHEN chan = 1 THEN b END) * 10000 + 0.5) / 10000
+               AS g_mean,
+           FLOOR(AVG(CASE WHEN chan = 2 THEN b END) * 10000 + 0.5) / 10000
+               AS b_mean,
+           FLOOR((0.299 * AVG(CASE WHEN chan = 0 THEN b END)
+                  + 0.587 * AVG(CASE WHEN chan = 1 THEN b END)
+                  + 0.114 * AVG(CASE WHEN chan = 2 THEN b END))
+                 * 10000 + 0.5) / 10000 AS luminance
+    FROM px GROUP BY doc_id
+"""
+
+
+@query("multimodal_decode_image", oracle=_IMAGE_ORACLE)
+def multimodal_decode_image(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode: a genuine binary-PPM (P6) blob per document
+    (fixed 4×4 header + 48 md5-derived RGB bytes), parsed by the
+    validating parse_ppm reader — magic, dimensions, maxval, and
+    payload length are all checked, and width/height in the output
+    come FROM the parser. Per-channel means and Rec.601 luminance are
+    the downstream features; the oracle rebuilds each channel from the
+    payload hex. Together with multimodal_decode_audio this retires
+    the round-4 'decode is a stub' caveat for every format a
+    codec-less container can honestly parse."""
+    import pandas as pd
+
+    def extract(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            out = {
+                "doc_id": [], "width": [], "height": [],
+                "r_mean": [], "g_mean": [], "b_mean": [],
+            }
+            for doc_id, blob in zip(pdf["doc_id"], pdf["media"]):
+                w, h, _maxval, pix = parse_ppm(bytes(blob))
+                chans = [pix[c::3] for c in range(3)]
+                out["doc_id"].append(doc_id)
+                out["width"].append(w)
+                out["height"].append(h)
+                for name, ch in zip(("r_mean", "g_mean", "b_mean"), chans):
+                    out[name].append(sum(ch) / len(ch))
+            yield pd.DataFrame(out)
+
+    d = table(spark, sf_dir, "documents")
+    media = d.select(
+        "doc_id",
+        F.unhex(
+            F.concat(
+                F.lit(_PPM_HDR_HEX),
+                F.md5("text"),
+                F.md5(F.concat(F.lit("2:"), F.col("text"))),
+                F.md5(F.concat(F.lit("3:"), F.col("text"))),
+            )
+        ).alias("media"),
+    )
+    raw = media.mapInPandas(
+        extract,
+        "doc_id long, width int, height int, r_mean double, g_mean double,"
+        " b_mean double",
+    )
+    lum = (
+        0.299 * F.col("r_mean")
+        + 0.587 * F.col("g_mean")
+        + 0.114 * F.col("b_mean")
+    )
+    return raw.select(
+        "doc_id",
+        "width",
+        "height",
+        (F.floor(F.col("r_mean") * 10000 + 0.5) / 10000).alias("r_mean"),
+        (F.floor(F.col("g_mean") * 10000 + 0.5) / 10000).alias("g_mean"),
+        (F.floor(F.col("b_mean") * 10000 + 0.5) / 10000).alias("b_mean"),
+        (F.floor(lum * 10000 + 0.5) / 10000).alias("luminance"),
+    )

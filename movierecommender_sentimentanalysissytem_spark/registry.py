@@ -289,6 +289,7 @@ _NEW_R5 = frozenset(
     fn_url_extract win_share_of_total profile_topk_values
     stats_t_test_welch quality_null_profile events_transition_matrix
     time_to_conversion agg_percentile_disc fn_array_setops
+    multimodal_decode_audio multimodal_decode_image
     """.split()
 )
 

@@ -132,6 +132,8 @@ REPRESENTATIVE = [
     "time_to_conversion",
     "agg_percentile_disc",
     "fn_array_setops",
+    "multimodal_decode_audio",
+    "multimodal_decode_image",
 ]
 
 
