@@ -197,3 +197,76 @@ def test_benford_counts_computed_once(spark):
     # lineage (incl. its parquet scan) under each InMemoryRelation
     # reference, so count cache reads, not scan strings.
     assert plan.count("InMemoryTableScan") >= 2
+
+
+def test_temporal_snapshot_is_equi_join(spark):
+    """The point-in-time join must plan as an equi-join on the entity
+    key (validity interval as residual filter) — a range-theta
+    formulation would fall back to BroadcastNestedLoopJoin and
+    quadratic work at scale."""
+    plan = _plan(spark, "join_temporal_snapshot")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Join" in plan
+
+
+def test_sessionize_single_user_exchange(spark):
+    """Both sessionize windows and the final rollup share the user_id
+    partitioning — Catalyst must plan exactly one full-data exchange
+    (the scan-side shuffle), not one per window."""
+    plan = _plan(spark, "sessionize_batch")
+    n_exchanges = plan.count(") Exchange")
+    assert n_exchanges == 1, f"expected 1 exchange, saw {n_exchanges}"
+
+
+def test_attribution_has_no_join(spark):
+    """Last-touch attribution must be a pure window composition — a
+    purchases-vs-clicks self-join would re-shuffle both sides and skew
+    on heavy clickers."""
+    plan = _plan(spark, "attribution_last_touch")
+    assert "Join" not in plan
+    assert "Window" in plan
+
+
+def test_matmul_topk_prunes_before_global_rank(spark):
+    """The GEMM top-k must rank only the Python stage's local top-k
+    output — the plan shows the Arrow-batched python node feeding the
+    window, and the window's exchange moves the pruned rows, not the
+    corpus."""
+    plan = _plan(spark, "sim_matmul_topk")
+    assert "MapInPandas" in plan or "ArrowEvalPython" in plan or "Python" in plan
+    assert "Window" in plan
+
+
+def test_rfm_quartiles_avoid_global_window(spark):
+    """RFM must bucket via the broadcast threshold table — a global
+    ntile window over every user is the single-task cliff this
+    formulation exists to avoid."""
+    plan = _plan(spark, "rec_rfm_segmentation")
+    assert "Window" not in plan
+
+    from movierecommender_sentimentanalysissytem_spark.plans.audit import (
+        _single_partition_consumers,
+    )
+
+    assert not [
+        c for c in _single_partition_consumers(plan)
+        if c.startswith(("Sort", "Window"))
+    ]
+
+
+def test_single_partition_consumer_parser_on_live_plans(spark):
+    """The consumer-aware SinglePartition detector must (a) see the
+    bounded global sort win_ntile_percent deliberately keeps over its
+    O(buckets) offsets, and (b) stay quiet on an ordinary grouped
+    aggregate — pinning the parser against formatted-explain drift
+    (the literal 'Exchange SinglePartition' match it replaced had
+    gone dead exactly that way)."""
+    from movierecommender_sentimentanalysissytem_spark.plans.audit import (
+        _single_partition_consumers,
+    )
+
+    ntile = _single_partition_consumers(_plan(spark, "win_ntile_percent"))
+    assert any(c.startswith(("Sort", "Window")) for c in ntile)
+    grouped = _single_partition_consumers(_plan(spark, "agg_groupby"))
+    assert not [c for c in grouped if c.startswith(("Sort", "Window"))]
