@@ -433,3 +433,113 @@ def stats_t_test_welch(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n2").alias("n_f"),
         )
     )
+
+
+@query(
+    "stats_psi_drift",
+    oracle="""
+    WITH a AS (
+        SELECT o_totalprice AS v FROM orders
+        WHERE o_orderdate < TIMESTAMP '1998-01-01'
+    ),
+    b AS (
+        SELECT o_totalprice AS v FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1998-01-01'
+    ),
+    bounds AS (
+        SELECT quantile_cont(v, [0.1, 0.2, 0.3, 0.4, 0.5,
+                                 0.6, 0.7, 0.8, 0.9]) AS t
+        FROM a
+    ),
+    ca AS (
+        SELECT 1 + len(list_filter(t, x -> v > x)) AS bucket,
+               COUNT(*) AS c
+        FROM a CROSS JOIN bounds GROUP BY bucket
+    ),
+    cb AS (
+        SELECT 1 + len(list_filter(t, x -> v > x)) AS bucket,
+               COUNT(*) AS c
+        FROM b CROSS JOIN bounds GROUP BY bucket
+    ),
+    tot AS (SELECT (SELECT COUNT(*) FROM a) AS na,
+                   (SELECT COUNT(*) FROM b) AS nb),
+    g AS (
+        SELECT CAST(COALESCE(ca.bucket, cb.bucket) AS INTEGER) AS bucket,
+               (COALESCE(ca.c, 0) + 1.0) / (na + 10.0) AS pa,
+               (COALESCE(cb.c, 0) + 1.0) / (nb + 10.0) AS pb
+        FROM ca FULL OUTER JOIN cb ON ca.bucket = cb.bucket
+        CROSS JOIN tot
+    )
+    SELECT bucket,
+           FLOOR(pa * 10000 + 0.5) / 10000 AS p_base,
+           FLOOR(pb * 10000 + 0.5) / 10000 AS p_current,
+           FLOOR(((pb - pa) * ln(pb / pa)) * 10000 + 0.5) / 10000
+               AS psi_term
+    FROM g
+    """,
+)
+def stats_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index between a baseline period (orders
+    before 1998) and the current one — the drift monitor every model
+    scorecard runs. Decile boundaries come from the BASELINE's exact
+    quantiles (one 1-row aggregate, broadcast); bucket assignment is a
+    row-local lambda count over that 9-element array, so out-of-range
+    current values clamp into the edge buckets naturally. Laplace
+    (+1/+10) smoothing makes every per-bucket probability strictly
+    positive — a PSI term is ln-undefined on an empty bucket, and an
+    epsilon-free formulation would turn one empty decile into ±inf.
+    Per-bucket terms are emitted (the report a dashboard plots); the
+    scalar PSI is their sum. Probabilities are exact integer ratios;
+    the single ln ulp is absorbed by the 4-dp round."""
+    o = table(spark, sf_dir, "orders")
+    split = F.lit("1998-01-01").cast("timestamp")
+    a = o.filter(F.col("o_orderdate") < split).select(
+        F.col("o_totalprice").alias("v")
+    )
+    b = o.filter(F.col("o_orderdate") >= split).select(
+        F.col("o_totalprice").alias("v")
+    )
+    bounds = a.agg(
+        F.percentile(
+            F.col("v"),
+            F.array(*[F.lit(i / 10) for i in range(1, 10)]),
+        ).alias("t")
+    )
+    bucket = (
+        1 + F.size(F.filter("t", lambda x: F.col("v") > x))
+    ).alias("bucket")
+
+    def counts(df: DataFrame) -> DataFrame:
+        return (
+            df.crossJoin(F.broadcast(bounds))
+            .select(bucket)
+            .groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+
+    ca = counts(a).select(F.col("bucket").alias("ba"), F.col("c").alias("c_a"))
+    cb = counts(b).select(F.col("bucket").alias("bb"), F.col("c").alias("c_b"))
+    tot = a.agg(F.count(F.lit(1)).alias("na")).crossJoin(
+        b.agg(F.count(F.lit(1)).alias("nb"))
+    )
+    g = (
+        ca.join(cb, ca.ba == cb.bb, "full_outer")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.coalesce("ba", "bb").cast("int").alias("bucket"),
+            (
+                (F.coalesce("c_a", F.lit(0)) + 1.0) / (F.col("na") + 10.0)
+            ).alias("pa"),
+            (
+                (F.coalesce("c_b", F.lit(0)) + 1.0) / (F.col("nb") + 10.0)
+            ).alias("pb"),
+        )
+    )
+    return g.select(
+        "bucket",
+        round4(F.col("pa")).alias("p_base"),
+        round4(F.col("pb")).alias("p_current"),
+        round4((F.col("pb") - F.col("pa")) * F.log(F.col("pb") / F.col("pa"))).alias(
+            "psi_term"
+        ),
+    )

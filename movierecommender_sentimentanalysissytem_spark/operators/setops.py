@@ -109,3 +109,21 @@ def set_union_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "text", "lang", "n_chars"
     )
     return v1.unionByName(v2, allowMissingColumns=True)
+
+
+@query(
+    "set_intersect_all",
+    oracle="""
+    SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+    INTERSECT ALL
+    SELECT o_custkey FROM orders WHERE o_totalprice > 200000
+    """,
+)
+def set_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT ALL (bag intersection: each key kept min(m, n) times)
+    — completes the ALL/DISTINCT matrix with set_intersect /
+    set_except / set_union_*. Spark plans ``intersectAll`` as a
+    count-matching aggregate + generate, one shuffle per side on the
+    row key — the same cost class as the DISTINCT form, unlike a naive
+    join which would multiply duplicates instead of min-ing them."""
+    return _urgent(spark, sf_dir).intersectAll(_big(spark, sf_dir))

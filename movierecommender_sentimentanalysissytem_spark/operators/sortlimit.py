@@ -10,6 +10,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from movierecommender_sentimentanalysissytem_spark.functions.rounding import round4
 from movierecommender_sentimentanalysissytem_spark.registry import query
@@ -162,4 +163,43 @@ def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.filter(bucket < threshold)
         .groupBy("event_type")
         .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@query(
+    "sample_k_per_group",
+    oracle="""
+    SELECT event_id, event_type, rn FROM (
+        SELECT event_id, event_type,
+               CAST(ROW_NUMBER() OVER (
+                   PARTITION BY event_type
+                   ORDER BY CAST('0x' || substr(md5(concat('kpg:',
+                       CAST(event_id AS VARCHAR))), 1, 15) AS BIGINT),
+                       event_id) AS INTEGER) AS rn
+        FROM events
+    ) t WHERE rn <= 5
+    """,
+)
+def sample_k_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-k-per-group sampling: the 5 hash-smallest events of each
+    type — the fixed-size counterpart of sample_stratified's per-class
+    FRACTIONS (eval sets and debugging slices want exact counts, not
+    rates). Ordering by the 60-bit content hash of the row key makes
+    the pick uniform-ish, reproducible across reruns/partitionings/
+    engines, and independent of any data ordering; event_id breaks the
+    (astronomically unlikely) hash tie to keep a total order. Spark
+    plans the rn ≤ k filter as WindowGroupLimit — per-partition top-k
+    heaps before the shuffle, so the exchange moves O(k·groups) rows,
+    not the table."""
+    from movierecommender_sentimentanalysissytem_spark.functions.dedup import (
+        _spark_h,
+    )
+
+    e = table(spark, sf_dir, "events")
+    h = F.expr(_spark_h("kpg", "CAST(event_id AS STRING)"))
+    w = Window.partitionBy("event_type").orderBy(h.asc(), F.col("event_id").asc())
+    return (
+        e.withColumn("rn", F.row_number().over(w).cast("int"))
+        .filter(F.col("rn") <= 5)
+        .select("event_id", "event_type", "rn")
     )

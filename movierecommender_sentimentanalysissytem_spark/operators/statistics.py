@@ -534,3 +534,73 @@ def quality_null_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(profile(d, "documents", "text"))
         .unionByName(profile(o, "orders", "o_orderstatus"))
     )
+
+
+@query(
+    "quality_table_checksum",
+    oracle="""
+    WITH o AS (
+        SELECT CAST('0x' || substr(md5(concat('ck:',
+                   CAST(o_orderkey AS VARCHAR), '|',
+                   CAST(o_custkey AS VARCHAR), '|', o_orderstatus, '|',
+                   CAST(CAST(FLOOR(o_totalprice * 10000 + 0.5) AS BIGINT)
+                        AS VARCHAR), '|', o_orderpriority)), 1, 15)
+                   AS BIGINT) % 1000000007 AS h
+        FROM orders
+    ),
+    c AS (
+        SELECT CAST('0x' || substr(md5(concat('ck:',
+                   CAST(c_custkey AS VARCHAR), '|', c_name, '|',
+                   CAST(c_nationkey AS VARCHAR), '|',
+                   CAST(CAST(FLOOR(c_acctbal * 10000 + 0.5) AS BIGINT)
+                        AS VARCHAR), '|', c_mktsegment)), 1, 15)
+                   AS BIGINT) % 1000000007 AS h
+        FROM customer
+    )
+    SELECT 'orders' AS tbl, COUNT(*) AS n_rows,
+           CAST(SUM(h) % 1000000007 AS BIGINT) AS checksum
+    FROM o
+    UNION ALL
+    SELECT 'customer', COUNT(*), CAST(SUM(h) % 1000000007 AS BIGINT)
+    FROM c
+    """,
+)
+def quality_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-independent table fingerprints: per table, the row count
+    and the modular sum of a 60-bit content hash over each row's
+    canonical string — the reconciliation primitive a migration (like
+    this whole engine) runs on both sides to prove a copy byte-exact
+    without moving data. Canonicalization rules make it cross-engine:
+    doubles enter as FLOOR(x·10⁴+0.5) integers (raw CAST(double AS
+    STRING) formats differently per engine), every field is explicitly
+    stringified, and '|' delimits (no concat_ws — it silently skips
+    NULLs, the scan_text_lines lesson). Each per-row term is reduced
+    mod 1e9+7 so the SUM stays inside BIGINT to ~9e9 rows; beyond
+    that, the same mod-sum runs as a two-level tree. One
+    map-side-combinable aggregate per table — a full-scan, zero-
+    shuffle audit at any scale."""
+    from movierecommender_sentimentanalysissytem_spark.functions.dedup import (
+        _spark_h,
+    )
+
+    def checksum(df: DataFrame, tbl: str, canon: str) -> DataFrame:
+        h = F.expr(_spark_h("ck", canon)) % 1000000007
+        return df.select(h.alias("h")).agg(
+            F.lit(tbl).alias("tbl"),
+            F.count(F.lit(1)).alias("n_rows"),
+            (F.sum("h") % 1000000007).cast("bigint").alias("checksum"),
+        ).select("tbl", "n_rows", "checksum")
+
+    price_int = "CAST(CAST(FLOOR(o_totalprice * 10000 + 0.5) AS BIGINT) AS STRING)"
+    bal_int = "CAST(CAST(FLOOR(c_acctbal * 10000 + 0.5) AS BIGINT) AS STRING)"
+    o_canon = (
+        "concat(CAST(o_orderkey AS STRING), '|', CAST(o_custkey AS STRING),"
+        f" '|', o_orderstatus, '|', {price_int}, '|', o_orderpriority)"
+    )
+    c_canon = (
+        "concat(CAST(c_custkey AS STRING), '|', c_name, '|',"
+        f" CAST(c_nationkey AS STRING), '|', {bal_int}, '|', c_mktsegment)"
+    )
+    return checksum(table(spark, sf_dir, "orders"), "orders", o_canon).unionByName(
+        checksum(table(spark, sf_dir, "customer"), "customer", c_canon)
+    )

@@ -53,6 +53,7 @@ NLJ_OK = {
     "tpch_q11_important_stock",  # 1-row fraction-of-total threshold broadcast
     "quality_benford_digits",    # 1-row digit-total broadcast cross join
     "stats_chi_square",       # 1-row N-total and 1-row dof broadcast crosses
+    "stats_psi_drift",        # 1-row decile-boundary broadcast cross join
     "rec_rfm_segmentation",   # 1-row quartile-boundary broadcast cross join
     # reviewed single-partition sorts over BOUNDED rollups (the consumer-
     # aware SinglePartition check, live since round 5):

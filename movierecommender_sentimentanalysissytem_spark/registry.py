@@ -290,6 +290,8 @@ _NEW_R5 = frozenset(
     stats_t_test_welch quality_null_profile events_transition_matrix
     time_to_conversion agg_percentile_disc fn_array_setops
     multimodal_decode_audio multimodal_decode_image
+    set_intersect_all udf_pandas_iter stats_psi_drift
+    quality_table_checksum sample_k_per_group
     """.split()
 )
 

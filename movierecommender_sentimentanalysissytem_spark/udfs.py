@@ -300,3 +300,40 @@ def udtf_table_argument(spark: SparkSession, sf_dir: str) -> DataFrame:
             TABLE(mrsas_udtf_tbl) PARTITION BY user_id ORDER BY event_id)
         """
     )
+
+
+@query(
+    "udf_pandas_iter",
+    oracle="""
+    SELECT o_orderkey,
+           FLOOR(((o_totalprice - 150000.0) / 50000.0) * 10000 + 0.5)
+               / 10000 AS price_z
+    FROM orders WHERE o_orderkey < 1000
+    """,
+)
+def udf_pandas_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterator-of-Series pandas UDF (SCALAR_ITER eval type) — the
+    variant built for expensive one-time initialization: the constants
+    (a "model") load ONCE per worker before the batch loop, then every
+    Arrow batch streams through the same closure. Completes the UDF
+    eval-type matrix alongside scalar (udf_python_scalar), vectorized
+    SCALAR (udf_pandas_vectorized), grouped-map (udaf_pandas_grouped),
+    mapInPandas/mapInArrow, and UDTFs. The arithmetic is trivially
+    SQL-mirrored; what the key pins is the iterator protocol."""
+    def _standardize(batches):
+        center, scale = 150000.0, 50000.0  # one-time "model load"
+        for s in batches:
+            yield (s - center) / scale
+
+    # explicit SCALAR_ITER eval type: the module's stringified
+    # annotations (`from __future__ import annotations`) defeat
+    # pandas_udf's hint inference, same note as udf_pandas_vectorized
+    standardize = F.pandas_udf(
+        _standardize, "double", F.PandasUDFType.SCALAR_ITER
+    )
+
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 1000)
+    return o.select(
+        "o_orderkey",
+        round4(standardize(F.col("o_totalprice"))).alias("price_z"),
+    )

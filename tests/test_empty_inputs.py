@@ -134,6 +134,11 @@ REPRESENTATIVE = [
     "fn_array_setops",
     "multimodal_decode_audio",
     "multimodal_decode_image",
+    # round-5 batch 5. stats_psi_drift / quality_table_checksum
+    # excluded: 1-row-aggregate reports (grand-total class) on empty.
+    "set_intersect_all",
+    "udf_pandas_iter",
+    "sample_k_per_group",
 ]
 
 

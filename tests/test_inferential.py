@@ -535,3 +535,98 @@ def test_array_setops_sorted_distinct_form(spark, crafted):
     assert row["inter"] == ["a"]
     assert row["except_probe"] == ["b", "c", "d"]
     assert row["n_union"] == 8  # 4 tokens + 5 probe words - 1 overlap
+
+
+def test_psi_zero_on_identical_periods(spark, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("psi_sf"))
+    rows = []
+    k = 0
+    for period_date in (dt.datetime(1996, 1, 1), dt.datetime(1999, 1, 1)):
+        for v in range(100):  # identical value sets in both periods
+            rows.append((k, 0, "O", float(v), period_date, "x"))
+            k += 1
+    _write(
+        spark, out, "orders", rows,
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    )
+    got = QS["stats_psi_drift"](spark, out).collect()
+    assert len(got) == 10
+    assert all(r["psi_term"] == 0.0 for r in got)  # pa == pb exactly
+    assert all(r["p_base"] == pytest.approx(0.1, abs=0.01) for r in got)
+
+
+def test_psi_positive_under_shift(spark, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("psi2_sf"))
+    rows = []
+    k = 0
+    for v in range(100):
+        rows.append((k, 0, "O", float(v), dt.datetime(1996, 1, 1), "x"))
+        k += 1
+    for v in range(100):  # current period shifted far right
+        rows.append((k, 0, "O", 1000.0 + v, dt.datetime(1999, 1, 1), "x"))
+        k += 1
+    _write(
+        spark, out, "orders", rows,
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    )
+    got = QS["stats_psi_drift"](spark, out).collect()
+    total = sum(r["psi_term"] for r in got)
+    assert total > 0.25  # classic "significant shift" threshold
+
+
+def test_table_checksum_order_invariant_and_content_sensitive(
+    spark, tmp_path_factory
+):
+    rows = [
+        (1, 1, "O", 10.0, T0, "a"),
+        (2, 2, "F", 20.0, T0, "b"),
+        (3, 3, "P", 30.0, T0, "c"),
+    ]
+    cust = [(1, "x", 0, 5.0, "S")]
+    oschema = (
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, o_orderpriority string"
+    )
+    cschema = (
+        "c_custkey long, c_name string, c_nationkey int, c_acctbal double, "
+        "c_mktsegment string"
+    )
+    d1 = str(tmp_path_factory.mktemp("ck1"))
+    d2 = str(tmp_path_factory.mktemp("ck2"))
+    d3 = str(tmp_path_factory.mktemp("ck3"))
+    _write(spark, d1, "orders", rows, oschema)
+    _write(spark, d2, "orders", list(reversed(rows)), oschema)
+    changed = [rows[0], rows[1], (3, 3, "P", 30.01, T0, "c")]
+    _write(spark, d3, "orders", changed, oschema)
+    for d in (d1, d2, d3):
+        _write(spark, d, "customer", cust, cschema)
+
+    def sums(d):
+        return {
+            r["tbl"]: (r["n_rows"], r["checksum"])
+            for r in QS["quality_table_checksum"](spark, d).collect()
+        }
+
+    s1, s2, s3 = sums(d1), sums(d2), sums(d3)
+    assert s1 == s2            # row order never matters
+    assert s1["customer"] == s3["customer"]
+    assert s1["orders"] != s3["orders"]  # a 1-cent edit flips the sum
+
+
+def test_sample_k_per_group_exact_counts(spark, crafted):
+    got = QS["sample_k_per_group"](spark, crafted).collect()
+    from collections import Counter
+
+    per = Counter(r["event_type"] for r in got)
+    # crafted events: 2 views, 2 clicks, 3 purchases — all below k=5
+    assert per == {"view": 2, "click": 2, "purchase": 3}
+    assert all(1 <= r["rn"] <= 5 for r in got)
+
+
+def test_intersect_all_bag_semantics(spark):
+    a = spark.createDataFrame([(1,), (1,), (2,)], ["x"])
+    b = spark.createDataFrame([(1,), (3,)], ["x"])
+    got = sorted(r["x"] for r in a.intersectAll(b).collect())
+    assert got == [1]  # min(2, 1) copies of 1; 2 and 3 drop
