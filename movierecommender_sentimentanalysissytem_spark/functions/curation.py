@@ -554,3 +554,83 @@ def quality_duplicate_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFr
             / F.count(F.lit(1))
         ).alias("dup_rate"),
     )
+
+
+@query(
+    "curation_chunk_overlap",
+    oracle="""
+    WITH d AS (
+        SELECT doc_id, string_split(COALESCE(text, ''), ' ') AS toks
+        FROM documents
+    ),
+    sized AS (
+        SELECT doc_id, toks, len(toks) AS n,
+               CASE WHEN len(toks) <= 40 THEN 1
+                    ELSE CAST(CEIL((len(toks) - 40) / 30.0) AS BIGINT) + 1
+               END AS n_chunks
+        FROM d
+    ),
+    chunks AS (
+        SELECT doc_id, n, CAST(i.o AS BIGINT) AS chunk_id,
+               list_slice(toks, i.o * 30 + 1,
+                          LEAST(i.o * 30 + 40, n)) AS ct
+        FROM sized, LATERAL (
+            SELECT unnest(range(n_chunks)) AS o
+        ) i
+    )
+    SELECT doc_id, chunk_id,
+           CAST(len(ct) AS BIGINT) AS chunk_tokens,
+           md5(array_to_string(ct, ' ')) AS chunk_hash
+    FROM chunks
+    """,
+)
+def curation_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window document chunking (40-token windows, stride 30 —
+    10-token overlap): the segmentation step every embedding / RAG /
+    context-packing pipeline runs before a length-bounded model. The
+    chunk count is closed-form (1 + ceil((n-40)/30) for n > 40), so
+    chunks materialize by a row-local sequence explode + array slice —
+    no shuffle at all; the whole operator is a narrow map over the
+    corpus and scales embarrassingly. Chunk identity is pinned by an
+    md5 over the reassembled token span (engine-portable, and the
+    id a downstream exact-dedup would key on); NULL text coalesces to
+    '' BEFORE tokenization so both engines see the same 1-token
+    empty document."""
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.split(F.coalesce(F.col("text"), F.lit("")), " ").alias("toks"),
+    )
+    sized = d.select(
+        "doc_id",
+        "toks",
+        F.size("toks").alias("n"),
+    ).withColumn(
+        "n_chunks",
+        F.when(F.col("n") <= 40, F.lit(1).cast("bigint")).otherwise(
+            F.ceil((F.col("n") - 40) / 30.0).cast("bigint") + 1
+        ),
+    )
+    chunks = sized.select(
+        "doc_id",
+        "n",
+        "toks",
+        F.explode(F.sequence(F.lit(0).cast("bigint"), F.col("n_chunks") - 1)).alias(
+            "chunk_id"
+        ),
+    ).withColumn(
+        "ct",
+        F.slice(
+            "toks",
+            F.col("chunk_id").cast("int") * 30 + 1,
+            F.least(
+                F.lit(40),
+                F.col("n") - F.col("chunk_id").cast("int") * 30,
+            ),
+        ),
+    )
+    return chunks.select(
+        "doc_id",
+        "chunk_id",
+        F.size("ct").cast("bigint").alias("chunk_tokens"),
+        F.md5(F.array_join("ct", " ")).alias("chunk_hash"),
+    )

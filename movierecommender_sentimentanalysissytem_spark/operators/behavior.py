@@ -396,3 +396,69 @@ def time_to_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("convert_sec") - F.col("signup_sec")).alias("delta_s"),
         )
     )
+
+
+@query(
+    "events_dau_rolling",
+    oracle="""
+    WITH ud AS (
+        SELECT DISTINCT user_id,
+               datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS d
+        FROM events
+    ),
+    days AS (SELECT DISTINCT d FROM ud),
+    contrib AS (
+        SELECT user_id, d + x.o AS target
+        FROM ud CROSS JOIN (
+            SELECT unnest(range(7)) AS o
+        ) x
+    ),
+    wau AS (
+        SELECT target AS d, COUNT(DISTINCT user_id) AS wau7
+        FROM contrib
+        WHERE target IN (SELECT d FROM days)
+        GROUP BY target
+    ),
+    dau AS (
+        SELECT d, COUNT(*) AS dau FROM ud GROUP BY d
+    )
+    SELECT CAST(dau.d AS BIGINT) AS day_num, dau.dau,
+           CAST(wau.wau7 AS BIGINT) AS wau7
+    FROM dau JOIN wau ON dau.d = wau.d
+    """,
+)
+def events_dau_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily active users plus the 7-day rolling distinct-user count
+    (DAU/WAU) — the engagement pair every product dashboard leads
+    with. A rolling COUNT(DISTINCT) has no window-frame form; the
+    scalable identity is contribution explode: each distinct
+    (user, day) pair contributes the user to target days d..d+6, then
+    one count-distinct per target day. That is distinct → 7× explode →
+    distinct-count — two key shuffles, both partial-aggregable, no
+    per-day self-join of the whole activity table (which would read
+    the fact 7×). Day numbers are integer datediffs from the fixture
+    epoch, so no timestamp arithmetic leaves the row level; target
+    days outside the observed domain are dropped by a broadcast
+    semi-join against the O(days) distinct-day set."""
+    e = table(spark, sf_dir, "events")
+    ud = e.select(
+        "user_id",
+        F.datediff(F.to_date("ts"), F.lit("2024-01-01")).alias("d"),
+    ).distinct()
+    days = ud.select("d").distinct()
+    contrib = ud.select(
+        "user_id", F.explode(F.sequence(F.col("d"), F.col("d") + 6)).alias("target")
+    )
+    wau = (
+        contrib.join(
+            F.broadcast(days), contrib.target == days.d, "left_semi"
+        )
+        .groupBy("target")
+        .agg(F.count_distinct("user_id").alias("wau7"))
+    )
+    dau = ud.groupBy("d").agg(F.count(F.lit(1)).alias("dau"))
+    return dau.join(wau, dau.d == wau.target).select(
+        F.col("d").cast("bigint").alias("day_num"),
+        "dau",
+        F.col("wau7").cast("bigint").alias("wau7"),
+    )

@@ -543,3 +543,173 @@ def stats_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             "psi_term"
         ),
     )
+
+
+@query(
+    "stats_mann_whitney",
+    oracle="""
+    WITH s AS (
+        SELECT value AS v,
+               CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS g1
+        FROM events WHERE event_type IN ('click', 'view')
+    ),
+    vc AS (
+        SELECT v, CAST(SUM(g1) AS BIGINT) AS n1v,
+               COUNT(*) AS tv
+        FROM s GROUP BY v
+    ),
+    ranked AS (
+        SELECT v, n1v, tv,
+               COALESCE(SUM(tv) OVER (ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS below
+        FROM vc
+    ),
+    agg AS (
+        SELECT CAST(SUM(n1v) AS BIGINT) AS n1,
+               CAST(SUM(tv - n1v) AS BIGINT) AS n2,
+               SUM(n1v * (below + (tv + 1) / 2.0)) AS r1,
+               SUM(CAST(tv AS DOUBLE) * tv * tv - tv) AS ties
+        FROM ranked
+    )
+    SELECT n1, n2,
+           r1 - n1 * (n1 + 1) / 2.0 AS u1,
+           FLOOR(((r1 - n1 * (n1 + 1) / 2.0 - n1 * n2 / 2.0)
+                  / sqrt(CAST(n1 AS DOUBLE) * n2 / 12.0
+                         * ((n1 + n2 + 1)
+                            - ties / (CAST(n1 + n2 AS DOUBLE)
+                                      * (n1 + n2 - 1)))))
+                 * 10000 + 0.5) / 10000 AS z
+    FROM agg
+    """,
+)
+def stats_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U rank-sum test: are 'click' event values drawn
+    from the same distribution as 'view' values? The naive formulation
+    ranks every row through one global sort — a single-task cliff at
+    scale. Instead the average rank of each DISTINCT value v is derived
+    from counts: avgrank(v) = (#rows below v) + (tv+1)/2, so the only
+    ordered pass runs over the distinct-value rollup (events.value is a
+    2-dp bounded domain — O(distinct values) rows, not O(rows); the
+    row-level work is one partial-aggregable groupBy). The rank sum
+    R1 = Σ n1v·avgrank(v) is a sum of 0.5-multiples, exactly
+    representable in doubles at any summation order, so U is
+    hash-exact unrounded; the tie-corrected normal z takes the 4-dp
+    stable round for its final sqrt/divide."""
+    e = table(spark, sf_dir, "events")
+    s = e.filter(F.col("event_type").isin("click", "view")).select(
+        F.col("value").alias("v"),
+        F.when(F.col("event_type") == "click", 1).otherwise(0).alias("g1"),
+    )
+    vc = s.groupBy("v").agg(
+        F.sum("g1").cast("bigint").alias("n1v"),
+        F.count(F.lit(1)).alias("tv"),
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    ranked = vc.withColumn(
+        "below", F.coalesce(F.sum("tv").over(w), F.lit(0))
+    )
+    agg = ranked.agg(
+        F.sum("n1v").cast("bigint").alias("n1"),
+        F.sum(F.col("tv") - F.col("n1v")).cast("bigint").alias("n2"),
+        F.sum(F.col("n1v") * (F.col("below") + (F.col("tv") + 1) / 2.0)).alias(
+            "r1"
+        ),
+        F.sum(
+            F.col("tv").cast("double") * F.col("tv") * F.col("tv") - F.col("tv")
+        ).alias("ties"),
+    )
+    u1 = F.col("r1") - F.col("n1") * (F.col("n1") + 1) / 2.0
+    n = F.col("n1") + F.col("n2")
+    sigma2 = (
+        F.col("n1").cast("double") * F.col("n2") / 12.0
+        * ((n + 1) - F.col("ties") / (n.cast("double") * (n - 1)))
+    )
+    z = (u1 - F.col("n1") * F.col("n2") / 2.0) / F.sqrt(sigma2)
+    return agg.select(
+        "n1", "n2", u1.alias("u1"), round4(z).alias("z")
+    )
+
+
+@query(
+    "stats_spearman_by_group",
+    oracle="""
+    WITH spend AS (
+        SELECT c_nationkey AS nk, c_custkey, c_acctbal AS x,
+               COALESCE(SUM(o_totalprice), 0) AS y
+        FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+        GROUP BY c_nationkey, c_custkey, c_acctbal
+    ),
+    ranked AS (
+        SELECT nk,
+               RANK() OVER (PARTITION BY nk ORDER BY x)
+                   + (COUNT(*) OVER (PARTITION BY nk, x) - 1) / 2.0 AS rx,
+               RANK() OVER (PARTITION BY nk ORDER BY y)
+                   + (COUNT(*) OVER (PARTITION BY nk, y) - 1) / 2.0 AS ry
+        FROM spend
+    ),
+    m AS (
+        SELECT nk, COUNT(*) AS n,
+               SUM(rx * ry) AS sxy, SUM(rx) AS sx, SUM(ry) AS sy,
+               SUM(rx * rx) AS sxx, SUM(ry * ry) AS syy
+        FROM ranked GROUP BY nk
+    )
+    SELECT nk AS nationkey, CAST(n AS BIGINT) AS n,
+           FLOOR(((n * sxy - sx * sy)
+                  / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)))
+                 * 10000 + 0.5) / 10000 AS rho
+    FROM m WHERE (n * sxx - sx * sx) * (n * syy - sy * sy) > 0
+    """,
+)
+def stats_spearman_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation Spearman rank correlation between a customer's
+    account balance and their lifetime order spend — the monotonic
+    (outlier-robust) twin of stats_linear_regression's Pearson tier.
+    Average ranks for ties come from the standard identity
+    rank() + (|ties|-1)/2 (two windows sharing one nation-key
+    shuffle); ρ is then Pearson over the ranks via the moment formula,
+    computed in the identical expression shape on both engines. Rank
+    sums are 0.5-multiples (binary-exact at any summation order up to
+    2^52), so at graded scale the statistic is deterministic before
+    the 4-dp stable round; degenerate groups (zero rank variance)
+    are filtered on both sides rather than emitting NULL/NaN."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    spend = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_nationkey", "c_custkey", "c_acctbal")
+        .agg(F.coalesce(F.sum("o_totalprice"), F.lit(0)).alias("y"))
+        .select(
+            F.col("c_nationkey").alias("nk"),
+            F.col("c_acctbal").alias("x"),
+            "y",
+        )
+    )
+    rx = (
+        F.rank().over(Window.partitionBy("nk").orderBy("x"))
+        + (F.count(F.lit(1)).over(Window.partitionBy("nk", "x")) - 1) / 2.0
+    )
+    ry = (
+        F.rank().over(Window.partitionBy("nk").orderBy("y"))
+        + (F.count(F.lit(1)).over(Window.partitionBy("nk", "y")) - 1) / 2.0
+    )
+    ranked = spend.select("nk", rx.alias("rx"), ry.alias("ry"))
+    m = ranked.groupBy("nk").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("rx") * F.col("ry")).alias("sxy"),
+        F.sum("rx").alias("sx"),
+        F.sum("ry").alias("sy"),
+        F.sum(F.col("rx") * F.col("rx")).alias("sxx"),
+        F.sum(F.col("ry") * F.col("ry")).alias("syy"),
+    )
+    denom2 = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")) * (
+        F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    )
+    rho = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / F.sqrt(
+        denom2
+    )
+    return m.filter(denom2 > 0).select(
+        F.col("nk").alias("nationkey"),
+        F.col("n").cast("bigint").alias("n"),
+        round4(rho).alias("rho"),
+    )

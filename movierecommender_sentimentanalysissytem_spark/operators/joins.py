@@ -815,3 +815,139 @@ def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_orderkey", "event_id", F.round("value", 4).alias("nearest_value")
         )
     )
+
+
+@query(
+    "join_fuzzy_levenshtein",
+    oracle="""
+    WITH t AS (SELECT DISTINCT p_name AS ty FROM part),
+    blocked AS (
+        SELECT ty, string_split(ty, ' ')[-1] AS blk FROM t
+    )
+    SELECT a.ty AS type_a, b.ty AS type_b,
+           CAST(levenshtein(a.ty, b.ty) AS INTEGER) AS dist
+    FROM blocked a JOIN blocked b
+      ON a.blk = b.blk AND a.ty < b.ty
+    WHERE levenshtein(a.ty, b.ty) <= 3
+    """,
+)
+def join_fuzzy_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy string self-join: near-identical part names (edit distance
+    ≤ 3) — the entity-resolution primitive behind catalog/title
+    matching. The scalable shape is block-then-verify: candidates are
+    generated by an EQUI-join on a cheap blocking key (the last
+    token — the noun of the "color noun" name convention), and the
+    O(len²) Levenshtein verification runs only inside blocks —
+    Σ|block|² pairs instead of n²/2. The pair space is also built over
+    the DISTINCT value vocabulary, not the row count, so a 100×
+    fact-table scale-up leaves the join size unchanged (the vocabulary
+    is bounded); a < b dedups the symmetric pair. Both engines
+    implement classic unweighted edit distance, verified equal
+    cross-engine in tests."""
+    t = table(spark, sf_dir, "part").select(
+        F.col("p_name").alias("ty")
+    ).distinct()
+    blocked = t.select(
+        "ty", F.element_at(F.split(F.col("ty"), " "), -1).alias("blk")
+    )
+    a = blocked.select(F.col("ty").alias("type_a"), F.col("blk").alias("ba"))
+    b = blocked.select(F.col("ty").alias("type_b"), F.col("blk").alias("bb"))
+    return (
+        a.join(
+            b,
+            (F.col("ba") == F.col("bb"))
+            & (F.col("type_a") < F.col("type_b")),
+        )
+        .withColumn("dist", F.levenshtein("type_a", "type_b").cast("int"))
+        .filter(F.col("dist") <= 3)
+        .select("type_a", "type_b", "dist")
+    )
+
+
+@query(
+    "geo_grid_proximity_join",
+    oracle="""
+    WITH c AS (
+        SELECT c_custkey,
+               ((c_custkey * 131) % 1000) / 10.0 AS x,
+               ((c_custkey * 197) % 1000) / 10.0 AS y
+        FROM customer
+    ),
+    s AS (
+        SELECT s_suppkey,
+               ((s_suppkey * 173) % 1000) / 10.0 AS x,
+               ((s_suppkey * 89) % 1000) / 10.0 AS y
+        FROM supplier
+    ),
+    sx AS (
+        SELECT s_suppkey, x, y,
+               CAST(FLOOR(x / 2.0) AS BIGINT) + dx.o AS cx,
+               CAST(FLOOR(y / 2.0) AS BIGINT) + dy.o AS cy
+        FROM s
+        CROSS JOIN (SELECT unnest([-1, 0, 1]) AS o) dx
+        CROSS JOIN (SELECT unnest([-1, 0, 1]) AS o) dy
+    )
+    SELECT c_custkey, s_suppkey,
+           FLOOR(((c.x - sx.x) * (c.x - sx.x)
+                  + (c.y - sx.y) * (c.y - sx.y)) * 10000 + 0.5) / 10000
+               AS dist2
+    FROM c JOIN sx
+      ON CAST(FLOOR(c.x / 2.0) AS BIGINT) = sx.cx
+     AND CAST(FLOOR(c.y / 2.0) AS BIGINT) = sx.cy
+    WHERE (c.x - sx.x) * (c.x - sx.x) + (c.y - sx.y) * (c.y - sx.y) <= 4.0
+    """,
+)
+def geo_grid_proximity_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spatial proximity join via uniform grid blocking: every
+    (customer, supplier) pair within planar distance 2 on a synthetic
+    100×100 coordinate field (coordinates derived from the keys by
+    exact integer arithmetic — the fixture has no geo columns, and
+    trig-based haversine would risk cross-engine libm ulps; the
+    BLOCKING pattern is the thing under test). Cell size = radius, so
+    each probe point checks exactly its 3×3 neighborhood: the supplier
+    side is replicated 9× by an explode of literal offsets, then ONE
+    hash equi-join on the cell id with a row-local residual distance
+    filter. That is the textbook distributed spatial join — O(n·density)
+    candidate pairs instead of the n² cross join, and the replication
+    factor is a constant 9 regardless of scale. All arithmetic is
+    products/sums of small-integer-derived doubles, bit-identical on
+    both engines; dist2 carries the stable 4-dp round only for
+    projection hygiene."""
+    c = table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        (((F.col("c_custkey") * 131) % 1000) / 10.0).alias("x"),
+        (((F.col("c_custkey") * 197) % 1000) / 10.0).alias("y"),
+    )
+    s = table(spark, sf_dir, "supplier").select(
+        "s_suppkey",
+        (((F.col("s_suppkey") * 173) % 1000) / 10.0).alias("sx_"),
+        (((F.col("s_suppkey") * 89) % 1000) / 10.0).alias("sy_"),
+    )
+    off = F.explode(F.array(F.lit(-1), F.lit(0), F.lit(1)))
+    sxp = (
+        s.withColumn("dx", off)
+        .withColumn("dy", off)
+        .select(
+            "s_suppkey",
+            "sx_",
+            "sy_",
+            (F.floor(F.col("sx_") / 2.0).cast("bigint") + F.col("dx")).alias(
+                "cx"
+            ),
+            (F.floor(F.col("sy_") / 2.0).cast("bigint") + F.col("dy")).alias(
+                "cy"
+            ),
+        )
+    )
+    d2 = (F.col("x") - F.col("sx_")) * (F.col("x") - F.col("sx_")) + (
+        F.col("y") - F.col("sy_")
+    ) * (F.col("y") - F.col("sy_"))
+    return (
+        c.join(
+            sxp,
+            (F.floor(F.col("x") / 2.0).cast("bigint") == F.col("cx"))
+            & (F.floor(F.col("y") / 2.0).cast("bigint") == F.col("cy")),
+        )
+        .filter(d2 <= 4.0)
+        .select("c_custkey", "s_suppkey", round4(d2).alias("dist2"))
+    )

@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from movierecommender_sentimentanalysissytem_spark.functions.rounding import round4
 from movierecommender_sentimentanalysissytem_spark.registry import query
 from movierecommender_sentimentanalysissytem_spark.sources.tables import table
 
@@ -470,4 +471,90 @@ def rec_item_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_users",
             round4(cos).alias("cos_sim"),
         )
+    )
+
+
+@query(
+    "rec_eval_precision_at_k",
+    oracle="""
+    WITH ratings AS (
+        SELECT o_custkey AS u, l_partkey AS item, o_orderkey AS ok
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    ),
+    top10 AS (
+        SELECT item FROM (
+            SELECT item, COUNT(*) AS cnt FROM ratings
+            WHERE ok % 4 != 0 GROUP BY item
+        ) ORDER BY cnt DESC, item ASC LIMIT 10
+    ),
+    test AS (
+        SELECT DISTINCT u, item FROM ratings WHERE ok % 4 = 0
+    ),
+    per_user AS (
+        SELECT u, COUNT(*) AS n_relevant,
+               CAST(SUM(CASE WHEN item IN (SELECT item FROM top10)
+                        THEN 1 ELSE 0 END) AS BIGINT) AS hits
+        FROM test GROUP BY u
+    )
+    SELECT u AS user, n_relevant, hits,
+           hits / 10.0 AS p_at_10,
+           FLOOR((CAST(hits AS DOUBLE) / n_relevant) * 10000 + 0.5)
+               / 10000 AS recall
+    FROM per_user
+    """,
+)
+def rec_eval_precision_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Offline top-k recommender evaluation: precision@10 / recall per
+    user for the popularity baseline, under a deterministic
+    order-key holdout (o_orderkey % 4 = 0 is the test fold — the
+    split every result in this family must be reproducible against).
+    This is the metric tier above ml_eval_rmse: rating-error says
+    nothing about ranking quality, hit-rate does. The candidate list
+    (top-10 by train interaction count, item-id tie-break) is an
+    O(k) broadcast, so the evaluation is one distinct + one
+    broadcast-hash probe + one groupBy on the test fold — no per-user
+    cross join against the catalog, which is the non-scalable way
+    this metric is usually written. At 100 TB the same plan holds:
+    the only global structure is the k-row candidate list."""
+    r = _ratings_with_order(spark, sf_dir)
+    train = r.filter(F.col("ok") % 4 != 0)
+    test = r.filter(F.col("ok") % 4 == 0).select("u", "item").distinct()
+    top10 = (
+        train.groupBy("item")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("item").asc())
+        .limit(10)
+        .select("item")
+    )
+    hit = test.join(
+        F.broadcast(top10.withColumnRenamed("item", "top_item")),
+        test.item == F.col("top_item"),
+        "left",
+    )
+    per_user = hit.groupBy("u").agg(
+        F.count(F.lit(1)).alias("n_relevant"),
+        F.sum(F.when(F.col("top_item").isNotNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("hits"),
+    )
+    return per_user.select(
+        F.col("u").alias("user"),
+        "n_relevant",
+        "hits",
+        (F.col("hits") / 10.0).alias("p_at_10"),
+        round4(F.col("hits").cast("double") / F.col("n_relevant")).alias(
+            "recall"
+        ),
+    )
+
+
+def _ratings_with_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ratings fixture joined with its order key (for deterministic
+    fold splits)."""
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    return li.join(o, li.l_orderkey == o.o_orderkey).select(
+        F.col("o_custkey").alias("u"),
+        F.col("l_partkey").alias("item"),
+        F.col("o_orderkey").alias("ok"),
     )

@@ -61,6 +61,8 @@ NLJ_OK = {
     "skyline_pareto",               # global pass over union of local
                                     # skylines: O(buckets · |sizes|) rows
     "timeseries_mom_growth",        # growth window: O(months) rows
+    "stats_mann_whitney",           # rank-from-counts window: O(distinct
+                                    # 2-dp event values), not O(rows)
 }
 
 

@@ -292,6 +292,9 @@ _NEW_R5 = frozenset(
     multimodal_decode_audio multimodal_decode_image
     set_intersect_all udf_pandas_iter stats_psi_drift
     quality_table_checksum sample_k_per_group
+    stats_mann_whitney stats_spearman_by_group events_dau_rolling
+    rec_eval_precision_at_k join_fuzzy_levenshtein geo_grid_proximity_join
+    curation_chunk_overlap
     """.split()
 )
 

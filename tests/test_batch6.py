@@ -1,0 +1,265 @@
+"""Crafted-input tests for the round-5 batch-6 keys: rank statistics,
+rolling engagement, recommender eval, fuzzy/spatial blocked joins, and
+sliding-window chunking.
+
+Same contract as test_inferential.py: tiny parquet fixtures with KNOWN
+closed-form answers, run end-to-end through the registered query (the
+driver's exact path).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import hashlib
+import itertools
+
+import duckdb
+import pytest
+
+from movierecommender_sentimentanalysissytem_spark import registry
+
+QS = registry.queries()
+
+T0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+
+def _write(spark, out: str, name: str, rows, schema: str) -> None:
+    spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(f"{out}/{name}.parquet")
+
+
+def _events(spark, out, rows):
+    _write(
+        spark, out, "events", rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+
+
+def test_mann_whitney_no_ties_closed_form(spark, tmp_path_factory):
+    # clicks {1,2}, views {3,4}: ranks 1..4, R1 = 3, U1 = 0,
+    # z = (0 - 2) / sqrt(4·5/12) = -1.549193... -> 4dp -1.5492
+    out = str(tmp_path_factory.mktemp("mw1"))
+    rows = [
+        (1, T0, 1, "click", 1.0, "{}"),
+        (2, T0, 1, "click", 2.0, "{}"),
+        (3, T0, 1, "view", 3.0, "{}"),
+        (4, T0, 1, "view", 4.0, "{}"),
+        (5, T0, 1, "error", 99.0, "{}"),  # other types excluded
+    ]
+    _events(spark, out, rows)
+    row = QS["stats_mann_whitney"](spark, out).collect()[0]
+    assert (row["n1"], row["n2"]) == (2, 2)
+    assert row["u1"] == 0.0
+    assert row["z"] == -1.5492
+
+
+def test_mann_whitney_tie_correction(spark, tmp_path_factory):
+    # clicks {1,1}, views {1,2}: avgrank(1) = 2 (3-way tie), so
+    # R1 = 4, U1 = 1; tie term t³-t = 24 makes σ² = (1/3)(5-2) = 1
+    # -> z = (1-2)/1 = -1 exactly.
+    out = str(tmp_path_factory.mktemp("mw2"))
+    rows = [
+        (1, T0, 1, "click", 1.0, "{}"),
+        (2, T0, 1, "click", 1.0, "{}"),
+        (3, T0, 1, "view", 1.0, "{}"),
+        (4, T0, 1, "view", 2.0, "{}"),
+    ]
+    _events(spark, out, rows)
+    row = QS["stats_mann_whitney"](spark, out).collect()[0]
+    assert row["u1"] == 1.0
+    assert row["z"] == -1.0
+
+
+def test_spearman_perfect_monotone(spark, tmp_path_factory):
+    # nation 1: spend rises with balance -> rho = 1; nation 2 inverts
+    # the order -> rho = -1 (Spearman sees pure monotonicity).
+    out = str(tmp_path_factory.mktemp("spear"))
+    _write(
+        spark, out, "customer",
+        [(1, "a", 1, 10.0, "S"), (2, "b", 1, 20.0, "S"), (3, "c", 1, 30.0, "S"),
+         (4, "d", 2, 10.0, "S"), (5, "e", 2, 20.0, "S"), (6, "f", 2, 30.0, "S")],
+        "c_custkey long, c_name string, c_nationkey int, c_acctbal double, "
+        "c_mktsegment string",
+    )
+    _write(
+        spark, out, "orders",
+        [(1, 1, "O", 100.0, T0, "p"), (2, 2, "O", 200.0, T0, "p"),
+         (3, 3, "O", 900.0, T0, "p"), (4, 4, "O", 900.0, T0, "p"),
+         (5, 5, "O", 200.0, T0, "p"), (6, 6, "O", 100.0, T0, "p")],
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    )
+    got = {
+        r["nationkey"]: r["rho"]
+        for r in QS["stats_spearman_by_group"](spark, out).collect()
+    }
+    assert got[1] == 1.0
+    assert got[2] == -1.0
+
+
+def test_dau_rolling_window_boundaries(spark, tmp_path_factory):
+    # users {1,2} on day 0, user 1 again on day 7. wau7(0) covers days
+    # -6..0 -> 2 users; wau7(7) covers days 1..7 -> only user 1. Days
+    # with no activity produce no row.
+    out = str(tmp_path_factory.mktemp("dau"))
+    rows = [
+        (1, T0, 1, "view", 1.0, "{}"),
+        (2, T0 + dt.timedelta(hours=1), 2, "view", 1.0, "{}"),
+        (3, T0 + dt.timedelta(days=7), 1, "click", 1.0, "{}"),
+    ]
+    _events(spark, out, rows)
+    got = {
+        r["day_num"]: (r["dau"], r["wau7"])
+        for r in QS["events_dau_rolling"](spark, out).collect()
+    }
+    assert got == {0: (2, 2), 7: (1, 1)}
+
+
+def test_dau_rolling_six_day_gap_still_counts(spark, tmp_path_factory):
+    # activity on day 0 and day 6: day 6's trailing week includes day 0.
+    out = str(tmp_path_factory.mktemp("dau2"))
+    rows = [
+        (1, T0, 1, "view", 1.0, "{}"),
+        (2, T0 + dt.timedelta(days=6), 2, "view", 1.0, "{}"),
+    ]
+    _events(spark, out, rows)
+    got = {
+        r["day_num"]: (r["dau"], r["wau7"])
+        for r in QS["events_dau_rolling"](spark, out).collect()
+    }
+    assert got == {0: (1, 1), 6: (1, 2)}
+
+
+def test_precision_at_k_hits_and_recall(spark, tmp_path_factory):
+    # train (ok % 4 != 0): item 10 ×3, 20 ×2, 30 ×1 -> all in top-10.
+    # test (ok = 4, user 1): items {10, 99} -> 1 hit of 2 relevant.
+    out = str(tmp_path_factory.mktemp("prec"))
+    _write(
+        spark, out, "orders",
+        [(1, 7, "O", 1.0, T0, "p"), (2, 7, "O", 1.0, T0, "p"),
+         (3, 7, "O", 1.0, T0, "p"), (4, 1, "O", 1.0, T0, "p")],
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    )
+    li = []
+    for i, (ok, item) in enumerate(
+        [(1, 10), (2, 10), (2, 20), (3, 10), (3, 20), (3, 30),
+         (4, 10), (4, 99)]
+    ):
+        li.append((ok, item, 0, i, 1.0, 1.0, 0.0, 0.0, "N", "O", T0))
+    _write(
+        spark, out, "lineitem", li,
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int, "
+        "l_quantity double, l_extendedprice double, l_discount double, "
+        "l_tax double, l_returnflag string, l_linestatus string, "
+        "l_shipdate timestamp",
+    )
+    rows = QS["rec_eval_precision_at_k"](spark, out).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["user"], r["n_relevant"], r["hits"]) == (1, 2, 1)
+    assert r["p_at_10"] == 0.1
+    assert r["recall"] == 0.5
+
+
+def test_fuzzy_levenshtein_blocking_and_threshold(spark, tmp_path_factory):
+    # same block ('bolt'): red/rod at distance 1 joins; yellow is 5
+    # away from red (> 3) and stays out. 'red washer' shares
+    # near-identical text but a different block token, so it is never
+    # a candidate.
+    out = str(tmp_path_factory.mktemp("fuzz"))
+    _write(
+        spark, out, "part",
+        [(1, "red bolt", "B", "T", 1, 1.0),
+         (2, "rod bolt", "B", "T", 1, 1.0),
+         (3, "yellow bolt", "B", "T", 1, 1.0),
+         (4, "red washer", "B", "T", 1, 1.0)],
+        "p_partkey long, p_name string, p_brand string, p_type string, "
+        "p_size int, p_retailprice double",
+    )
+    rows = QS["join_fuzzy_levenshtein"](spark, out).collect()
+    assert [(r["type_a"], r["type_b"], r["dist"]) for r in rows] == [
+        ("red bolt", "rod bolt", 1)
+    ]
+
+
+def test_fuzzy_levenshtein_cross_engine_distances(spark):
+    """The docstring's promise: Spark and DuckDB levenshtein agree on
+    the real fixture vocabulary (same classic edit distance)."""
+    from pyspark.sql import functions as F
+
+    names = [
+        r["p_name"]
+        for r in spark.read.parquet("/root/testdata/sf0.001/part.parquet")
+        .select("p_name").distinct().collect()
+    ]
+    pairs = list(itertools.combinations(sorted(names)[:20], 2))
+    sdf = spark.createDataFrame(pairs, "a string, b string").select(
+        "a", "b", F.levenshtein("a", "b").alias("d")
+    )
+    got_spark = {(r["a"], r["b"]): r["d"] for r in sdf.collect()}
+    con = duckdb.connect()
+    for (a, b), d in got_spark.items():
+        dd = con.sql("SELECT levenshtein(?, ?)", params=[a, b]).fetchone()[0]
+        assert dd == d, (a, b, d, dd)
+
+
+def test_grid_join_equals_naive_all_pairs(spark, tmp_path_factory):
+    # Blocking-correctness property: the 3x3 grid probe finds EXACTLY
+    # the pairs a naive all-pairs distance filter finds — including
+    # pairs straddling cell boundaries.
+    out = str(tmp_path_factory.mktemp("grid"))
+    _write(
+        spark, out, "customer",
+        [(k, "c", 0, 0.0, "S") for k in range(1, 120)],
+        "c_custkey long, c_name string, c_nationkey int, c_acctbal double, "
+        "c_mktsegment string",
+    )
+    _write(
+        spark, out, "supplier",
+        [(k, "s", 0) for k in range(1, 120)],
+        "s_suppkey long, s_name string, s_nationkey int",
+    )
+    got = {
+        (r["c_custkey"], r["s_suppkey"])
+        for r in QS["geo_grid_proximity_join"](spark, out).collect()
+    }
+    want = set()
+    for ck in range(1, 120):
+        cx, cy = (ck * 131 % 1000) / 10.0, (ck * 197 % 1000) / 10.0
+        for sk in range(1, 120):
+            sx, sy = (sk * 173 % 1000) / 10.0, (sk * 89 % 1000) / 10.0
+            if (cx - sx) ** 2 + (cy - sy) ** 2 <= 4.0:
+                want.add((ck, sk))
+    assert got == want
+    assert want  # the property test must actually exercise matches
+
+
+def test_chunk_overlap_counts_and_hashes(spark, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("chunk"))
+    toks100 = " ".join(f"t{i}" for i in range(100))   # 3 chunks of 40
+    toks41 = " ".join(f"u{i}" for i in range(41))     # 40 + trailing 11
+    _write(
+        spark, out, "documents",
+        [(1, toks100, "en", "s", 1), (2, toks41, "en", "s", 1),
+         (3, "one", "en", "s", 1), (4, None, "en", "s", 1)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    rows = QS["curation_chunk_overlap"](spark, out).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], {})[r["chunk_id"]] = r
+    assert [by_doc[1][i]["chunk_tokens"] for i in range(3)] == [40, 40, 40]
+    assert [by_doc[2][i]["chunk_tokens"] for i in range(2)] == [40, 11]
+    assert by_doc[3][0]["chunk_tokens"] == 1
+    # NULL text tokenizes as the single empty token
+    assert by_doc[4][0]["chunk_tokens"] == 1
+    assert by_doc[4][0]["chunk_hash"] == hashlib.md5(b"").hexdigest()
+    # chunk 1 of the 100-token doc spans tokens 30..69 (0-based)
+    want = " ".join(f"t{i}" for i in range(30, 70)).encode()
+    assert by_doc[1][1]["chunk_hash"] == hashlib.md5(want).hexdigest()
+    # stride overlap: chunk 1 of doc 2 spans tokens 30..40
+    want2 = " ".join(f"u{i}" for i in range(30, 41)).encode()
+    assert by_doc[2][1]["chunk_hash"] == hashlib.md5(want2).hexdigest()

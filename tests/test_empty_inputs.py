@@ -139,6 +139,14 @@ REPRESENTATIVE = [
     "set_intersect_all",
     "udf_pandas_iter",
     "sample_k_per_group",
+    # round-5 batch 6. stats_mann_whitney excluded: a global-aggregate
+    # report (grand-total class) on empty input.
+    "stats_spearman_by_group",
+    "events_dau_rolling",
+    "rec_eval_precision_at_k",
+    "join_fuzzy_levenshtein",
+    "geo_grid_proximity_join",
+    "curation_chunk_overlap",
 ]
 
 
