@@ -462,3 +462,52 @@ def events_dau_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
         "dau",
         F.col("wau7").cast("bigint").alias("wau7"),
     )
+
+
+@query(
+    "events_cumulative_unique",
+    oracle="""
+    WITH first_seen AS (
+        SELECT o_custkey,
+               MIN(CAST(date_part('year', o_orderdate) AS BIGINT) * 12
+                   + CAST(date_part('month', o_orderdate) AS BIGINT) - 1)
+                   AS m
+        FROM orders GROUP BY o_custkey
+    ),
+    per_month AS (
+        SELECT m, COUNT(*) AS new_customers FROM first_seen GROUP BY m
+    )
+    SELECT m AS month_num, new_customers,
+           CAST(SUM(new_customers) OVER (ORDER BY m
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS cum_customers
+    FROM per_month
+    """,
+)
+def events_cumulative_unique(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative distinct customers by first-order month — the
+    customer-growth curve. A naive cumulative COUNT(DISTINCT)
+    re-scans the fact table once per period; the linear identity is
+    first-touch attribution of each customer to their MIN month (one
+    custkey shuffle, partial-aggregable), then a running sum over the
+    per-month new-customer rollup. The only ordered pass is that
+    final window over O(months) rows — bounded by the calendar, not
+    the data (reviewed in plans/audit.py), which is what makes this
+    the 100 TB form. Months are absolute integers (year·12 + month-1),
+    avoiding cross-engine date-truncation rendering."""
+    o = table(spark, sf_dir, "orders")
+    m = (
+        F.year("o_orderdate").cast("bigint") * 12
+        + F.month("o_orderdate").cast("bigint")
+        - 1
+    )
+    first_seen = o.groupBy("o_custkey").agg(F.min(m).alias("m"))
+    per_month = first_seen.groupBy("m").agg(
+        F.count(F.lit(1)).alias("new_customers")
+    )
+    w = Window.orderBy("m").rowsBetween(Window.unboundedPreceding, 0)
+    return per_month.select(
+        F.col("m").alias("month_num"),
+        "new_customers",
+        F.sum("new_customers").over(w).cast("bigint").alias("cum_customers"),
+    )

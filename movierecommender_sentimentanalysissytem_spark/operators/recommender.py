@@ -558,3 +558,91 @@ def _ratings_with_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_partkey").alias("item"),
         F.col("o_orderkey").alias("ok"),
     )
+
+
+@query(
+    "rec_multihop_expansion",
+    oracle="""
+    WITH ratings AS (
+        SELECT DISTINCT o_custkey AS u, l_partkey AS item
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    ),
+    seed AS (SELECT MIN(item) AS s FROM ratings),
+    edges_half AS (
+        SELECT a.item AS ia, b.item AS ib
+        FROM ratings a JOIN ratings b
+          ON a.u = b.u AND a.item < b.item
+        GROUP BY a.item, b.item
+        HAVING COUNT(*) >= 3
+    ),
+    edges AS (
+        SELECT ia AS src, ib AS dst FROM edges_half
+        UNION ALL
+        SELECT ib AS src, ia AS dst FROM edges_half
+    ),
+    hop1 AS (
+        SELECT DISTINCT dst AS item FROM edges, seed WHERE src = s
+    ),
+    hop2 AS (
+        SELECT DISTINCT e.dst AS item
+        FROM edges e JOIN hop1 h ON e.src = h.item, seed
+        WHERE e.dst != s AND e.dst NOT IN (SELECT item FROM hop1)
+    )
+    SELECT item, 1 AS hop FROM hop1
+    UNION ALL
+    SELECT item, 2 AS hop FROM hop2
+    """,
+)
+def rec_multihop_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Related-item expansion: BFS to depth 2 over the co-occurrence
+    graph (items co-rated by ≥3 users) from a deterministic seed item
+    — the candidate-generation step behind "customers also bought"
+    carousels, where one hop is too narrow and unbounded traversal is
+    a different product. Each hop is ONE equi-join of the frontier
+    against the edge list plus an anti-join to remove already-visited
+    items, so depth-k expansion costs k bounded join rounds — the
+    fixed-depth specialization of dedup_clusters' unbounded pointer
+    jumping. The edge list reuses rec_item_similarity's capped
+    basket-pair shape (distinct interactions, self-join on the user
+    key, count-threshold); the seed (global MIN item) is a 1-row
+    broadcast."""
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    ratings = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(
+            F.col("o_custkey").alias("u"), F.col("l_partkey").alias("item")
+        )
+        .distinct()
+    )
+    a = ratings.select("u", F.col("item").alias("ia"))
+    b = ratings.select("u", F.col("item").alias("ib"))
+    edges_half = (
+        a.join(b, "u")
+        .filter(F.col("ia") < F.col("ib"))
+        .groupBy("ia", "ib")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 3)
+        .select("ia", "ib")
+    )
+    edges = edges_half.select(
+        F.col("ia").alias("src"), F.col("ib").alias("dst")
+    ).unionAll(
+        edges_half.select(F.col("ib").alias("src"), F.col("ia").alias("dst"))
+    )
+    seed = ratings.agg(F.min("item").alias("s"))
+    hop1 = (
+        edges.join(F.broadcast(seed), edges.src == F.col("s"))
+        .select(F.col("dst").alias("item"))
+        .distinct()
+    )
+    hop2 = (
+        edges.join(hop1.withColumnRenamed("item", "h1"), edges.src == F.col("h1"))
+        .join(F.broadcast(seed), F.col("dst") == F.col("s"), "left_anti")
+        .select(F.col("dst").alias("item"))
+        .distinct()
+        .join(hop1, "item", "left_anti")
+    )
+    return hop1.select("item", F.lit(1).alias("hop")).unionAll(
+        hop2.select("item", F.lit(2).alias("hop"))
+    )

@@ -203,3 +203,36 @@ def sample_k_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 5)
         .select("event_id", "event_type", "rn")
     )
+
+
+@query(
+    "sample_weighted_bernoulli",
+    oracle="""
+    SELECT o_orderkey, o_totalprice
+    FROM orders
+    WHERE CAST('0x' || substr(md5('wbs:' || o_orderkey), 1, 15)
+               AS BIGINT) % 10000
+          < LEAST(10000, CAST(FLOOR(o_totalprice / 50.0) AS BIGINT))
+    """,
+)
+def sample_weighted_bernoulli(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-proportional Bernoulli sampling: each order is kept with
+    probability proportional to its value (totalprice/50 basis points,
+    clamped at certainty) — the size-biased sample a revenue auditor
+    or importance-weighted training pipeline draws. Membership depends
+    only on the key's hash bucket vs an INTEGER basis-point threshold
+    (no float boundary to drift cross-engine), so the sample is
+    reproducible across reruns, partitionings, and engines — same
+    determinism contract as sample_deterministic, extended to per-row
+    weights. Per-partition map-side filter, no shuffle, no
+    coordination at any scale."""
+    o = table(spark, sf_dir, "orders")
+    bucket = F.expr(
+        "CAST(conv(substring(md5(concat('wbs:', o_orderkey)), 1, 15),"
+        " 16, 10) AS BIGINT) % 10000"
+    )
+    threshold = F.least(
+        F.lit(10000).cast("bigint"),
+        F.floor(F.col("o_totalprice") / 50.0).cast("bigint"),
+    )
+    return o.filter(bucket < threshold).select("o_orderkey", "o_totalprice")

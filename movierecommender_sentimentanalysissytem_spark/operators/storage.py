@@ -350,3 +350,67 @@ def join_temporal_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_orderkey", "o_custkey", F.col("bal").alias("bal_asof"), "version"
         )
     )
+
+
+@query(
+    "maintenance_snapshot_diff",
+    oracle="""
+    WITH v1 AS (
+        SELECT o_orderkey AS k, o_totalprice AS price
+        FROM orders WHERE o_orderkey % 97 != 0
+    ),
+    v2 AS (
+        SELECT o_orderkey AS k,
+               CASE WHEN o_orderkey % 31 = 0 THEN o_totalprice + 10.0
+                    ELSE o_totalprice END AS price
+        FROM orders WHERE o_orderkey % 89 != 0
+    )
+    SELECT COALESCE(v1.k, v2.k) AS o_orderkey,
+           CASE WHEN v1.k IS NULL THEN 'insert'
+                WHEN v2.k IS NULL THEN 'delete'
+                ELSE 'update' END AS change_type,
+           v1.price AS old_price, v2.price AS new_price
+    FROM v1 FULL OUTER JOIN v2 ON v1.k = v2.k
+    WHERE v1.k IS NULL OR v2.k IS NULL OR v1.price != v2.price
+    """,
+)
+def maintenance_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot reconciliation / CDC diff: classify every row across
+    two table versions as insert / delete / update (unchanged rows are
+    dropped — at 100 TB the diff is the small output, never the
+    snapshots). The two versions are carved deterministically from the
+    same fixture (v1 omits keys ≡0 mod 97; v2 omits keys ≡0 mod 89 and
+    reprices keys ≡0 mod 31), so both engines see identical inputs
+    with all three change classes populated. The engine shape is ONE
+    full-outer hash equi-join on the snapshot key with a row-local
+    change classifier — no sort, no window; with both snapshots
+    bucketed by key the shuffle disappears entirely (the
+    join_bucketed_colocated pattern). This is the primitive
+    quality_table_checksum escalates to when checksums disagree."""
+    o = table(spark, sf_dir, "orders")
+    v1 = o.filter(F.col("o_orderkey") % 97 != 0).select(
+        F.col("o_orderkey").alias("k1"),
+        F.col("o_totalprice").alias("old_price"),
+    )
+    v2 = o.filter(F.col("o_orderkey") % 89 != 0).select(
+        F.col("o_orderkey").alias("k2"),
+        F.when(
+            F.col("o_orderkey") % 31 == 0, F.col("o_totalprice") + 10.0
+        )
+        .otherwise(F.col("o_totalprice"))
+        .alias("new_price"),
+    )
+    j = v1.join(v2, v1.k1 == v2.k2, "full_outer")
+    return j.filter(
+        F.col("k1").isNull()
+        | F.col("k2").isNull()
+        | (F.col("old_price") != F.col("new_price"))
+    ).select(
+        F.coalesce("k1", "k2").alias("o_orderkey"),
+        F.when(F.col("k1").isNull(), "insert")
+        .when(F.col("k2").isNull(), "delete")
+        .otherwise("update")
+        .alias("change_type"),
+        "old_price",
+        "new_price",
+    )

@@ -325,3 +325,69 @@ def timeseries_mom_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_orders",
         round4((F.col("revenue") - prev) / prev).alias("mom_growth"),
     )
+
+
+@query(
+    "timeseries_rate_spike",
+    oracle="""
+    WITH per_day AS (
+        SELECT datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS d,
+               COUNT(*) AS n_total,
+               CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_error
+        FROM events GROUP BY d
+    ),
+    rated AS (
+        SELECT d, n_total, n_error,
+               CAST(n_error AS DOUBLE) / n_total AS err_rate,
+               AVG(CAST(n_error AS DOUBLE) / n_total) OVER (
+                   ORDER BY d ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+                   AS trail_avg
+        FROM per_day
+    )
+    SELECT CAST(d AS BIGINT) AS day_num, n_total, n_error,
+           FLOOR(err_rate * 10000 + 0.5) / 10000 AS err_rate,
+           FLOOR(trail_avg * 10000 + 0.5) / 10000 AS trail_avg,
+           err_rate > 2 * trail_avg AS is_spike
+    FROM rated WHERE trail_avg IS NOT NULL
+    """,
+)
+def timeseries_rate_spike(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Operational anomaly detection: flag days whose error rate
+    exceeds 2× the trailing-week average — the alerting primitive over
+    any service-event stream. The row-level work collapses to one
+    partial-aggregable per-day rollup; the trailing-mean frame
+    (ROWS 7 PRECEDING .. 1 PRECEDING — strictly historical, so a spike
+    can't suppress its own baseline) runs over O(days) rows, bounded
+    by the calendar (reviewed in plans/audit.py). The spike predicate
+    compares the UNROUNDED doubles — both engines build them from the
+    same integer counts with the same expression, so the boundary is
+    bit-identical; the projected rates take the stable 4-dp round.
+    Warm-up days with no full trailing window are excluded on both
+    sides rather than flagged against a partial baseline."""
+    e = table(spark, sf_dir, "events")
+    per_day = e.groupBy(
+        F.datediff(F.to_date("ts"), F.lit("2024-01-01")).alias("d")
+    ).agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_error"),
+    )
+    err_rate = F.col("n_error").cast("double") / F.col("n_total")
+    w = Window.orderBy("d").rowsBetween(-7, -1)
+    rated = per_day.select(
+        "d",
+        "n_total",
+        "n_error",
+        err_rate.alias("err_rate"),
+        F.avg(err_rate).over(w).alias("trail_avg"),
+    )
+    return rated.filter(F.col("trail_avg").isNotNull()).select(
+        F.col("d").cast("bigint").alias("day_num"),
+        "n_total",
+        "n_error",
+        round4(F.col("err_rate")).alias("err_rate"),
+        round4(F.col("trail_avg")).alias("trail_avg"),
+        (F.col("err_rate") > 2 * F.col("trail_avg")).alias("is_spike"),
+    )

@@ -63,6 +63,8 @@ NLJ_OK = {
     "timeseries_mom_growth",        # growth window: O(months) rows
     "stats_mann_whitney",           # rank-from-counts window: O(distinct
                                     # 2-dp event values), not O(rows)
+    "events_cumulative_unique",     # growth-curve window: O(months) rows
+    "timeseries_rate_spike",        # trailing-week window: O(days) rows
 }
 
 

@@ -295,6 +295,8 @@ _NEW_R5 = frozenset(
     stats_mann_whitney stats_spearman_by_group events_dau_rolling
     rec_eval_precision_at_k join_fuzzy_levenshtein geo_grid_proximity_join
     curation_chunk_overlap
+    events_cumulative_unique timeseries_rate_spike sample_weighted_bernoulli
+    maintenance_snapshot_diff rec_multihop_expansion
     """.split()
 )
 

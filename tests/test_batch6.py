@@ -263,3 +263,129 @@ def test_chunk_overlap_counts_and_hashes(spark, tmp_path_factory):
     # stride overlap: chunk 1 of doc 2 spans tokens 30..40
     want2 = " ".join(f"u{i}" for i in range(30, 41)).encode()
     assert by_doc[2][1]["chunk_hash"] == hashlib.md5(want2).hexdigest()
+
+
+# ---- batch 7 ----
+
+
+def test_cumulative_unique_growth_curve(spark, tmp_path_factory):
+    # cust 1 first orders in month 0, custs 2+3 in month 2: the curve
+    # is new=[1,2], cum=[1,3] with no row for the empty month 1.
+    out = str(tmp_path_factory.mktemp("growth"))
+    m0 = dt.datetime(2024, 1, 15)
+    m2 = dt.datetime(2024, 3, 1)
+    _write(
+        spark, out, "orders",
+        [(1, 1, "O", 1.0, m0, "p"), (2, 1, "O", 1.0, m2, "p"),
+         (3, 2, "O", 1.0, m2, "p"), (4, 3, "O", 1.0, m2, "p")],
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    )
+    rows = sorted(
+        QS["events_cumulative_unique"](spark, out).collect(),
+        key=lambda r: r["month_num"],
+    )
+    base = 2024 * 12 + 0
+    assert [(r["month_num"] - base, r["new_customers"], r["cum_customers"])
+            for r in rows] == [(0, 1, 1), (2, 2, 3)]
+
+
+def test_rate_spike_flags_and_warmup(spark, tmp_path_factory):
+    # 8 baseline days at 10% error rate, then a 50% day: the spike day
+    # is flagged against the strictly-historical trailing mean; the
+    # first day (no history) is excluded entirely.
+    out = str(tmp_path_factory.mktemp("spike"))
+    rows, eid = [], 0
+    for day in range(8):
+        for i in range(10):
+            typ = "error" if i == 0 else "view"
+            rows.append((eid, T0 + dt.timedelta(days=day, minutes=i),
+                         1, typ, 1.0, "{}"))
+            eid += 1
+    for i in range(10):
+        typ = "error" if i < 5 else "view"
+        rows.append((eid, T0 + dt.timedelta(days=8, minutes=i),
+                     1, typ, 1.0, "{}"))
+        eid += 1
+    _events(spark, out, rows)
+    got = {r["day_num"]: r for r in
+           QS["timeseries_rate_spike"](spark, out).collect()}
+    assert 0 not in got          # warm-up day has no trailing window
+    assert got[8]["is_spike"] is True
+    assert got[8]["err_rate"] == 0.5
+    assert got[8]["trail_avg"] == 0.1
+    assert all(not got[d]["is_spike"] for d in got if d != 8)
+
+
+def test_weighted_bernoulli_membership_is_deterministic(spark, tmp_path_factory):
+    # zero-weight rows can never be sampled; certainty-weight rows
+    # (>= 50·10000) always are; and membership is reproducible.
+    out = str(tmp_path_factory.mktemp("wbs"))
+    orows = [(k, 1, "O", 0.0, T0, "p") for k in range(1, 51)]
+    orows += [(k, 1, "O", 600000.0, T0, "p") for k in range(51, 101)]
+    _write(
+        spark, out, "orders", orows,
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    )
+    keys = {r["o_orderkey"]
+            for r in QS["sample_weighted_bernoulli"](spark, out).collect()}
+    assert keys == set(range(51, 101))
+    keys2 = {r["o_orderkey"]
+             for r in QS["sample_weighted_bernoulli"](spark, out).collect()}
+    assert keys2 == keys
+
+
+def test_snapshot_diff_classifies_all_three(spark, tmp_path_factory):
+    # keys 1..200: 97 and 194 are inserts (absent from v1), 89 and 178
+    # deletes (absent from v2), multiples of 31 updates (+10 reprice).
+    out = str(tmp_path_factory.mktemp("diff"))
+    _write(
+        spark, out, "orders",
+        [(k, 1, "O", 100.0 * k, T0, "p") for k in range(1, 201)],
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    )
+    rows = QS["maintenance_snapshot_diff"](spark, out).collect()
+    by_type = {}
+    for r in rows:
+        by_type.setdefault(r["change_type"], set()).add(r["o_orderkey"])
+    assert by_type["insert"] == {97, 194}
+    assert by_type["delete"] == {89, 178}
+    assert by_type["update"] == {31, 62, 93, 124, 155, 186}
+    upd = {r["o_orderkey"]: r for r in rows if r["change_type"] == "update"}
+    assert upd[31]["old_price"] == 3100.0 and upd[31]["new_price"] == 3110.0
+
+
+def test_multihop_expansion_hops(spark, tmp_path_factory):
+    # co-rating graph: items {1,2} share 3 users, {2,3} share 3 users,
+    # {1,3} share none, item 4 is isolated. Seed = min item = 1:
+    # hop1 = {2}, hop2 = {3}.
+    out = str(tmp_path_factory.mktemp("hop"))
+    orows, lrows, ok = [], [], 1
+    def basket(u, items):
+        nonlocal ok
+        orows.append((ok, u, "O", 1.0, T0, "p"))
+        for ln, it in enumerate(items):
+            lrows.append((ok, it, 0, ln, 1.0, 1.0, 0.0, 0.0, "N", "O", T0))
+        ok += 1
+    for u in (1, 2, 3):
+        basket(u, [1, 2])
+    for u in (4, 5, 6):
+        basket(u, [2, 3])
+    basket(7, [4])
+    _write(
+        spark, out, "orders", orows,
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    )
+    _write(
+        spark, out, "lineitem", lrows,
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int, "
+        "l_quantity double, l_extendedprice double, l_discount double, "
+        "l_tax double, l_returnflag string, l_linestatus string, "
+        "l_shipdate timestamp",
+    )
+    got = {(r["item"], r["hop"])
+           for r in QS["rec_multihop_expansion"](spark, out).collect()}
+    assert got == {(2, 1), (3, 2)}

@@ -147,6 +147,12 @@ REPRESENTATIVE = [
     "join_fuzzy_levenshtein",
     "geo_grid_proximity_join",
     "curation_chunk_overlap",
+    # round-5 batch 7
+    "events_cumulative_unique",
+    "timeseries_rate_spike",
+    "sample_weighted_bernoulli",
+    "maintenance_snapshot_diff",
+    "rec_multihop_expansion",
 ]
 
 
