@@ -408,3 +408,143 @@ def text_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rn",
         )
     )
+
+
+@query(
+    "text_keyword_cooccurrence",
+    oracle="""
+    WITH toks AS (
+        SELECT DISTINCT doc_id, u.word
+        FROM documents, unnest(string_split(COALESCE(text, ''), ' '))
+            AS u(word)
+        WHERE u.word != ''
+    ),
+    vocab AS (
+        SELECT word FROM (
+            SELECT word, COUNT(*) AS df FROM toks GROUP BY word
+        ) ORDER BY df DESC, word ASC LIMIT 30
+    ),
+    vt AS (
+        SELECT t.doc_id, t.word FROM toks t
+        WHERE t.word IN (SELECT word FROM vocab)
+    ),
+    df AS (SELECT word, COUNT(*) AS df FROM vt GROUP BY word),
+    n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM toks),
+    pairs AS (
+        SELECT a.word AS word_a, b.word AS word_b, COUNT(*) AS c_ab
+        FROM vt a JOIN vt b
+          ON a.doc_id = b.doc_id AND a.word < b.word
+        GROUP BY a.word, b.word
+        HAVING COUNT(*) >= 5
+    )
+    SELECT word_a, word_b, c_ab,
+           FLOOR(ln(CAST(n.n_docs AS DOUBLE) * c_ab
+                    / (CAST(da.df AS DOUBLE) * db.df))
+                 * 10000 + 0.5) / 10000 AS pmi
+    FROM pairs
+    JOIN df da ON da.word = word_a
+    JOIN df db ON db.word = word_b
+    CROSS JOIN n
+    """,
+)
+def text_keyword_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyword co-occurrence with pointwise mutual information over
+    the top-30 vocabulary — the term-association miner behind related-
+    query suggestions and topic seeding. PMI needs within-document
+    pairs, which is quadratic in document length; the scale control is
+    vocabulary capping BEFORE pair generation: tokens are first
+    restricted to the k most frequent words (an O(k) broadcast
+    semi-join), so the per-document pair fan-out is ≤ k(k-1)/2
+    regardless of document size — the same block-then-verify budget
+    reasoning as the fuzzy join, applied to text. Document frequencies
+    and the doc count come from the same capped token set; PMI's
+    single ln is absorbed by the stable 4-dp round."""
+    d = table(spark, sf_dir, "documents")
+    toks = (
+        d.select(
+            "doc_id",
+            F.explode(
+                F.split(F.coalesce(F.col("text"), F.lit("")), " ")
+            ).alias("word"),
+        )
+        .filter(F.col("word") != "")
+        .distinct()
+    )
+    vocab = (
+        toks.groupBy("word")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .orderBy(F.col("df").desc(), F.col("word").asc())
+        .limit(30)
+        .select("word")
+    )
+    vt = toks.join(F.broadcast(vocab), "word", "left_semi")
+    df = vt.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
+    n = toks.agg(F.count_distinct("doc_id").alias("n_docs"))
+    a = vt.select("doc_id", F.col("word").alias("word_a"))
+    b = vt.select("doc_id", F.col("word").alias("word_b"))
+    pairs = (
+        a.join(b, "doc_id")
+        .filter(F.col("word_a") < F.col("word_b"))
+        .groupBy("word_a", "word_b")
+        .agg(F.count(F.lit(1)).alias("c_ab"))
+        .filter(F.col("c_ab") >= 5)
+    )
+    da = df.select(F.col("word").alias("word_a"), F.col("df").alias("df_a"))
+    db = df.select(F.col("word").alias("word_b"), F.col("df").alias("df_b"))
+    pmi = F.log(
+        F.col("n_docs").cast("double")
+        * F.col("c_ab")
+        / (F.col("df_a").cast("double") * F.col("df_b"))
+    )
+    return (
+        pairs.join(F.broadcast(da), "word_a")
+        .join(F.broadcast(db), "word_b")
+        .crossJoin(F.broadcast(n))
+        .select("word_a", "word_b", "c_ab", round4(pmi).alias("pmi"))
+    )
+
+
+@query(
+    "ml_feature_hashing",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, u.word
+        FROM documents, unnest(string_split(COALESCE(text, ''), ' '))
+            AS u(word)
+        WHERE u.word != ''
+    )
+    SELECT doc_id,
+           CAST(CAST('0x' || substr(md5('fh:' || word), 1, 15) AS BIGINT)
+                % 64 AS INTEGER) AS bucket,
+           COUNT(*) AS weight
+    FROM toks
+    GROUP BY doc_id, bucket
+    """,
+)
+def ml_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hashing trick: project an unbounded vocabulary into a
+    fixed 64-bucket feature space (bucket = keyed md5 of the token,
+    weight = occurrence count) — the stateless featurizer that
+    replaces a fitted vocabulary dictionary when the vocabulary
+    itself would be cluster-scale state. Because the bucket is a pure
+    function of the token, there is NO fit step, no vocabulary
+    broadcast, and no train/serve skew — the defining scale property
+    of feature hashing, and why it appears here instead of a
+    CountVectorizer port. One explode + one (doc, bucket) groupBy,
+    partial-aggregable; the md5 family keeps bucket assignment
+    identical across engines (HashingTF's murmur3 would not be
+    reproducible in the oracle)."""
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.explode(
+            F.split(F.coalesce(F.col("text"), F.lit("")), " ")
+        ).alias("word"),
+    ).filter(F.col("word") != "")
+    bucket = F.expr(
+        "CAST(CAST(conv(substring(md5(concat('fh:', word)), 1, 15),"
+        " 16, 10) AS BIGINT) % 64 AS INT)"
+    )
+    return toks.groupBy("doc_id", bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).alias("weight")
+    )

@@ -511,3 +511,92 @@ def events_cumulative_unique(spark: SparkSession, sf_dir: str) -> DataFrame:
         "new_customers",
         F.sum("new_customers").over(w).cast("bigint").alias("cum_customers"),
     )
+
+
+@query(
+    "events_cohort_ltv",
+    oracle="""
+    WITH om AS (
+        SELECT o_custkey AS c,
+               CAST(date_part('year', o_orderdate) AS BIGINT) * 12
+                   + CAST(date_part('month', o_orderdate) AS BIGINT) - 1
+                   AS m,
+               o_totalprice AS rev
+        FROM orders
+    ),
+    cohort AS (
+        SELECT c, MIN(m) AS c0 FROM om GROUP BY c
+    ),
+    sizes AS (
+        SELECT c0, COUNT(*) AS n_customers FROM cohort GROUP BY c0
+    ),
+    per_offset AS (
+        SELECT cohort.c0, om.m - cohort.c0 AS off, SUM(om.rev) AS rev
+        FROM om JOIN cohort ON om.c = cohort.c
+        GROUP BY cohort.c0, off
+    ),
+    cum AS (
+        SELECT c0, off, SUM(rev) OVER (
+            PARTITION BY c0 ORDER BY off
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_rev
+        FROM per_offset
+    )
+    SELECT cum.c0 AS cohort_month, CAST(cum.off AS BIGINT) AS month_offset,
+           sizes.n_customers,
+           FLOOR(cum.cum_rev * 10000 + 0.5) / 10000 AS cum_revenue,
+           FLOOR(cum.cum_rev / sizes.n_customers * 10000 + 0.5) / 10000
+               AS ltv_per_customer
+    FROM cum JOIN sizes ON cum.c0 = sizes.c0
+    WHERE cum.off <= 12
+    """,
+)
+def events_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value curves: for each acquisition cohort
+    (first-order month), cumulative revenue per acquired customer at
+    each month offset ≤ 12 — the revenue twin of cohort_retention,
+    and the curve a growth team reads unit economics from. The fact
+    table reduces to (cohort, offset) revenue cells BEFORE any
+    window: the running sum partitions by cohort and orders by a
+    ≤13-row offset frame, so window state is bounded by the reporting
+    horizon, never by data volume; cohort assignment is one custkey
+    shuffle and the cells join cohort sizes on the cohort key.
+    Revenue sums are order-sensitive doubles — both projections take
+    the stable 4-dp round; the offset cut keeps the report width
+    fixed as history grows."""
+    o = table(spark, sf_dir, "orders")
+    m = (
+        F.year("o_orderdate").cast("bigint") * 12
+        + F.month("o_orderdate").cast("bigint")
+        - 1
+    )
+    om = o.select(
+        F.col("o_custkey").alias("c"),
+        m.alias("m"),
+        F.col("o_totalprice").alias("rev"),
+    )
+    cohort = om.groupBy("c").agg(F.min("m").alias("c0"))
+    sizes = cohort.groupBy("c0").agg(
+        F.count(F.lit(1)).alias("n_customers")
+    )
+    per_offset = (
+        om.join(cohort, "c")
+        .groupBy("c0", (F.col("m") - F.col("c0")).alias("off"))
+        .agg(F.sum("rev").alias("rev"))
+    )
+    w = Window.partitionBy("c0").orderBy("off").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = per_offset.withColumn("cum_rev", F.sum("rev").over(w))
+    return (
+        cum.filter(F.col("off") <= 12)
+        .join(sizes, "c0")
+        .select(
+            F.col("c0").alias("cohort_month"),
+            F.col("off").cast("bigint").alias("month_offset"),
+            "n_customers",
+            round4(F.col("cum_rev")).alias("cum_revenue"),
+            round4(F.col("cum_rev") / F.col("n_customers")).alias(
+                "ltv_per_customer"
+            ),
+        )
+    )

@@ -604,3 +604,160 @@ def quality_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
     return checksum(table(spark, sf_dir, "orders"), "orders", o_canon).unionByName(
         checksum(table(spark, sf_dir, "customer"), "customer", c_canon)
     )
+
+
+@query(
+    "quality_expectation_suite",
+    oracle="""
+    WITH agg AS (
+        SELECT COUNT(*) AS n,
+               CAST(SUM(CASE WHEN l_quantity <= 0 OR l_quantity IS NULL
+                        THEN 1 ELSE 0 END) AS BIGINT) AS v_qty,
+               CAST(SUM(CASE WHEN l_discount < 0 OR l_discount > 1
+                             OR l_discount IS NULL
+                        THEN 1 ELSE 0 END) AS BIGINT) AS v_disc,
+               CAST(SUM(CASE WHEN l_extendedprice <= 0
+                             OR l_extendedprice IS NULL
+                        THEN 1 ELSE 0 END) AS BIGINT) AS v_price,
+               CAST(SUM(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS v_ship,
+               CAST(SUM(CASE WHEN l_tax < 0 OR l_tax IS NULL
+                        THEN 1 ELSE 0 END) AS BIGINT) AS v_tax
+        FROM lineitem
+    )
+    SELECT r.rule, agg.n AS n_checked, r.v AS n_violations,
+           r.v = 0 AS passed
+    FROM agg, LATERAL (
+        VALUES ('quantity_positive', v_qty),
+               ('discount_in_range', v_disc),
+               ('price_positive', v_price),
+               ('shipdate_not_null', v_ship),
+               ('tax_nonnegative', v_tax)
+    ) AS r(rule, v)
+    """,
+)
+def quality_expectation_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality expectation suite: one report row per
+    rule (violation count + pass flag) — the contract gate a pipeline
+    evaluates before publishing a table, expressed as a single
+    aggregate scan. All five rules fold into ONE partial-aggregable
+    pass over the fact table (conditional-sum per rule), and the
+    per-rule rows come from unpivoting the 1-row aggregate — so the
+    suite costs one table scan regardless of rule count, instead of
+    the rule-per-query re-scan a naive checker runs. NULL is a
+    violation for every rule (an absent value can't satisfy a
+    constraint), stated identically in both engines."""
+    li = table(spark, sf_dir, "lineitem")
+
+    def viol(cond: F.Column) -> F.Column:
+        return F.sum(F.when(cond, 1).otherwise(0)).cast("bigint")
+
+    agg = li.agg(
+        F.count(F.lit(1)).alias("n"),
+        viol(
+            (F.col("l_quantity") <= 0) | F.col("l_quantity").isNull()
+        ).alias("v_qty"),
+        viol(
+            (F.col("l_discount") < 0)
+            | (F.col("l_discount") > 1)
+            | F.col("l_discount").isNull()
+        ).alias("v_disc"),
+        viol(
+            (F.col("l_extendedprice") <= 0)
+            | F.col("l_extendedprice").isNull()
+        ).alias("v_price"),
+        viol(F.col("l_shipdate").isNull()).alias("v_ship"),
+        viol((F.col("l_tax") < 0) | F.col("l_tax").isNull()).alias("v_tax"),
+    )
+    rules = agg.select(
+        "n",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("quantity_positive").alias("rule"),
+                    F.col("v_qty").alias("v"),
+                ),
+                F.struct(
+                    F.lit("discount_in_range").alias("rule"),
+                    F.col("v_disc").alias("v"),
+                ),
+                F.struct(
+                    F.lit("price_positive").alias("rule"),
+                    F.col("v_price").alias("v"),
+                ),
+                F.struct(
+                    F.lit("shipdate_not_null").alias("rule"),
+                    F.col("v_ship").alias("v"),
+                ),
+                F.struct(
+                    F.lit("tax_nonnegative").alias("rule"),
+                    F.col("v_tax").alias("v"),
+                ),
+            )
+        ).alias("r"),
+    )
+    return rules.select(
+        F.col("r.rule").alias("rule"),
+        F.col("n").alias("n_checked"),
+        F.col("r.v").alias("n_violations"),
+        (F.col("r.v") == 0).alias("passed"),
+    )
+
+
+@query(
+    "stats_subsample_ci",
+    oracle="""
+    WITH folds AS (
+        SELECT CAST('0x' || substr(md5('ci:' || o_orderkey), 1, 15)
+                    AS BIGINT) % 10 AS fold,
+               o_totalprice AS v
+        FROM orders
+    ),
+    per_fold AS (
+        SELECT fold, AVG(v) AS m FROM folds GROUP BY fold
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_folds,
+           FLOOR(AVG(m) * 10000 + 0.5) / 10000 AS mean_of_means,
+           FLOOR(STDDEV_SAMP(m) * 10000 + 0.5) / 10000 AS sd_of_means,
+           FLOOR((AVG(m) - 1.96 * STDDEV_SAMP(m) / sqrt(COUNT(*)))
+                 * 10000 + 0.5) / 10000 AS ci_low,
+           FLOOR((AVG(m) + 1.96 * STDDEV_SAMP(m) / sqrt(COUNT(*)))
+                 * 10000 + 0.5) / 10000 AS ci_high
+    FROM per_fold
+    """,
+)
+def stats_subsample_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Subsampling confidence interval for the mean order value: split
+    the population into 10 DETERMINISTIC hash folds (the md5 family —
+    reproducible across engines/reruns, unlike RNG bootstrap
+    resampling, which no two engines can replay identically), take
+    each fold's mean, and report mean ± 1.96·sd/√k over the fold
+    means. This is the embarrassingly-parallel uncertainty estimate:
+    one groupBy over a hash bucket (map-side combinable) plus a
+    10-row final aggregate — where a classic bootstrap would re-scan
+    the data B times. Fold means are order-sensitive in their last
+    ulps; every projected statistic takes the stable 4-dp round."""
+    o = table(spark, sf_dir, "orders")
+    fold = F.expr(
+        "CAST(conv(substring(md5(concat('ci:', o_orderkey)), 1, 15),"
+        " 16, 10) AS BIGINT) % 10"
+    )
+    per_fold = (
+        o.select(fold.alias("fold"), F.col("o_totalprice").alias("v"))
+        .groupBy("fold")
+        .agg(F.avg("v").alias("m"))
+    )
+    k = F.count(F.lit(1)).cast("bigint")
+    stats = per_fold.agg(
+        k.alias("n_folds"),
+        F.avg("m").alias("mm"),
+        F.stddev_samp("m").alias("sd"),
+    )
+    half = 1.96 * F.col("sd") / F.sqrt(F.col("n_folds"))
+    return stats.select(
+        "n_folds",
+        round4(F.col("mm")).alias("mean_of_means"),
+        round4(F.col("sd")).alias("sd_of_means"),
+        round4(F.col("mm") - half).alias("ci_low"),
+        round4(F.col("mm") + half).alias("ci_high"),
+    )

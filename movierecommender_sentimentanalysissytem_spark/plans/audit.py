@@ -54,6 +54,8 @@ NLJ_OK = {
     "quality_benford_digits",    # 1-row digit-total broadcast cross join
     "stats_chi_square",       # 1-row N-total and 1-row dof broadcast crosses
     "stats_psi_drift",        # 1-row decile-boundary broadcast cross join
+    "text_keyword_cooccurrence",  # 1-row N-docs scalar broadcast cross
+                                  # (same class as text_tfidf)
     "rec_rfm_segmentation",   # 1-row quartile-boundary broadcast cross join
     # reviewed single-partition sorts over BOUNDED rollups (the consumer-
     # aware SinglePartition check, live since round 5):

@@ -297,6 +297,8 @@ _NEW_R5 = frozenset(
     curation_chunk_overlap
     events_cumulative_unique timeseries_rate_spike sample_weighted_bernoulli
     maintenance_snapshot_diff rec_multihop_expansion
+    quality_expectation_suite stats_subsample_ci text_keyword_cooccurrence
+    ml_feature_hashing events_cohort_ltv
     """.split()
 )
 

@@ -389,3 +389,108 @@ def test_multihop_expansion_hops(spark, tmp_path_factory):
     got = {(r["item"], r["hop"])
            for r in QS["rec_multihop_expansion"](spark, out).collect()}
     assert got == {(2, 1), (3, 2)}
+
+
+# ---- batch 8 ----
+
+
+def test_expectation_suite_flags_violations(spark, tmp_path_factory):
+    # one clean row plus one row violating quantity (<=0), discount
+    # (>1), and shipdate (NULL) — price and tax rules stay green.
+    out = str(tmp_path_factory.mktemp("dq"))
+    _write(
+        spark, out, "lineitem",
+        [(1, 1, 1, 1, 5.0, 10.0, 0.1, 0.02, "N", "O", T0),
+         (2, 1, 1, 1, 0.0, 10.0, 1.5, 0.02, "N", "O", None)],
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int, "
+        "l_quantity double, l_extendedprice double, l_discount double, "
+        "l_tax double, l_returnflag string, l_linestatus string, "
+        "l_shipdate timestamp",
+    )
+    got = {r["rule"]: r for r in
+           QS["quality_expectation_suite"](spark, out).collect()}
+    assert len(got) == 5
+    assert all(r["n_checked"] == 2 for r in got.values())
+    assert got["quantity_positive"]["n_violations"] == 1
+    assert got["discount_in_range"]["n_violations"] == 1
+    assert got["shipdate_not_null"]["n_violations"] == 1
+    assert got["price_positive"]["n_violations"] == 0
+    assert got["price_positive"]["passed"] is True
+    assert got["quantity_positive"]["passed"] is False
+
+
+def test_subsample_ci_degenerate_constant_population(spark, tmp_path_factory):
+    # constant values: every fold mean equals the value, sd = 0, and
+    # the CI collapses onto the point estimate.
+    out = str(tmp_path_factory.mktemp("ci"))
+    _write(
+        spark, out, "orders",
+        [(k, 1, "O", 500.0, T0, "p") for k in range(1, 101)],
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    )
+    r = QS["stats_subsample_ci"](spark, out).collect()[0]
+    assert r["n_folds"] == 10
+    assert r["mean_of_means"] == 500.0
+    assert r["sd_of_means"] == 0.0
+    assert r["ci_low"] == 500.0 and r["ci_high"] == 500.0
+
+
+def test_keyword_cooccurrence_pmi_signs(spark, tmp_path_factory):
+    # 10 docs: 'a b' in 5, 'a c' in 5 (plus filler to differentiate
+    # df). Pair (a,b): c_ab=5, df_a=10, df_b=5 -> PMI = ln(10·5/50) =
+    # 0 exactly; (b,c) never co-occur -> absent.
+    out = str(tmp_path_factory.mktemp("pmi"))
+    drows = [(i, "a b", "en", "s", 1) for i in range(5)]
+    drows += [(i + 5, "a c", "en", "s", 1) for i in range(5)]
+    _write(
+        spark, out, "documents", drows,
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    got = {(r["word_a"], r["word_b"]): r for r in
+           QS["text_keyword_cooccurrence"](spark, out).collect()}
+    assert set(got) == {("a", "b"), ("a", "c")}
+    assert got[("a", "b")]["c_ab"] == 5
+    assert got[("a", "b")]["pmi"] == 0.0
+    assert got[("a", "c")]["pmi"] == 0.0
+
+
+def test_feature_hashing_is_pure_function_of_token(spark, tmp_path_factory):
+    # identical texts hash to identical (bucket, weight) profiles, and
+    # weights count occurrences (not distinct tokens).
+    out = str(tmp_path_factory.mktemp("fh"))
+    _write(
+        spark, out, "documents",
+        [(1, "x x y", "en", "s", 1), (2, "x x y", "en", "s", 1)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    rows = QS["ml_feature_hashing"](spark, out).collect()
+    prof = {}
+    for r in rows:
+        prof.setdefault(r["doc_id"], {})[r["bucket"]] = r["weight"]
+    assert prof[1] == prof[2]
+    assert sorted(prof[1].values()) == [1, 2]
+    assert all(0 <= b < 64 for b in prof[1])
+
+
+def test_cohort_ltv_accumulates_per_cohort(spark, tmp_path_factory):
+    # cohort Jan: custs 1,2 (100 + 200 in m0; cust 1 spends 50 in m1);
+    # cohort Feb: cust 3 (40). LTV divides by cohort size.
+    out = str(tmp_path_factory.mktemp("ltv"))
+    jan, feb = dt.datetime(2024, 1, 5), dt.datetime(2024, 2, 5)
+    _write(
+        spark, out, "orders",
+        [(1, 1, "O", 100.0, jan, "p"), (2, 2, "O", 200.0, jan, "p"),
+         (3, 1, "O", 50.0, feb, "p"), (4, 3, "O", 40.0, feb, "p")],
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    )
+    rows = QS["events_cohort_ltv"](spark, out).collect()
+    jan_m = 2024 * 12 + 0
+    feb_m = 2024 * 12 + 1
+    got = {(r["cohort_month"], r["month_offset"]):
+           (r["n_customers"], r["cum_revenue"], r["ltv_per_customer"])
+           for r in rows}
+    assert got[(jan_m, 0)] == (2, 300.0, 150.0)
+    assert got[(jan_m, 1)] == (2, 350.0, 175.0)
+    assert got[(feb_m, 0)] == (1, 40.0, 40.0)

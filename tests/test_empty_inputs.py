@@ -153,6 +153,11 @@ REPRESENTATIVE = [
     "sample_weighted_bernoulli",
     "maintenance_snapshot_diff",
     "rec_multihop_expansion",
+    # round-5 batch 8. quality_expectation_suite and stats_subsample_ci
+    # excluded: 1-row / per-rule aggregate reports (grand-total class).
+    "text_keyword_cooccurrence",
+    "ml_feature_hashing",
+    "events_cohort_ltv",
 ]
 
 
