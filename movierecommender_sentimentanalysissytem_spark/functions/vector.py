@@ -482,3 +482,68 @@ def sim_matmul_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 3)
         .select("query_id", "neighbor_id", "cos_sim", "rn")
     )
+
+
+@query(
+    "embedding_random_projection",
+    oracle="""
+    WITH dims AS (SELECT unnest(range(64)) AS d),
+    comps AS (SELECT unnest(range(8)) AS j),
+    signs AS (
+        SELECT j, d,
+               1 - 2 * (CAST('0x' || substr(md5('rp:' || j || ':' || d),
+                             1, 15) AS BIGINT) % 2) AS s
+        FROM comps CROSS JOIN dims
+    ),
+    flat AS (
+        SELECT e.vec_id, dims.d,
+               e.embedding[CAST(dims.d AS INTEGER) + 1] AS v
+        FROM embeddings e CROSS JOIN dims
+    )
+    SELECT f.vec_id, CAST(s.j AS INTEGER) AS component,
+           FLOOR(SUM(f.v * s.s) / sqrt(8.0) * 10000 + 0.5) / 10000
+               AS value
+    FROM flat f JOIN signs s ON s.d = f.d
+    GROUP BY f.vec_id, s.j
+    """,
+)
+def embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss random projection: 64-dim embeddings down
+    to 8 components via a FIXED ±1 sign matrix (sign(j,d) from the md5
+    family, so the "random" matrix is a pure deterministic function —
+    reproducible across engines, reruns, and executors with no
+    broadcast state at all, which is the point of sign-matrix JL over
+    Gaussian). This is the dimensionality-reduction step ahead of the
+    ANN keys: distances are preserved within (1±ε) while the LSH/IVF
+    index shrinks 8×. Shape: posexplode → join the 512-row sign
+    relation (broadcast) → one (vec_id, component) re-aggregation;
+    the fan-out is the constant k·d, independent of corpus size.
+    Component sums are order-sensitive doubles — projected values take
+    the stable 4-dp round; the 1/√k scale uses IEEE-exact sqrt."""
+    e = table(spark, sf_dir, "embeddings")
+    flat = e.select(
+        "vec_id", F.posexplode("embedding").alias("d", "v")
+    )
+    comps = spark.range(8).select(F.col("id").alias("j"))
+    dims = spark.range(64).select(F.col("id").alias("d"))
+    signs = comps.crossJoin(dims).select(
+        "j",
+        "d",
+        (
+            1
+            - 2
+            * F.expr(
+                "CAST(conv(substring(md5(concat('rp:', j, ':', d)), 1, 15),"
+                " 16, 10) AS BIGINT) % 2"
+            )
+        ).alias("s"),
+    )
+    return (
+        flat.join(F.broadcast(signs), "d")
+        .groupBy("vec_id", F.col("j").cast("int").alias("component"))
+        .agg(
+            round4(F.sum(F.col("v") * F.col("s")) / F.sqrt(F.lit(8.0))).alias(
+                "value"
+            )
+        )
+    )

@@ -144,3 +144,46 @@ def ml_eval_rmse(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rmse"
         ),
     )
+
+
+@query(
+    "ml_batch_scoring",
+    oracle="""
+    WITH scored AS (
+        SELECT l_orderkey, l_linenumber,
+               -1.0 + 0.1 * l_quantity - 2.0 * l_discount + 5.0 * l_tax
+                   AS z
+        FROM lineitem
+    )
+    SELECT l_orderkey, l_linenumber,
+           FLOOR(1.0 / (1.0 + exp(-z)) * 10000 + 0.5) / 10000 AS score,
+           z >= 0 AS decision
+    FROM scored
+    """,
+)
+def ml_batch_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model serving as a batch operator: score every fact row with a
+    FIXED logistic model (literal weights — the shape a model registry
+    export becomes once broadcast into a scoring job). This is the
+    other half of the ML story next to training (ml_sentiment_pipeline
+    / ml_als_recommend): at 100 TB, inference is a pure narrow map —
+    row-local dot product + sigmoid, no shuffle, no state, trivially
+    whole-stage-codegen'd — and THIS is why scoring belongs in the
+    engine rather than a model server for bulk backfills. The binary
+    decision is computed from the EXACT linear term (z ≥ 0), never
+    from the rounded sigmoid, so no transcendental ulp can flip a
+    classification cross-engine; the probability column takes the
+    stable 4-dp round over the one exp()."""
+    li = table(spark, sf_dir, "lineitem")
+    z = (
+        F.lit(-1.0)
+        + 0.1 * F.col("l_quantity")
+        - 2.0 * F.col("l_discount")
+        + 5.0 * F.col("l_tax")
+    )
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        round4(1.0 / (1.0 + F.exp(-z))).alias("score"),
+        (z >= 0).alias("decision"),
+    )

@@ -646,3 +646,108 @@ def rec_multihop_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hop1.select("item", F.lit(1).alias("hop")).unionAll(
         hop2.select("item", F.lit(2).alias("hop"))
     )
+
+
+@query(
+    "rec_association_rules",
+    oracle="""
+    WITH baskets AS (
+        SELECT DISTINCT o_custkey AS u, l_partkey AS item
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    ),
+    n AS (SELECT COUNT(DISTINCT u) AS n_baskets FROM baskets),
+    ic AS (SELECT item, COUNT(*) AS c FROM baskets GROUP BY item),
+    pairs_half AS (
+        SELECT a.item AS ia, b.item AS ib, COUNT(*) AS c_ab
+        FROM baskets a JOIN baskets b
+          ON a.u = b.u AND a.item < b.item
+        GROUP BY a.item, b.item
+        HAVING COUNT(*) >= 5
+    ),
+    rules AS (
+        SELECT ia AS antecedent, ib AS consequent, c_ab FROM pairs_half
+        UNION ALL
+        SELECT ib AS antecedent, ia AS consequent, c_ab FROM pairs_half
+    )
+    SELECT antecedent, consequent, c_ab AS n_cobuy,
+           FLOOR(CAST(c_ab AS DOUBLE) / n.n_baskets * 10000 + 0.5)
+               / 10000 AS support,
+           FLOOR(CAST(c_ab AS DOUBLE) / ca.c * 10000 + 0.5) / 10000
+               AS confidence,
+           FLOOR(CAST(n.n_baskets AS DOUBLE) * c_ab
+                 / (CAST(ca.c AS DOUBLE) * cc.c) * 10000 + 0.5) / 10000
+               AS lift
+    FROM rules
+    JOIN ic ca ON ca.item = antecedent
+    JOIN ic cc ON cc.item = consequent
+    CROSS JOIN n
+    WHERE CAST(c_ab AS DOUBLE) / ca.c >= 0.2
+    """,
+)
+def rec_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association rules (support / confidence / lift)
+    with a minimum co-purchase count and a 20% confidence floor — the
+    directional "who buys A buys B" layer above rec_item_cooccurrence's
+    symmetric counts (confidence(A→B) ≠ confidence(B→A), so each
+    qualifying pair emits up to two rules). The pair generation reuses
+    the per-basket equi-self-join shape (quadratic only within one
+    customer's DISTINCT item set — the rec_item_similarity cap
+    argument applies); item supports join back onto the REDUCED pair
+    aggregate, never the basket rows; the basket count is a 1-row
+    broadcast. The support floor (HAVING ≥ 5) runs before the
+    confidence cut, which is what bounds the rule-table size at
+    scale. Ratios of exact integers take the stable 4-dp round."""
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    baskets = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(
+            F.col("o_custkey").alias("u"), F.col("l_partkey").alias("item")
+        )
+        .distinct()
+    )
+    n = baskets.agg(F.count_distinct("u").alias("n_baskets"))
+    ic = baskets.groupBy("item").agg(F.count(F.lit(1)).alias("c"))
+    a = baskets.select("u", F.col("item").alias("ia"))
+    b = baskets.select("u", F.col("item").alias("ib"))
+    pairs_half = (
+        a.join(b, "u")
+        .filter(F.col("ia") < F.col("ib"))
+        .groupBy("ia", "ib")
+        .agg(F.count(F.lit(1)).alias("c_ab"))
+        .filter(F.col("c_ab") >= 5)
+    )
+    rules = pairs_half.select(
+        F.col("ia").alias("antecedent"),
+        F.col("ib").alias("consequent"),
+        "c_ab",
+    ).unionAll(
+        pairs_half.select(
+            F.col("ib").alias("antecedent"),
+            F.col("ia").alias("consequent"),
+            "c_ab",
+        )
+    )
+    ca = ic.select(F.col("item").alias("antecedent"), F.col("c").alias("c_a"))
+    cc = ic.select(F.col("item").alias("consequent"), F.col("c").alias("c_c"))
+    conf = F.col("c_ab").cast("double") / F.col("c_a")
+    return (
+        rules.join(ca, "antecedent")
+        .join(cc, "consequent")
+        .crossJoin(F.broadcast(n))
+        .filter(conf >= 0.2)
+        .select(
+            "antecedent",
+            "consequent",
+            F.col("c_ab").alias("n_cobuy"),
+            round4(F.col("c_ab").cast("double") / F.col("n_baskets")).alias(
+                "support"
+            ),
+            round4(conf).alias("confidence"),
+            round4(
+                F.col("n_baskets").cast("double")
+                * F.col("c_ab")
+                / (F.col("c_a").cast("double") * F.col("c_c"))
+            ).alias("lift"),
+        )
+    )

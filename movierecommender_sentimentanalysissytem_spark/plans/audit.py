@@ -56,6 +56,10 @@ NLJ_OK = {
     "stats_psi_drift",        # 1-row decile-boundary broadcast cross join
     "text_keyword_cooccurrence",  # 1-row N-docs scalar broadcast cross
                                   # (same class as text_tfidf)
+    "rec_association_rules",      # 1-row basket-count scalar broadcast
+    "embedding_random_projection",  # 8×64 literal-range sign matrix
+                                    # (512 constant rows, built by cross
+                                    # of two spark.range literals)
     "rec_rfm_segmentation",   # 1-row quartile-boundary broadcast cross join
     # reviewed single-partition sorts over BOUNDED rollups (the consumer-
     # aware SinglePartition check, live since round 5):

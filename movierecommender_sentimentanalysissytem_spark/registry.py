@@ -299,6 +299,7 @@ _NEW_R5 = frozenset(
     maintenance_snapshot_diff rec_multihop_expansion
     quality_expectation_suite stats_subsample_ci text_keyword_cooccurrence
     ml_feature_hashing events_cohort_ltv
+    rec_association_rules embedding_random_projection ml_batch_scoring
     """.split()
 )
 

@@ -494,3 +494,84 @@ def test_cohort_ltv_accumulates_per_cohort(spark, tmp_path_factory):
     assert got[(jan_m, 0)] == (2, 300.0, 150.0)
     assert got[(jan_m, 1)] == (2, 350.0, 175.0)
     assert got[(feb_m, 0)] == (1, 40.0, 40.0)
+
+
+# ---- batch 9 ----
+
+
+def test_association_rules_directional_confidence(spark, tmp_path_factory):
+    # 10 baskets contain {A,B}; 10 more contain only A. So A appears in
+    # 20 baskets, B in 10: confidence(B->A) = 1.0 qualifies both ways
+    # but confidence(A->B) = 0.5; lift = 20·10/(20·10) = 1.0.
+    out = str(tmp_path_factory.mktemp("assoc"))
+    orows, lrows, ok = [], [], 1
+    def basket(u, items):
+        nonlocal ok
+        orows.append((ok, u, "O", 1.0, T0, "p"))
+        for ln, it in enumerate(items):
+            lrows.append((ok, it, 0, ln, 1.0, 1.0, 0.0, 0.0, "N", "O", T0))
+        ok += 1
+    for u in range(1, 11):
+        basket(u, [100, 200])
+    for u in range(11, 21):
+        basket(u, [100])
+    _write(
+        spark, out, "orders", orows,
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    )
+    _write(
+        spark, out, "lineitem", lrows,
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int, "
+        "l_quantity double, l_extendedprice double, l_discount double, "
+        "l_tax double, l_returnflag string, l_linestatus string, "
+        "l_shipdate timestamp",
+    )
+    got = {(r["antecedent"], r["consequent"]): r for r in
+           QS["rec_association_rules"](spark, out).collect()}
+    assert set(got) == {(100, 200), (200, 100)}
+    assert got[(200, 100)]["confidence"] == 1.0
+    assert got[(100, 200)]["confidence"] == 0.5
+    assert got[(100, 200)]["lift"] == 1.0
+    assert got[(100, 200)]["support"] == 0.5
+    assert got[(100, 200)]["n_cobuy"] == 10
+
+
+def test_random_projection_shape_and_linearity(spark, tmp_path_factory):
+    # Projection of the zero vector is zero in every component; the
+    # projection is linear: proj(2v) = 2·proj(v) (exact doubles).
+    out = str(tmp_path_factory.mktemp("rp"))
+    v = [0.5] * 64
+    rows = [(1, [0.0] * 64, 0), (2, v, 0), (3, [x * 2 for x in v], 0)]
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).write.mode("overwrite").parquet(f"{out}/embeddings.parquet")
+    got = {}
+    for r in QS["embedding_random_projection"](spark, out).collect():
+        got.setdefault(r["vec_id"], {})[r["component"]] = r["value"]
+    assert set(got[1].values()) == {0.0}
+    assert len(got[2]) == 8
+    for j in range(8):
+        assert abs(got[3][j] - 2 * got[2][j]) < 2e-4  # 4dp rounds compose
+
+
+def test_batch_scoring_decision_from_linear_term(spark, tmp_path_factory):
+    # z = -1 + 0.1·qty - 2·disc + 5·tax: qty=10 -> z=0 -> decision True
+    # with score exactly 0.5; qty=9.9 -> z<0 -> False.
+    out = str(tmp_path_factory.mktemp("score"))
+    _write(
+        spark, out, "lineitem",
+        [(1, 1, 1, 1, 10.0, 1.0, 0.0, 0.0, "N", "O", T0),
+         (2, 1, 1, 2, 9.9, 1.0, 0.0, 0.0, "N", "O", T0),
+         (3, 1, 1, 3, 20.0, 1.0, 0.5, 0.2, "N", "O", T0)],
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int, "
+        "l_quantity double, l_extendedprice double, l_discount double, "
+        "l_tax double, l_returnflag string, l_linestatus string, "
+        "l_shipdate timestamp",
+    )
+    got = {r["l_linenumber"]: r for r in
+           QS["ml_batch_scoring"](spark, out).collect()}
+    assert got[1]["decision"] is True and got[1]["score"] == 0.5
+    assert got[2]["decision"] is False and got[2]["score"] < 0.5
+    # z = -1 + 2 - 1 + 1 = 1 -> sigmoid(1) ≈ 0.7311
+    assert got[3]["decision"] is True and got[3]["score"] == 0.7311

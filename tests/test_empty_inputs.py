@@ -158,6 +158,10 @@ REPRESENTATIVE = [
     "text_keyword_cooccurrence",
     "ml_feature_hashing",
     "events_cohort_ltv",
+    # round-5 batch 9
+    "rec_association_rules",
+    "embedding_random_projection",
+    "ml_batch_scoring",
 ]
 
 

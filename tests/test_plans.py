@@ -270,3 +270,55 @@ def test_single_partition_consumer_parser_on_live_plans(spark):
     assert any(c.startswith(("Sort", "Window")) for c in ntile)
     grouped = _single_partition_consumers(_plan(spark, "agg_groupby"))
     assert not [c for c in grouped if c.startswith(("Sort", "Window"))]
+
+
+def test_grid_proximity_join_is_hash_equi_join(spark):
+    """The spatial join must be a hash/sort-merge EQUI join on the
+    cell id — never a nested loop over the raw distance predicate."""
+    plan = _plan(spark, "geo_grid_proximity_join")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert ("BroadcastHashJoin" in plan) or ("SortMergeJoin" in plan)
+
+
+def test_fuzzy_levenshtein_blocks_on_equi_key(spark):
+    """Candidate generation must equi-join on the blocking token; the
+    Levenshtein predicate is a residual filter, not a join strategy."""
+    plan = _plan(spark, "join_fuzzy_levenshtein")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_snapshot_diff_single_full_outer_join(spark):
+    """The CDC diff is exactly one full-outer equi-join of the two
+    versions."""
+    plan = _plan(spark, "maintenance_snapshot_diff")
+    assert plan.count("SortMergeJoin FullOuter") + plan.count(
+        "BroadcastHashJoin"  # AQE may downgrade at tiny SF
+    ) >= 1
+    assert "CartesianProduct" not in plan
+
+
+def test_batch_scoring_is_narrow_map(spark):
+    """Bulk model scoring must not shuffle: no Exchange at all in the
+    plan — the whole query is scan → project."""
+    plan = _plan(spark, "ml_batch_scoring")
+    assert "Exchange" not in plan
+
+
+def test_expectation_suite_single_scan(spark):
+    """All five DQ rules must fold into ONE pass over the fact table —
+    exactly one parquet scan in the plan."""
+    plan = _plan(spark, "quality_expectation_suite")
+    # count scans in the tree section only (the detail blocks repeat
+    # each node name once more)
+    tree = plan.split("\n\n")[0]
+    assert tree.count("Scan parquet") == 1
+
+
+def test_dau_rolling_semi_join_broadcasts_day_spine(spark):
+    """The O(days) distinct-day spine must broadcast into the target
+    filter; the contribution explode must not nested-loop."""
+    plan = _plan(spark, "events_dau_rolling")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
