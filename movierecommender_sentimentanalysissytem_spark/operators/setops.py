@@ -127,3 +127,32 @@ def set_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     row key — the same cost class as the DISTINCT form, unlike a naive
     join which would multiply duplicates instead of min-ing them."""
     return _urgent(spark, sf_dir).intersectAll(_big(spark, sf_dir))
+
+
+@query(
+    "set_except_distinct",
+    oracle="""
+    SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+    EXCEPT
+    SELECT o_custkey FROM orders WHERE o_totalprice > 350000
+    """,
+)
+def set_except_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT DISTINCT — ``subtract`` — completing the set-operation
+    matrix (UNION ALL/DISTINCT, INTERSECT DISTINCT/ALL, EXCEPT
+    ALL/DISTINCT): customers with an urgent order who never placed a
+    top-ticket (> 350k) one, each listed once. The right side uses a
+    HIGHER price bar than set_except's shared helper on purpose: at
+    the 200k bar the distinct difference is empty on the live fixture
+    (every urgent customer also has a 200k order), which would
+    green-on-empty; 350k keeps a non-empty, pinned result. Same
+    left-anti + distinct physical shape on both engines; the ALL twin
+    (set_except) keeps multiplicities — having BOTH keyed documents
+    the semantic trap (EXCEPT is distinct by default in SQL, bag-like
+    in DataFrame ``exceptAll``)."""
+    from movierecommender_sentimentanalysissytem_spark.sources.tables import table
+    from pyspark.sql import functions as F
+
+    o = table(spark, sf_dir, "orders")
+    top = o.filter(F.col("o_totalprice") > 350000).select("o_custkey")
+    return _urgent(spark, sf_dir).subtract(top)

@@ -414,3 +414,48 @@ def maintenance_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         "old_price",
         "new_price",
     )
+
+
+@query(
+    "join_dynamic_partition_pruning",
+    oracle="""
+    WITH flags AS (
+        SELECT * FROM (VALUES ('A', 'closed'), ('N', 'open'),
+                              ('R', 'returned')) AS t(flag, label)
+    )
+    SELECT f.label, COUNT(*) AS n,
+           ROUND(SUM(l.l_extendedprice), 4) AS revenue
+    FROM lineitem l JOIN flags f ON l.l_returnflag = f.flag
+    WHERE f.label = 'returned'
+    GROUP BY f.label
+    """,
+)
+def join_dynamic_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition pruning: the fact table is laid out
+    partitioned on the join key (l_returnflag), the dimension filter
+    (label = 'returned') is only knowable AFTER the optimizer looks
+    through the join — so Catalyst injects a dynamicpruning subquery
+    that evaluates the dim side first and prunes fact PARTITIONS at
+    runtime (pinned in tests/test_plans.py). At 100 TB this is the
+    optimization that turns a full-fact scan joined to a filtered dim
+    into a read of one partition directory — the run-time complement
+    to static partition pruning (sink_partitioned_parquet). The
+    written layout is a temp copy of the fixture (the fixture itself
+    is read-only single-file parquet)."""
+    li = table(spark, sf_dir, "lineitem")
+    out = os.path.join(tempfile.mkdtemp(prefix="mrsas_dpp_"), "li_by_flag")
+    li.write.mode("overwrite").partitionBy("l_returnflag").parquet(out)
+    fact = spark.read.parquet(out)
+    flags = spark.createDataFrame(
+        [("A", "closed"), ("N", "open"), ("R", "returned")],
+        "flag string, label string",
+    )
+    return (
+        fact.join(flags, fact.l_returnflag == flags.flag)
+        .filter(F.col("label") == "returned")
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("l_extendedprice"), 4).alias("revenue"),
+        )
+    )

@@ -300,6 +300,7 @@ _NEW_R5 = frozenset(
     quality_expectation_suite stats_subsample_ci text_keyword_cooccurrence
     ml_feature_hashing events_cohort_ltv
     rec_association_rules embedding_random_projection ml_batch_scoring
+    set_except_distinct join_dynamic_partition_pruning
     """.split()
 )
 

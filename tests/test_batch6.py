@@ -575,3 +575,45 @@ def test_batch_scoring_decision_from_linear_term(spark, tmp_path_factory):
     assert got[2]["decision"] is False and got[2]["score"] < 0.5
     # z = -1 + 2 - 1 + 1 = 1 -> sigmoid(1) ≈ 0.7311
     assert got[3]["decision"] is True and got[3]["score"] == 0.7311
+
+
+def test_except_distinct_vs_except_all_semantics(spark, tmp_path_factory):
+    # cust 1 has TWO urgent orders and no big one: EXCEPT ALL keeps
+    # both copies (set_except), EXCEPT DISTINCT keeps one.
+    out = str(tmp_path_factory.mktemp("exc"))
+    _write(
+        spark, out, "orders",
+        [(1, 1, "O", 100.0, T0, "1-URGENT"),
+         (2, 1, "O", 100.0, T0, "1-URGENT"),
+         (3, 2, "O", 999999.0, T0, "1-URGENT")],
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    )
+    all_rows = [r["o_custkey"]
+                for r in QS["set_except"](spark, out).collect()]
+    dist_rows = [r["o_custkey"]
+                 for r in QS["set_except_distinct"](spark, out).collect()]
+    assert sorted(all_rows) == [1, 1]
+    assert dist_rows == [1]
+
+
+def test_dpp_result_matches_plain_join(spark, tmp_path_factory):
+    # The pruned partitioned read must return exactly what the plain
+    # in-memory join returns.
+    out = str(tmp_path_factory.mktemp("dpp"))
+    rows = []
+    for i, fl in enumerate(["A", "N", "R", "R", "N"]):
+        rows.append((i, 1, 1, 1, 1.0, 100.0 * (i + 1), 0.0, 0.0,
+                     fl, "O", T0))
+    _write(
+        spark, out, "lineitem", rows,
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int, "
+        "l_quantity double, l_extendedprice double, l_discount double, "
+        "l_tax double, l_returnflag string, l_linestatus string, "
+        "l_shipdate timestamp",
+    )
+    got = QS["join_dynamic_partition_pruning"](spark, out).collect()
+    assert len(got) == 1
+    assert got[0]["label"] == "returned"
+    assert got[0]["n"] == 2
+    assert got[0]["revenue"] == 700.0  # rows 300 + 400

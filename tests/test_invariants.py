@@ -460,6 +460,7 @@ def test_threshold_coupled_keys_nonempty_at_oracle_sf():
         "maintenance_snapshot_diff",
         "timeseries_rate_spike",
         "sample_weighted_bernoulli",
+        "set_except_distinct",
     ):
         n = QS[key](spark, SF_ORACLE).count()
         assert n > 0, f"{key} returned 0 rows at {SF_ORACLE}"

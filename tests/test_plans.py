@@ -322,3 +322,10 @@ def test_dau_rolling_semi_join_broadcasts_day_spine(spark):
     plan = _plan(spark, "events_dau_rolling")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_dynamic_partition_pruning_subquery_in_plan(spark):
+    """The partitioned fact scan must carry a dynamicpruning expression
+    fed by the filtered dim side — the runtime partition-prune."""
+    plan = _plan(spark, "join_dynamic_partition_pruning")
+    assert "dynamicpruning" in plan.lower()
