@@ -1,0 +1,224 @@
+"""Differential query fuzzer: generate random ANSI-SQL queries from a
+cross-engine-safe grammar and run the SAME text through Spark SQL and
+DuckDB, comparing full result multisets.
+
+The hand-written oracle pairs (registry.ORACLES) verify the 200+
+curated operators; this fuzzer sweeps the EXPRESSION layer underneath
+them — integer arithmetic, three-valued boolean logic, CASE, string
+length/upper, date part extraction, grouped aggregates — where a
+cross-engine semantic difference would corrupt every operator built on
+top. The grammar deliberately emits only constructs both engines parse
+identically AND evaluate deterministically:
+
+- integer columns / literals, + - * and % with non-negative operands
+  (both engines use dividend-sign %, but staying non-negative removes
+  the question);
+- no floats, no division (summation order / rounding are covered by
+  the curated keys and functions/rounding.py);
+- comparisons, AND/OR/NOT over possibly-NULL inputs (three-valued
+  logic is exactly what we want to cross-check);
+- CASE WHEN, COALESCE, NULLIF;
+- length()/upper() on the categorical columns, year()/month() on the
+  date column;
+- SUM/MIN/MAX/COUNT (+ FILTER-free) over integer expressions, grouped
+  by a bounded-cardinality expression.
+
+Seeded: query k is a pure function of (seed, k) — a failure message
+names the reproducing seed.
+
+CLI: python scripts/fuzz_differential.py [n_queries] [sf_dir]
+"""
+
+from __future__ import annotations
+
+import random
+import sys
+
+TABLES = ("lineitem", "orders", "customer")
+
+INT_COLS = {
+    "lineitem": ["l_orderkey", "l_partkey", "l_suppkey", "l_linenumber"],
+    "orders": ["o_orderkey", "o_custkey"],
+    "customer": ["c_custkey", "c_nationkey"],
+}
+STR_COLS = {
+    "lineitem": ["l_returnflag", "l_linestatus"],
+    "orders": ["o_orderstatus", "o_orderpriority"],
+    "customer": ["c_mktsegment", "c_name"],
+}
+TS_COLS = {
+    "lineitem": ["l_shipdate"],
+    "orders": ["o_orderdate"],
+    "customer": [],
+}
+
+
+def _int_expr(rng: random.Random, table: str, depth: int = 0) -> str:
+    choices = ["col", "lit", "datepart" if TS_COLS[table] else "col",
+               "length"]
+    if depth < 2:
+        choices += ["arith", "mod", "case", "coalesce", "nullif"]
+    kind = rng.choice(choices)
+    if kind == "col":
+        return rng.choice(INT_COLS[table])
+    if kind == "lit":
+        return str(rng.randint(0, 100))
+    if kind == "datepart":
+        fn = rng.choice(["year", "month", "day"])
+        return f"{fn}({rng.choice(TS_COLS[table])})"
+    if kind == "length":
+        return f"length({rng.choice(STR_COLS[table])})"
+    if kind == "arith":
+        op = rng.choice(["+", "-", "*"])
+        a = _int_expr(rng, table, depth + 1)
+        b = _int_expr(rng, table, depth + 1)
+        # keep magnitudes well inside BIGINT even after * chains
+        return f"(({a}) {op} ({b})) % 1000000"
+    if kind == "mod":
+        a = _int_expr(rng, table, depth + 1)
+        return f"(({a}) % {rng.randint(2, 97)})"
+    if kind == "case":
+        c = _bool_expr(rng, table, depth + 1)
+        t = _int_expr(rng, table, depth + 1)
+        f = _int_expr(rng, table, depth + 1)
+        return f"(CASE WHEN {c} THEN {t} ELSE {f} END)"
+    if kind == "coalesce":
+        a = _int_expr(rng, table, depth + 1)
+        b = _int_expr(rng, table, depth + 1)
+        return f"COALESCE(NULLIF({a}, {rng.randint(0, 50)}), {b})"
+    # nullif
+    a = _int_expr(rng, table, depth + 1)
+    return f"NULLIF({a}, {rng.randint(0, 50)})"
+
+
+def _bool_expr(rng: random.Random, table: str, depth: int = 0) -> str:
+    if depth < 2 and rng.random() < 0.4:
+        op = rng.choice(["AND", "OR"])
+        a = _bool_expr(rng, table, depth + 1)
+        b = _bool_expr(rng, table, depth + 1)
+        e = f"({a}) {op} ({b})"
+        return f"NOT ({e})" if rng.random() < 0.2 else e
+    kind = rng.choice(["cmp", "cmp", "in", "null", "strcmp"])
+    if kind == "cmp":
+        op = rng.choice(["<", "<=", ">", ">=", "=", "!="])
+        return f"({_int_expr(rng, table, depth + 1)}) {op} ({_int_expr(rng, table, depth + 1)})"
+    if kind == "in":
+        col = rng.choice(INT_COLS[table])
+        vals = ", ".join(str(rng.randint(0, 200)) for _ in range(3))
+        return f"({col} % 211) IN ({vals})"
+    if kind == "null":
+        return f"NULLIF({_int_expr(rng, table, depth + 1)}, {rng.randint(0, 30)}) IS NULL"
+    # strcmp
+    col = rng.choice(STR_COLS[table])
+    return f"upper({col}) {rng.choice(['=', '!='])} upper({col})"
+
+
+def gen_query(seed: int, k: int) -> str:
+    rng = random.Random((seed << 16) ^ k)
+    table = rng.choice(TABLES)
+    shape = rng.choice(["grouped", "grouped", "filtered_scan"])
+    if shape == "filtered_scan":
+        exprs = ", ".join(
+            f"({_int_expr(rng, table)}) AS e{i}" for i in range(3)
+        )
+        key = INT_COLS[table][0]
+        return (
+            f"SELECT {key}, {exprs} FROM {table} "
+            f"WHERE {_bool_expr(rng, table)}"
+        )
+    group = rng.choice(
+        [rng.choice(STR_COLS[table]),
+         f"(({_int_expr(rng, table)}) % {rng.randint(2, 12)})"]
+    )
+    aggs = []
+    for i in range(3):
+        fn = rng.choice(["SUM", "MIN", "MAX", "COUNT"])
+        aggs.append(f"{fn}({_int_expr(rng, table)}) AS a{i}")
+    having = ""
+    if rng.random() < 0.3:
+        having = f" HAVING COUNT(*) > {rng.randint(0, 5)}"
+    where = ""
+    if rng.random() < 0.6:
+        where = f" WHERE {_bool_expr(rng, table)}"
+    return (
+        f"SELECT {group} AS g, COUNT(*) AS n, {', '.join(aggs)} "
+        f"FROM {table}{where} GROUP BY {group}{having}"
+    )
+
+
+def run_differential(spark, sf_dir: str, seeds) -> list[str]:
+    """Run each generated query through both engines; return mismatch
+    descriptions (empty = all agree)."""
+    import duckdb
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{sf_dir}/{t}.parquet')"
+        )
+        spark.read.parquet(f"{sf_dir}/{t}.parquet").createOrReplaceTempView(t)
+
+    def norm(rows):
+        out = []
+        for r in rows:
+            out.append(tuple(
+                int(v) if isinstance(v, bool) is False and isinstance(v, int)
+                else v
+                for v in r
+            ))
+        return sorted(out, key=lambda t: tuple(
+            (x is None, str(type(x)), str(x)) for x in t
+        ))
+
+    failures = []
+    for seed, k in seeds:
+        q = gen_query(seed, k)
+        try:
+            s_rows = [tuple(r) for r in spark.sql(q).collect()]
+            d_rows = [tuple(r) for r in con.sql(q).fetchall()]
+        except Exception as exc:  # noqa: BLE001
+            failures.append(f"seed={seed} k={k} ERROR {exc}\n  {q}")
+            continue
+        if norm(s_rows) != norm(d_rows):
+            sn, dn = norm(s_rows), norm(d_rows)
+            diff = next(
+                (i for i, (a, b) in enumerate(zip(sn, dn)) if a != b),
+                min(len(sn), len(dn)),
+            )
+            failures.append(
+                f"seed={seed} k={k} MISMATCH rows {len(sn)} vs {len(dn)}, "
+                f"first diff at {diff}: "
+                f"{sn[diff] if diff < len(sn) else '<none>'} vs "
+                f"{dn[diff] if diff < len(dn) else '<none>'}\n  {q}"
+            )
+    return failures
+
+
+def main() -> int:
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 50
+    sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.001"
+
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .appName("fuzz-differential")
+        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .config("spark.ui.showConsoleProgress", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    failures = run_differential(
+        spark, sf_dir, [(0, k) for k in range(n)]
+    )
+    for f in failures:
+        print("FAIL", f)
+    print(f"{n - len(failures)} agree, {len(failures)} mismatch")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
