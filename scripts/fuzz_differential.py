@@ -113,10 +113,60 @@ def _bool_expr(rng: random.Random, table: str, depth: int = 0) -> str:
     return f"upper({col}) {rng.choice(['=', '!='])} upper({col})"
 
 
+def _join_query(rng: random.Random) -> str:
+    """orders ⋈ lineitem with a random join type — outer-join NULL
+    semantics and ON-vs-WHERE filter placement are classic
+    cross-engine drift spots, so both are exercised."""
+    jt = rng.choice(["JOIN", "LEFT JOIN", "JOIN", "RIGHT JOIN"])
+    on_extra = ""
+    if rng.random() < 0.4:
+        on_extra = f" AND ({_bool_expr(rng, 'lineitem')})"
+    where = ""
+    if rng.random() < 0.5:
+        where = f" WHERE {_bool_expr(rng, 'orders')}"
+    group = rng.choice(
+        ["o_orderpriority", "o_orderstatus",
+         f"((o_custkey) % {rng.randint(2, 12)})"]
+    )
+    aggs = []
+    for i in range(2):
+        fn = rng.choice(["SUM", "MIN", "MAX", "COUNT"])
+        src = rng.choice(["lineitem", "orders"])
+        aggs.append(f"{fn}({_int_expr(rng, src)}) AS a{i}")
+    return (
+        f"SELECT {group} AS g, COUNT(*) AS n, {', '.join(aggs)} "
+        f"FROM orders {jt} lineitem "
+        f"ON l_orderkey = o_orderkey{on_extra}{where} "
+        f"GROUP BY {group}"
+    )
+
+
+def _topk_query(rng: random.Random, table: str) -> str:
+    """Deterministic ORDER BY (unique key as final tie-break) + LIMIT —
+    the sort/limit layer with no ambiguity for either engine."""
+    key = INT_COLS[table][0]
+    e = _int_expr(rng, table)
+    where = ""
+    if rng.random() < 0.5:
+        where = f" WHERE {_bool_expr(rng, table)}"
+    direction = rng.choice(["ASC", "DESC"])
+    return (
+        f"SELECT {key}, ({e}) AS v FROM {table}{where} "
+        f"ORDER BY v {direction} NULLS LAST, {key} ASC "
+        f"LIMIT {rng.randint(1, 50)}"
+    )
+
+
 def gen_query(seed: int, k: int) -> str:
     rng = random.Random((seed << 16) ^ k)
     table = rng.choice(TABLES)
-    shape = rng.choice(["grouped", "grouped", "filtered_scan"])
+    shape = rng.choice(
+        ["grouped", "grouped", "filtered_scan", "join", "topk"]
+    )
+    if shape == "join":
+        return _join_query(rng)
+    if shape == "topk":
+        return _topk_query(rng, table)
     if shape == "filtered_scan":
         exprs = ", ".join(
             f"({_int_expr(rng, table)}) AS e{i}" for i in range(3)
