@@ -187,3 +187,103 @@ def ml_batch_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
         round4(1.0 / (1.0 + F.exp(-z))).alias("score"),
         (z >= 0).alias("decision"),
     )
+
+
+@query(
+    "ml_feature_scaling",
+    oracle="""
+    WITH stats AS (
+        SELECT l_returnflag AS g,
+               MIN(l_extendedprice) AS mn, MAX(l_extendedprice) AS mx,
+               AVG(l_quantity) AS mu, STDDEV_SAMP(l_quantity) AS sd
+        FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_orderkey, l_linenumber, l_returnflag,
+           FLOOR((l_extendedprice - mn) / NULLIF(mx - mn, 0)
+                 * 10000 + 0.5) / 10000 AS price_minmax,
+           FLOOR((l_quantity - mu) / NULLIF(sd, 0) * 10000 + 0.5) / 10000
+               AS qty_zscore
+    FROM lineitem JOIN stats ON l_returnflag = stats.g
+    """,
+)
+def ml_feature_scaling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group feature normalization — min-max scaling and z-scores,
+    the preprocessing step in front of any distance- or
+    gradient-based model. The scalable shape is fit-then-transform as
+    TWO relational stages sharing one scan lineage: a per-group
+    aggregate produces the O(groups) stats relation (map-side
+    combinable), which broadcast-joins back onto the fact rows for a
+    row-local transform — never a window over the full table (a
+    window would re-sort every partition to compute four numbers per
+    group). Degenerate groups follow NULLIF semantics on both sides:
+    constant features scale to NULL rather than ±inf/NaN — the
+    explicit signal downstream imputation looks for."""
+    li = table(spark, sf_dir, "lineitem")
+    stats = li.groupBy(F.col("l_returnflag").alias("g")).agg(
+        F.min("l_extendedprice").alias("mn"),
+        F.max("l_extendedprice").alias("mx"),
+        F.avg("l_quantity").alias("mu"),
+        F.stddev_samp("l_quantity").alias("sd"),
+    )
+    j = li.join(
+        F.broadcast(stats), li.l_returnflag == stats.g
+    )
+    rng = F.nullif(F.col("mx") - F.col("mn"), F.lit(0.0))
+    sd = F.nullif(F.col("sd"), F.lit(0.0))
+    return j.select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_returnflag",
+        round4((F.col("l_extendedprice") - F.col("mn")) / rng).alias(
+            "price_minmax"
+        ),
+        round4((F.col("l_quantity") - F.col("mu")) / sd).alias("qty_zscore"),
+    )
+
+
+@query(
+    "ml_target_encoding",
+    oracle="""
+    WITH g AS (SELECT AVG(l_quantity) AS gm FROM lineitem),
+    per_cat AS (
+        SELECT p_brand AS category, COUNT(*) AS n,
+               SUM(l_quantity) AS sum_y
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        GROUP BY p_brand
+    )
+    SELECT category, n,
+           FLOOR((sum_y + 10 * gm) / (n + 10) * 10000 + 0.5) / 10000
+               AS encoded
+    FROM per_cat CROSS JOIN g
+    """,
+)
+def ml_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Smoothed target encoding: replace a categorical feature
+    (p_brand) with the shrunken mean of the target —
+    (Σy + m·global_mean)/(n + m), m = 10 — the high-cardinality
+    categorical workhorse that one-hot encoding can't scale to. The
+    fit is one joint fact⋈dim aggregate producing an O(categories)
+    encoder relation plus a 1-row global-mean broadcast; shrinkage
+    toward the global mean is what keeps rare categories from
+    memorizing their handful of targets (the m=10 prior acts as 10
+    pseudo-observations). The encoder table IS the model artifact —
+    applying it downstream is a broadcast join, exactly the
+    fit/transform split ml_feature_scaling demonstrates."""
+    li = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part")
+    g = li.agg(F.avg("l_quantity").alias("gm"))
+    per_cat = (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .groupBy(F.col("p_brand").alias("category"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("l_quantity").alias("sum_y"),
+        )
+    )
+    return per_cat.crossJoin(F.broadcast(g)).select(
+        "category",
+        "n",
+        round4(
+            (F.col("sum_y") + 10 * F.col("gm")) / (F.col("n") + 10)
+        ).alias("encoded"),
+    )

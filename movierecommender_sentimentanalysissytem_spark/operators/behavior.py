@@ -600,3 +600,64 @@ def events_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@query(
+    "events_stickiness",
+    oracle="""
+    WITH ud AS (
+        SELECT DISTINCT user_id,
+               datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS d
+        FROM events
+    ),
+    days AS (SELECT DISTINCT d FROM ud),
+    contrib AS (
+        SELECT user_id, d + x.o AS target
+        FROM ud CROSS JOIN (SELECT unnest(range(30)) AS o) x
+    ),
+    mau AS (
+        SELECT target AS d, COUNT(DISTINCT user_id) AS mau30
+        FROM contrib WHERE target IN (SELECT d FROM days)
+        GROUP BY target
+    ),
+    dau AS (SELECT d, COUNT(*) AS dau FROM ud GROUP BY d)
+    SELECT CAST(dau.d AS BIGINT) AS day_num, dau.dau,
+           CAST(mau.mau30 AS BIGINT) AS mau30,
+           FLOOR(CAST(dau.dau AS DOUBLE) / mau.mau30 * 10000 + 0.5)
+               / 10000 AS stickiness
+    FROM dau JOIN mau ON dau.d = mau.d
+    """,
+)
+def events_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stickiness (DAU/MAU): the engagement-quality ratio — what
+    fraction of the month's actives showed up today. Same contribution-
+    explode identity as events_dau_rolling at window 30: each distinct
+    (user, day) feeds 30 target days, one count-distinct per target —
+    constant 30× replication of the DISTINCT pairs (not the raw
+    events), two partial-aggregable shuffles, no per-day re-scan. The
+    ratio projects with the stable 4-dp round; day coverage is gated
+    by the observed-day spine broadcast, like the 7-day twin."""
+    e = table(spark, sf_dir, "events")
+    ud = e.select(
+        "user_id",
+        F.datediff(F.to_date("ts"), F.lit("2024-01-01")).alias("d"),
+    ).distinct()
+    days = ud.select("d").distinct()
+    contrib = ud.select(
+        "user_id",
+        F.explode(F.sequence(F.col("d"), F.col("d") + 29)).alias("target"),
+    )
+    mau = (
+        contrib.join(F.broadcast(days), contrib.target == days.d, "left_semi")
+        .groupBy("target")
+        .agg(F.count_distinct("user_id").alias("mau30"))
+    )
+    dau = ud.groupBy("d").agg(F.count(F.lit(1)).alias("dau"))
+    return dau.join(mau, dau.d == mau.target).select(
+        F.col("d").cast("bigint").alias("day_num"),
+        "dau",
+        F.col("mau30").cast("bigint").alias("mau30"),
+        round4(F.col("dau").cast("double") / F.col("mau30")).alias(
+            "stickiness"
+        ),
+    )

@@ -459,3 +459,41 @@ def join_dynamic_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFram
             F.round(F.sum("l_extendedprice"), 4).alias("revenue"),
         )
     )
+
+
+@query(
+    "scan_ignore_corrupt_files",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS n,
+           ROUND(SUM(o_totalprice), 4) AS total
+    FROM orders WHERE o_orderkey % 2 = 0
+    GROUP BY o_orderpriority
+    """,
+)
+def scan_ignore_corrupt_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corrupt-file resilience: a directory holding one good parquet
+    file AND one garbage file that is not parquet at all — read with
+    ``spark.sql.files.ignoreCorruptFiles`` so the scan survives and
+    returns the good file's rows. At 100 TB a torn write or a bad
+    object-store replica is a WHEN, not an if; the operational choice
+    this key pins is skip-and-continue (with the corrupt file's rows
+    absent) versus failing a 10-hour job on one of 100k files. The
+    oracle reads the same logical slice from the intact fixture, so
+    the check also proves the good file's content arrives complete —
+    nothing silently dropped beyond the corrupt member."""
+    o = table(spark, sf_dir, "orders")
+    out = os.path.join(tempfile.mkdtemp(prefix="mrsas_corrupt_"), "orders_mix")
+    o.filter(F.col("o_orderkey") % 2 == 0).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(out)
+    with open(os.path.join(out, "part-corrupt.parquet"), "wb") as fh:
+        fh.write(b"this is not a parquet file" * 64)
+    reader = spark.read.option("ignoreCorruptFiles", "true")
+    return (
+        reader.parquet(out)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("o_totalprice"), 4).alias("total"),
+        )
+    )

@@ -57,6 +57,7 @@ NLJ_OK = {
     "text_keyword_cooccurrence",  # 1-row N-docs scalar broadcast cross
                                   # (same class as text_tfidf)
     "rec_association_rules",      # 1-row basket-count scalar broadcast
+    "ml_target_encoding",         # 1-row global-mean scalar broadcast
     "embedding_random_projection",  # 8×64 literal-range sign matrix
                                     # (512 constant rows, built by cross
                                     # of two spark.range literals)

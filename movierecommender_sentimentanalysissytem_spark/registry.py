@@ -292,6 +292,17 @@ _NEW_R5 = frozenset(
     multimodal_decode_audio multimodal_decode_image
     set_intersect_all udf_pandas_iter stats_psi_drift
     quality_table_checksum sample_k_per_group
+    """.split()
+)
+
+# Keys first registered in the round-5 CONTINUATION session (batches
+# 6-11) — one more waiting tier: they sort after every _NEW_R5 key so
+# the sweep head documented mid-round (20 carryover + the earliest
+# round-5 batches) keeps its exact composition; without this tier,
+# module import order interleaves these into positions 20-49 and
+# displaces longer-waiting keys from the 50-key driver budget.
+_NEW_R5B = frozenset(
+    """
     stats_mann_whitney stats_spearman_by_group events_dau_rolling
     rec_eval_precision_at_k join_fuzzy_levenshtein geo_grid_proximity_join
     curation_chunk_overlap
@@ -301,6 +312,8 @@ _NEW_R5 = frozenset(
     ml_feature_hashing events_cohort_ltv
     rec_association_rules embedding_random_projection ml_batch_scoring
     set_except_distinct join_dynamic_partition_pruning
+    ml_feature_scaling ml_target_encoding events_stickiness
+    scan_ignore_corrupt_files
     """.split()
 )
 
@@ -349,7 +362,9 @@ def _sweep_order(keys: list[str]) -> list[str]:
             prio.get(k, 0),
             last_checked.get(k, 0),
             # debut round: longer-waiting keys before newer additions
-            2 if k in _NEW_R5 else (1 if k in _NEW_R4 else 0),
+            3
+            if k in _NEW_R5B
+            else (2 if k in _NEW_R5 else (1 if k in _NEW_R4 else 0)),
             k in _EXPENSIVE,
             indexed[k],
         ),

@@ -617,3 +617,103 @@ def test_dpp_result_matches_plain_join(spark, tmp_path_factory):
     assert got[0]["label"] == "returned"
     assert got[0]["n"] == 2
     assert got[0]["revenue"] == 700.0  # rows 300 + 400
+
+
+# ---- batch 11 ----
+
+
+def test_feature_scaling_degenerate_groups_null(spark, tmp_path_factory):
+    # group 'C' has constant price and constant quantity: both scaled
+    # features must be NULL (NULLIF), never inf/NaN. Group 'V' checks
+    # the closed-form min-max and z-score values.
+    out = str(tmp_path_factory.mktemp("scale"))
+    rows = [
+        (1, 1, 1, 1, 10.0, 100.0, 0.0, 0.0, "V", "O", T0),
+        (2, 1, 1, 2, 20.0, 200.0, 0.0, 0.0, "V", "O", T0),
+        (3, 1, 1, 3, 5.0, 50.0, 0.0, 0.0, "C", "O", T0),
+        (4, 1, 1, 4, 5.0, 50.0, 0.0, 0.0, "C", "O", T0),
+    ]
+    _write(
+        spark, out, "lineitem", rows,
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int, "
+        "l_quantity double, l_extendedprice double, l_discount double, "
+        "l_tax double, l_returnflag string, l_linestatus string, "
+        "l_shipdate timestamp",
+    )
+    got = {r["l_linenumber"]: r for r in
+           QS["ml_feature_scaling"](spark, out).collect()}
+    assert got[1]["price_minmax"] == 0.0
+    assert got[2]["price_minmax"] == 1.0
+    # z-scores of {10, 20}: mean 15, sd_samp = sqrt(50) -> ±0.7071
+    assert got[1]["qty_zscore"] == -0.7071
+    assert got[2]["qty_zscore"] == 0.7071
+    assert got[3]["price_minmax"] is None
+    assert got[3]["qty_zscore"] is None
+
+
+def test_target_encoding_shrinks_rare_categories(spark, tmp_path_factory):
+    # global mean 5. Brand 'rare' has ONE row with y=100: encoded =
+    # (100 + 10·5)/(1+10) = 150/11 ≈ 13.6364 — pulled hard toward the
+    # prior. Brand 'big' has 10 rows of y=4: (40+50)/20 = 4.5.
+    out = str(tmp_path_factory.mktemp("te"))
+    lrows = [(1, 1, 1, 1, 100.0, 1.0, 0.0, 0.0, "N", "O", T0)]
+    for i in range(10):
+        lrows.append((2 + i, 2, 1, 1, 4.0, 1.0, 0.0, 0.0, "N", "O", T0))
+    # pad rows on a third brand to set the global mean to exactly 5:
+    # sum so far 140 over 11 rows; 9 rows of y=1 -> 149/20 ... instead
+    # use 4 rows of y=15 -> (140+60)/15 = 13.33 no. Compute directly:
+    # add k rows of value v so (140 + k·v)/(11+k) = 5 -> k·v = 5k - 85
+    # k=18, v≈... simpler: k=17, v=0 -> 140/28 = 5.0 exactly.
+    for i in range(17):
+        lrows.append((20 + i, 3, 1, 1, 0.0, 1.0, 0.0, 0.0, "N", "O", T0))
+    _write(
+        spark, out, "lineitem", lrows,
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int, "
+        "l_quantity double, l_extendedprice double, l_discount double, "
+        "l_tax double, l_returnflag string, l_linestatus string, "
+        "l_shipdate timestamp",
+    )
+    _write(
+        spark, out, "part",
+        [(1, "a", "rare", "T", 1, 1.0), (2, "b", "big", "T", 1, 1.0),
+         (3, "c", "pad", "T", 1, 1.0)],
+        "p_partkey long, p_name string, p_brand string, p_type string, "
+        "p_size int, p_retailprice double",
+    )
+    got = {r["category"]: r for r in
+           QS["ml_target_encoding"](spark, out).collect()}
+    assert got["rare"]["encoded"] == 13.6364
+    assert got["big"]["encoded"] == 4.5
+
+
+def test_stickiness_bounds_and_value(spark, tmp_path_factory):
+    # day 0: users {1,2}; day 10: user 1 only. stickiness(10) =
+    # 1/2 (user 2 still inside the trailing 30 days); stickiness(0) = 1.
+    out = str(tmp_path_factory.mktemp("stick"))
+    rows = [
+        (1, T0, 1, "view", 1.0, "{}"),
+        (2, T0, 2, "view", 1.0, "{}"),
+        (3, T0 + dt.timedelta(days=10), 1, "view", 1.0, "{}"),
+    ]
+    _events(spark, out, rows)
+    got = {r["day_num"]: r for r in
+           QS["events_stickiness"](spark, out).collect()}
+    assert got[0]["stickiness"] == 1.0
+    assert (got[10]["dau"], got[10]["mau30"]) == (1, 2)
+    assert got[10]["stickiness"] == 0.5
+
+
+def test_ignore_corrupt_files_keeps_good_rows(spark, tmp_path_factory):
+    # run against a crafted orders table; the query plants its own
+    # corrupt file — all even-key rows must come back.
+    out = str(tmp_path_factory.mktemp("corrupt"))
+    _write(
+        spark, out, "orders",
+        [(k, 1, "O", 100.0, T0, "p") for k in range(1, 21)],
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    )
+    rows = QS["scan_ignore_corrupt_files"](spark, out).collect()
+    assert len(rows) == 1
+    assert rows[0]["n"] == 10          # keys 2,4,...,20
+    assert rows[0]["total"] == 1000.0

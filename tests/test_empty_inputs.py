@@ -167,6 +167,14 @@ REPRESENTATIVE = [
     # cannot re-infer a schema from (same class as the other
     # write-then-read sink keys, which are also excluded).
     "set_except_distinct",
+    # round-5 batch 11 (scan_ignore_corrupt_files included: its
+    # coalesce(1) write emits one schema-bearing empty part file, so
+    # the read-back works even on empty input — unlike the partitionBy
+    # writes excluded above).
+    "ml_feature_scaling",
+    "ml_target_encoding",
+    "events_stickiness",
+    "scan_ignore_corrupt_files",
 ]
 
 

@@ -137,3 +137,25 @@ def test_checked_tail_is_staleness_ordered():
             last[k] = rnd
     seq = [last[k] for k in queries() if k in last]
     assert seq == sorted(seq), "checked tail not staleness-ordered"
+
+
+def test_continuation_keys_queue_behind_first_wave():
+    """Batches 6-11 (the round-5 continuation, _NEW_R5B) must not
+    displace longer-waiting unchecked keys from the 50-key driver
+    budget: as long as ≥50 non-R5B unchecked keys exist, the first 50
+    contain none of them (module import order would otherwise
+    interleave them in)."""
+    from movierecommender_sentimentanalysissytem_spark.registry import (
+        _DRIVER_CHECKED,
+        _NEW_R5B,
+        queries,
+    )
+
+    unchecked = [k for k in queries() if k not in _DRIVER_CHECKED]
+    older = [k for k in unchecked if k not in _NEW_R5B]
+    if len(older) >= 50:
+        assert not [k for k in unchecked[:50] if k in _NEW_R5B]
+    # and every R5B key still sorts before nothing newer (suffix check:
+    # all R5B keys are contiguous at the tail of the unchecked block)
+    tail = unchecked[len(older):]
+    assert set(tail) <= _NEW_R5B
