@@ -52,6 +52,20 @@ TS_COLS = {
     "customer": [],
 }
 
+# Tables with a genuinely UNIQUE key, for deterministic tie-breaks in
+# ORDER BY-sensitive shapes (window, top-k). The fuzzer itself proved
+# the synthetic lineitem fixture has NO unique key — not even
+# (l_orderkey, l_linenumber): 1401 duplicate pairs at sf0.001 — so a
+# LAG/LIMIT over any lineitem ordering has genuine ties and the
+# engines legitimately disagree on peer order. Order-sensitive shapes
+# therefore run only on key-bearing tables; this is the same
+# total-order determinism rule every curated window key follows
+# (FIXTURES.md), discovered here the hard way by seed 0 / k 216.
+UNIQUE_KEY = {
+    "orders": "o_orderkey ASC",
+    "customer": "c_custkey ASC",
+}
+
 
 def _int_expr(rng: random.Random, table: str, depth: int = 0) -> str:
     choices = ["col", "lit", "datepart" if TS_COLS[table] else "col",
@@ -152,21 +166,69 @@ def _topk_query(rng: random.Random, table: str) -> str:
     direction = rng.choice(["ASC", "DESC"])
     return (
         f"SELECT {key}, ({e}) AS v FROM {table}{where} "
-        f"ORDER BY v {direction} NULLS LAST, {key} ASC "
+        f"ORDER BY v {direction} NULLS LAST, {UNIQUE_KEY[table]} "
         f"LIMIT {rng.randint(1, 50)}"
     )
+
+
+def _window_query(rng: random.Random, table: str) -> str:
+    """Window functions over a TOTAL ordering (unique key as the final
+    ORDER BY tie-break) — rank/running-sum/lag semantics are only
+    comparable cross-engine when the frame ordering is unambiguous,
+    which is itself the determinism rule every curated window key
+    follows (FIXTURES.md)."""
+    key = INT_COLS[table][0]
+    tiebreak = UNIQUE_KEY[table]
+    part = rng.choice(
+        [f"PARTITION BY {rng.choice(STR_COLS[table])} ",
+         f"PARTITION BY (({rng.choice(INT_COLS[table])}) % {rng.randint(2, 8)}) ",
+         ""]
+    )
+    order = (
+        f"ORDER BY ({_int_expr(rng, table)}) "
+        f"{rng.choice(['ASC', 'DESC'])} NULLS LAST, {tiebreak}"
+    )
+    fns = []
+    for i, fam in enumerate(rng.sample(
+        ["rank", "running", "lag", "ntile"], k=2
+    )):
+        if fam == "rank":
+            fn = rng.choice(["ROW_NUMBER()", "RANK()", "DENSE_RANK()"])
+            fns.append(f"{fn} OVER ({part}{order}) AS w{i}")
+        elif fam == "running":
+            agg = rng.choice(["SUM", "MIN", "MAX", "COUNT"])
+            e = _int_expr(rng, table)
+            fns.append(
+                f"{agg}({e}) OVER ({part}{order} "
+                f"ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS w{i}"
+            )
+        elif fam == "lag":
+            e = _int_expr(rng, table)
+            fns.append(
+                f"LAG({e}, {rng.randint(1, 3)}) OVER ({part}{order}) AS w{i}"
+            )
+        else:
+            fns.append(
+                f"NTILE({rng.randint(2, 7)}) OVER ({part}{order}) AS w{i}"
+            )
+    where = ""
+    if rng.random() < 0.4:
+        where = f" WHERE {_bool_expr(rng, table)}"
+    return f"SELECT {key}, {', '.join(fns)} FROM {table}{where}"
 
 
 def gen_query(seed: int, k: int) -> str:
     rng = random.Random((seed << 16) ^ k)
     table = rng.choice(TABLES)
     shape = rng.choice(
-        ["grouped", "grouped", "filtered_scan", "join", "topk"]
+        ["grouped", "grouped", "filtered_scan", "join", "topk", "window"]
     )
     if shape == "join":
         return _join_query(rng)
     if shape == "topk":
-        return _topk_query(rng, table)
+        return _topk_query(rng, rng.choice(sorted(UNIQUE_KEY)))
+    if shape == "window":
+        return _window_query(rng, rng.choice(sorted(UNIQUE_KEY)))
     if shape == "filtered_scan":
         exprs = ", ".join(
             f"({_int_expr(rng, table)}) AS e{i}" for i in range(3)
