@@ -217,11 +217,49 @@ def _window_query(rng: random.Random, table: str) -> str:
     return f"SELECT {key}, {', '.join(fns)} FROM {table}{where}"
 
 
+def _distinct_query(rng: random.Random, table: str) -> str:
+    """DISTINCT aggregates — the dedup-inside-aggregation layer."""
+    group = rng.choice(STR_COLS[table])
+    e1 = _int_expr(rng, table)
+    e2 = _int_expr(rng, table)
+    where = ""
+    if rng.random() < 0.5:
+        where = f" WHERE {_bool_expr(rng, table)}"
+    return (
+        f"SELECT {group} AS g, COUNT(DISTINCT ({e1})) AS cd, "
+        f"SUM(DISTINCT ({e2})) AS sd, COUNT(*) AS n "
+        f"FROM {table}{where} GROUP BY {group}"
+    )
+
+
+def _subquery_query(rng: random.Random) -> str:
+    """IN / NOT IN / EXISTS subqueries — three-valued-logic membership
+    across a correlated boundary (NOT IN under NULLs is the classic
+    trap; the generator keeps the subquery side non-null so both
+    engines' results are well-defined and must agree)."""
+    form = rng.choice(["in", "not_in", "exists", "not_exists"])
+    sub_pred = _bool_expr(rng, "orders")
+    if form in ("in", "not_in"):
+        neg = "NOT " if form == "not_in" else ""
+        return (
+            f"SELECT c_custkey FROM customer "
+            f"WHERE c_custkey {neg}IN "
+            f"(SELECT o_custkey FROM orders WHERE {sub_pred})"
+        )
+    neg = "NOT " if form == "not_exists" else ""
+    return (
+        f"SELECT c_custkey FROM customer WHERE {neg}EXISTS "
+        f"(SELECT 1 FROM orders WHERE o_custkey = c_custkey "
+        f"AND ({sub_pred}))"
+    )
+
+
 def gen_query(seed: int, k: int) -> str:
     rng = random.Random((seed << 16) ^ k)
     table = rng.choice(TABLES)
     shape = rng.choice(
-        ["grouped", "grouped", "filtered_scan", "join", "topk", "window"]
+        ["grouped", "grouped", "filtered_scan", "join", "topk", "window",
+         "distinct", "subquery"]
     )
     if shape == "join":
         return _join_query(rng)
@@ -229,6 +267,10 @@ def gen_query(seed: int, k: int) -> str:
         return _topk_query(rng, rng.choice(sorted(UNIQUE_KEY)))
     if shape == "window":
         return _window_query(rng, rng.choice(sorted(UNIQUE_KEY)))
+    if shape == "distinct":
+        return _distinct_query(rng, table)
+    if shape == "subquery":
+        return _subquery_query(rng)
     if shape == "filtered_scan":
         exprs = ", ".join(
             f"({_int_expr(rng, table)}) AS e{i}" for i in range(3)
