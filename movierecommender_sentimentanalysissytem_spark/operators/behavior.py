@@ -661,3 +661,109 @@ def events_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
             "stickiness"
         ),
     )
+
+
+@query(
+    "events_ab_test_analysis",
+    oracle="""
+    WITH assigned AS (
+        SELECT DISTINCT user_id,
+               CAST('0x' || substr(md5('ab:' || user_id), 1, 15)
+                    AS BIGINT) % 2 AS arm
+        FROM events
+    ),
+    conv AS (
+        SELECT DISTINCT user_id FROM events
+        WHERE event_type = 'purchase' AND value > 150
+    ),
+    arms AS (
+        SELECT arm, COUNT(*) AS n,
+               CAST(SUM(CASE WHEN conv.user_id IS NOT NULL
+                        THEN 1 ELSE 0 END) AS BIGINT) AS x
+        FROM assigned LEFT JOIN conv USING (user_id)
+        GROUP BY arm
+    ),
+    wide AS (
+        SELECT MAX(CASE WHEN arm = 0 THEN n END) AS n0,
+               MAX(CASE WHEN arm = 0 THEN x END) AS x0,
+               MAX(CASE WHEN arm = 1 THEN n END) AS n1,
+               MAX(CASE WHEN arm = 1 THEN x END) AS x1
+        FROM arms
+    )
+    SELECT n0, x0, n1, x1,
+           FLOOR(CAST(x0 AS DOUBLE) / n0 * 10000 + 0.5) / 10000 AS rate0,
+           FLOOR(CAST(x1 AS DOUBLE) / n1 * 10000 + 0.5) / 10000 AS rate1,
+           FLOOR((CAST(x1 AS DOUBLE) / n1 - CAST(x0 AS DOUBLE) / n0)
+                 * 10000 + 0.5) / 10000 AS lift,
+           FLOOR(((CAST(x1 AS DOUBLE) / n1 - CAST(x0 AS DOUBLE) / n0)
+                  / NULLIF(sqrt((CAST(x0 + x1 AS DOUBLE) / (n0 + n1))
+                         * (1 - CAST(x0 + x1 AS DOUBLE) / (n0 + n1))
+                         * (1.0 / n0 + 1.0 / n1)), 0))
+                 * 10000 + 0.5) / 10000 AS z
+    FROM wide
+    """,
+)
+def events_ab_test_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B experiment readout: deterministic 50/50 hash assignment
+    (the md5 family — the SAME user always lands in the same arm, on
+    any engine, with no assignment table to store), per-arm conversion
+    to purchase, lift, and the pooled two-proportion z statistic. This
+    is the experimentation tier the engagement operators feed: at
+    100 TB the whole analysis is two distinct-reductions on user_id
+    and a 2-row pivot — assignment is computed, never joined from
+    state. The z-score's sqrt runs over exact integer ratios, so the
+    4-dp stable round fully absorbs its single-ulp; arm hashing on the
+    DISTINCT user set keeps heavy users from weighting assignment."""
+    e = table(spark, sf_dir, "events")
+    assigned = e.select(
+        "user_id",
+        F.expr(
+            "CAST(conv(substring(md5(concat('ab:', user_id)), 1, 15),"
+            " 16, 10) AS BIGINT) % 2"
+        ).alias("arm"),
+    ).distinct()
+    # conversion = a HIGH-VALUE purchase (> 150): on the live fixture
+    # every user purchases something, which would make the pooled
+    # variance zero and z NULL — the threshold keeps both arms'
+    # conversion genuinely partial (pinned in tests)
+    conv = (
+        e.filter(
+            (F.col("event_type") == "purchase") & (F.col("value") > 150)
+        )
+        .select("user_id")
+        .distinct()
+        .withColumn("converted", F.lit(1))
+    )
+    arms = (
+        assigned.join(conv, "user_id", "left")
+        .groupBy("arm")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.coalesce("converted", F.lit(0))).cast("bigint").alias("x"),
+        )
+    )
+    wide = arms.agg(
+        F.max(F.when(F.col("arm") == 0, F.col("n"))).alias("n0"),
+        F.max(F.when(F.col("arm") == 0, F.col("x"))).alias("x0"),
+        F.max(F.when(F.col("arm") == 1, F.col("n"))).alias("n1"),
+        F.max(F.when(F.col("arm") == 1, F.col("x"))).alias("x1"),
+    )
+    r0 = F.col("x0").cast("double") / F.col("n0")
+    r1 = F.col("x1").cast("double") / F.col("n1")
+    p = (F.col("x0") + F.col("x1")).cast("double") / (
+        F.col("n0") + F.col("n1")
+    )
+    # a universally-converting (or never-converting) population has
+    # zero pooled variance: z is undefined -> NULL via NULLIF, the
+    # same degenerate-denominator convention as the regression keys
+    z = (r1 - r0) / F.nullif(
+        F.sqrt(p * (1 - p) * (1.0 / F.col("n0") + 1.0 / F.col("n1"))),
+        F.lit(0.0),
+    )
+    return wide.select(
+        "n0", "x0", "n1", "x1",
+        round4(r0).alias("rate0"),
+        round4(r1).alias("rate1"),
+        round4(r1 - r0).alias("lift"),
+        round4(z).alias("z"),
+    )

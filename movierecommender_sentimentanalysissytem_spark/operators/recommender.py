@@ -751,3 +751,93 @@ def rec_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("lift"),
         )
     )
+
+
+@query(
+    "rec_diversity_coverage",
+    oracle="""
+    WITH ratings AS (
+        SELECT o_custkey AS u, l_partkey AS item, AVG(l_quantity) AS r
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY o_custkey, l_partkey
+    ),
+    recs AS (
+        SELECT u, item FROM (
+            SELECT u, item, ROW_NUMBER() OVER (
+                PARTITION BY u ORDER BY r DESC, item ASC) AS rn
+            FROM ratings
+        ) WHERE rn <= 5
+    ),
+    exposure AS (
+        SELECT item, COUNT(*) AS cnt FROM recs GROUP BY item
+    ),
+    ranked AS (
+        SELECT cnt, ROW_NUMBER() OVER (ORDER BY cnt ASC, item ASC) AS rk
+        FROM exposure
+    ),
+    agg AS (
+        SELECT COUNT(*) AS n_rec, SUM(cnt) AS total,
+               SUM(CAST(rk AS DOUBLE) * cnt) AS wsum
+        FROM ranked
+    ),
+    catalog AS (SELECT COUNT(*) AS n_cat FROM part)
+    SELECT CAST(n_cat AS BIGINT) AS n_items_catalog,
+           CAST(n_rec AS BIGINT) AS n_items_recommended,
+           FLOOR(CAST(n_rec AS DOUBLE) / n_cat * 10000 + 0.5) / 10000
+               AS coverage,
+           FLOOR((2.0 * wsum / (n_rec * total) - (n_rec + 1.0) / n_rec)
+                 * 10000 + 0.5) / 10000 AS exposure_gini
+    FROM agg CROSS JOIN catalog
+    """,
+)
+def rec_diversity_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Beyond-accuracy recommender evaluation: catalog coverage (what
+    fraction of items ever gets recommended) and the Gini
+    concentration of recommendation exposure — the popularity-bias
+    audit that precision metrics (rec_eval_precision_at_k) are blind
+    to: a recommender can score high precision while showing everyone
+    the same 10 blockbusters. Exposure counts reduce the top-5 lists
+    to one row per RECOMMENDED item, so the Gini rank pass runs over
+    the O(catalog) item rollup — bounded by the vocabulary, not the
+    interaction count (same class as the other reviewed bounded-rollup
+    sorts, allowlisted in plans/audit.py); catalog size is a 1-row
+    broadcast. Exposure weights are integer counts, so the Gini's
+    weighted sum is exact before its single stable round."""
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    ratings = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy(
+            F.col("o_custkey").alias("u"), F.col("l_partkey").alias("item")
+        )
+        .agg(F.avg("l_quantity").alias("r"))
+    )
+    w = Window.partitionBy("u").orderBy(F.desc("r"), F.asc("item"))
+    recs = (
+        ratings.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("u", "item")
+    )
+    exposure = recs.groupBy("item").agg(F.count(F.lit(1)).alias("cnt"))
+    ranked = exposure.withColumn(
+        "rk", F.row_number().over(Window.orderBy(F.asc("cnt"), F.asc("item")))
+    )
+    agg = ranked.agg(
+        F.count(F.lit(1)).alias("n_rec"),
+        F.sum("cnt").alias("total"),
+        F.sum(F.col("rk").cast("double") * F.col("cnt")).alias("wsum"),
+    )
+    catalog = table(spark, sf_dir, "part").agg(
+        F.count(F.lit(1)).alias("n_cat")
+    )
+    return agg.crossJoin(F.broadcast(catalog)).select(
+        F.col("n_cat").cast("bigint").alias("n_items_catalog"),
+        F.col("n_rec").cast("bigint").alias("n_items_recommended"),
+        round4(F.col("n_rec").cast("double") / F.col("n_cat")).alias(
+            "coverage"
+        ),
+        round4(
+            2.0 * F.col("wsum") / (F.col("n_rec") * F.col("total"))
+            - (F.col("n_rec") + 1.0) / F.col("n_rec")
+        ).alias("exposure_gini"),
+    )

@@ -72,6 +72,8 @@ NLJ_OK = {
                                     # 2-dp event values), not O(rows)
     "events_cumulative_unique",     # growth-curve window: O(months) rows
     "timeseries_rate_spike",        # trailing-week window: O(days) rows
+    "rec_diversity_coverage",       # Gini rank pass: O(catalog items)
+                                    # rollup, not O(interactions)
 }
 
 

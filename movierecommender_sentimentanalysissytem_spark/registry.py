@@ -314,6 +314,7 @@ _NEW_R5B = frozenset(
     set_except_distinct join_dynamic_partition_pruning
     ml_feature_scaling ml_target_encoding events_stickiness
     scan_ignore_corrupt_files
+    events_ab_test_analysis rec_diversity_coverage stream_windowed_topk
     """.split()
 )
 

@@ -632,3 +632,55 @@ def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return _run_available_now(joined, spark, "append")
+
+
+@query(
+    "stream_windowed_topk",
+    oracle="""
+    WITH counts AS (
+        SELECT floor(epoch(date_trunc('second', ts)) / 600) * 600 AS s,
+               event_type, COUNT(*) AS n
+        FROM events GROUP BY s, event_type
+    ),
+    ranked AS (
+        SELECT s, event_type, n,
+               CAST(ROW_NUMBER() OVER (
+                   PARTITION BY s ORDER BY n DESC, event_type ASC)
+                   AS INTEGER) AS rnk
+        FROM counts
+    )
+    SELECT strftime(to_timestamp(s), '%Y-%m-%d %H:%M:%S') AS bucket,
+           event_type, n, rnk
+    FROM ranked WHERE rnk <= 3
+    """,
+)
+def stream_windowed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-window top-k leaderboard: the 3 most frequent event types in
+    every 10-minute tumbling window — the trending-now panel every
+    event dashboard renders. Rank-over-aggregate is NOT expressible
+    inside a single incremental streaming query (rank is
+    non-monotonic under late data), so the production shape is the
+    two-stage pattern this key pins: the windowed counts run
+    incrementally under readStream + watermark (identical expression
+    to stream_tumbling_window), and the rank runs per micro-batch
+    over the emitted window rows in foreachBatch
+    (stream_foreach_batch_sink demonstrates that half). State stays
+    bounded: rank state is O(event types) per window, and the window
+    partition key distributes it."""
+    e = _events(spark, sf_dir)
+    counts = e.groupBy(
+        F.window("ts_s", "10 minutes").alias("w"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w_rank = Window.partitionBy("w").orderBy(
+        F.desc("n"), F.asc("event_type")
+    )
+    return (
+        counts.withColumn("rnk", F.row_number().over(w_rank).cast("int"))
+        .filter(F.col("rnk") <= 3)
+        .select(
+            F.date_format("w.start", _BUCKET_FMT).alias("bucket"),
+            "event_type",
+            "n",
+            "rnk",
+        )
+    )

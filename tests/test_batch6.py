@@ -717,3 +717,111 @@ def test_ignore_corrupt_files_keeps_good_rows(spark, tmp_path_factory):
     assert len(rows) == 1
     assert rows[0]["n"] == 10          # keys 2,4,...,20
     assert rows[0]["total"] == 1000.0
+
+
+# ---- batch 12 ----
+
+
+def test_ab_test_closed_form(spark, tmp_path_factory):
+    # Build users whose md5 arm assignment is KNOWN, with conversion
+    # (value>150 purchase) fully controlled per user: arm0 = {1 of 2
+    # converts}, arm1 = {2 of 2 convert}.
+    import hashlib
+
+    def arm(uid):
+        h = hashlib.md5(f"ab:{uid}".encode()).hexdigest()
+        return int(h[:15], 16) % 2
+
+    arm0 = [u for u in range(1, 40) if arm(u) == 0][:2]
+    arm1 = [u for u in range(1, 40) if arm(u) == 1][:2]
+    out = str(tmp_path_factory.mktemp("ab"))
+    rows, eid = [], 0
+    for u, conv in [(arm0[0], True), (arm0[1], False),
+                    (arm1[0], True), (arm1[1], True)]:
+        rows.append((eid, T0, u, "view", 1.0, "{}")); eid += 1
+        if conv:
+            rows.append((eid, T0, u, "purchase", 200.0, "{}")); eid += 1
+        else:
+            rows.append((eid, T0, u, "purchase", 10.0, "{}")); eid += 1
+    _events(spark, out, rows)
+    r = QS["events_ab_test_analysis"](spark, out).collect()[0]
+    assert (r["n0"], r["x0"], r["n1"], r["x1"]) == (2, 1, 2, 2)
+    assert r["rate0"] == 0.5 and r["rate1"] == 1.0
+    assert r["lift"] == 0.5
+    # pooled p = 3/4 -> z = 0.5 / sqrt(0.1875 * 1) = 1.1547
+    assert r["z"] == 1.1547
+
+
+def test_ab_test_z_null_when_everyone_converts(spark, tmp_path_factory):
+    import hashlib
+
+    def arm(uid):
+        h = hashlib.md5(f"ab:{uid}".encode()).hexdigest()
+        return int(h[:15], 16) % 2
+
+    a0 = next(u for u in range(1, 40) if arm(u) == 0)
+    a1 = next(u for u in range(1, 40) if arm(u) == 1)
+    out = str(tmp_path_factory.mktemp("ab0"))
+    rows = [(1, T0, a0, "purchase", 200.0, "{}"),
+            (2, T0, a1, "purchase", 200.0, "{}")]
+    _events(spark, out, rows)
+    r = QS["events_ab_test_analysis"](spark, out).collect()[0]
+    assert r["lift"] == 0.0
+    assert r["z"] is None  # zero pooled variance -> undefined, not inf
+
+
+def test_diversity_gini_extremes(spark, tmp_path_factory):
+    # 4 users all rate item 1 highest (and only 1 extra item each with
+    # lower rating): exposure is concentrated -> gini > 0, coverage =
+    # recommended/catalog computed exactly.
+    out = str(tmp_path_factory.mktemp("div"))
+    orows, lrows, ok = [], [], 1
+    for u in range(1, 5):
+        orows.append((ok, u, "O", 1.0, T0, "p"))
+        lrows.append((ok, 1, 0, 1, 50.0, 1.0, 0.0, 0.0, "N", "O", T0))
+        lrows.append((ok, 10 + u, 0, 2, 1.0, 1.0, 0.0, 0.0, "N", "O", T0))
+        ok += 1
+    _write(
+        spark, out, "orders", orows,
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    )
+    _write(
+        spark, out, "lineitem", lrows,
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int, "
+        "l_quantity double, l_extendedprice double, l_discount double, "
+        "l_tax double, l_returnflag string, l_linestatus string, "
+        "l_shipdate timestamp",
+    )
+    _write(
+        spark, out, "part",
+        [(k, "p", "B", "T", 1, 1.0) for k in [1, 11, 12, 13, 14] + [99]],
+        "p_partkey long, p_name string, p_brand string, p_type string, "
+        "p_size int, p_retailprice double",
+    )
+    r = QS["rec_diversity_coverage"](spark, out).collect()[0]
+    # 5 distinct items recommended of 6 catalog items
+    assert r["n_items_recommended"] == 5
+    assert r["n_items_catalog"] == 6
+    assert r["coverage"] == 0.8333
+    # exposures [1,1,1,1,4]: gini = 2*(1+2+3+4+4*5)/(5*8) - 6/5 = 0.3
+    assert r["exposure_gini"] == 0.3
+
+
+def test_stream_windowed_topk_rank_and_cut(spark, tmp_path_factory):
+    # one 10-min window with four types at counts 3/2/2/1: top-3 keeps
+    # the count-3 type and the two count-2 types (alphabetical
+    # tie-break), drops the count-1 type.
+    out = str(tmp_path_factory.mktemp("swtk"))
+    rows, eid = [], 0
+    for typ, cnt in [("view", 3), ("click", 2), ("error", 2),
+                     ("purchase", 1)]:
+        for i in range(cnt):
+            rows.append((eid, T0 + dt.timedelta(seconds=eid), 1, typ,
+                         1.0, "{}"))
+            eid += 1
+    _events(spark, out, rows)
+    got = [(r["event_type"], r["n"], r["rnk"]) for r in sorted(
+        QS["stream_windowed_topk"](spark, out).collect(),
+        key=lambda r: r["rnk"])]
+    assert got == [("view", 3, 1), ("click", 2, 2), ("error", 2, 3)]

@@ -175,6 +175,10 @@ REPRESENTATIVE = [
     "ml_target_encoding",
     "events_stickiness",
     "scan_ignore_corrupt_files",
+    # round-5 batch 12. events_ab_test_analysis excluded: a 1-row
+    # experiment report (grand-total class); rec_diversity_coverage
+    # likewise (1-row metric report).
+    "stream_windowed_topk",
 ]
 
 
