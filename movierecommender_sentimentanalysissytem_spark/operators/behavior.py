@@ -767,3 +767,78 @@ def events_ab_test_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
         round4(r1 - r0).alias("lift"),
         round4(z).alias("z"),
     )
+
+
+@query(
+    "events_window_funnel",
+    oracle=f"""
+    WITH o AS (
+        SELECT user_id, event_type, {_SEC} AS sec,
+               last_value(CASE WHEN event_type = 'click' THEN {_SEC} END
+                          IGNORE NULLS) OVER w AS last_click_sec
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY {_SEC}, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ),
+    flags AS (
+        SELECT user_id,
+               MAX(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                   AS did_click,
+               MAX(CASE WHEN event_type = 'purchase'
+                        AND last_click_sec IS NOT NULL
+                        AND sec - last_click_sec <= 3600
+                        THEN 1 ELSE 0 END) AS did_convert
+        FROM o GROUP BY user_id
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(SUM(did_click) AS BIGINT) AS n_clicked,
+           CAST(SUM(did_convert) AS BIGINT) AS n_converted_1h,
+           FLOOR(CAST(SUM(did_convert) AS DOUBLE)
+                 / NULLIF(SUM(did_click), 0) * 10000 + 0.5) / 10000
+               AS conv_rate
+    FROM flags
+    """,
+)
+def events_window_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strict-sequence window funnel: click THEN purchase within one
+    hour — the time-constrained ordered funnel (ClickHouse's
+    windowFunnel shape) that the unordered funnel_conversion and the
+    uncapped attribution_last_touch both miss. The running
+    last-click-time window state makes the sequence check row-local
+    (O(1) state per user, one user_id shuffle, no click×purchase
+    self-join that would blow up on heavy clickers); per-user flags
+    then collapse to a single funnel report row. The conversion rate
+    guards its denominator with NULLIF on both sides."""
+    e = table(spark, sf_dir, "events").withColumn("sec", _sec_col())
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("sec", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    last_click = F.last(
+        F.when(F.col("event_type") == "click", F.col("sec")),
+        ignorenulls=True,
+    ).over(w)
+    o = e.withColumn("last_click_sec", last_click)
+    flags = o.groupBy("user_id").agg(
+        F.max(
+            F.when(F.col("event_type") == "click", 1).otherwise(0)
+        ).alias("did_click"),
+        F.max(
+            F.when(
+                (F.col("event_type") == "purchase")
+                & F.col("last_click_sec").isNotNull()
+                & (F.col("sec") - F.col("last_click_sec") <= 3600),
+                1,
+            ).otherwise(0)
+        ).alias("did_convert"),
+    )
+    return flags.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        F.sum("did_click").cast("bigint").alias("n_clicked"),
+        F.sum("did_convert").cast("bigint").alias("n_converted_1h"),
+        round4(
+            F.sum("did_convert").cast("double")
+            / F.nullif(F.sum("did_click"), F.lit(0))
+        ).alias("conv_rate"),
+    )

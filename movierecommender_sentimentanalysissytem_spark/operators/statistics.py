@@ -761,3 +761,66 @@ def stats_subsample_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         round4(F.col("mm") - half).alias("ci_low"),
         round4(F.col("mm") + half).alias("ci_high"),
     )
+
+
+@query(
+    "profile_join_skew",
+    oracle="""
+    WITH per_key AS (
+        SELECT l_partkey AS k, COUNT(*) AS c FROM lineitem GROUP BY k
+    ),
+    stats AS (
+        SELECT COUNT(*) AS n_keys, MAX(c) AS max_rows,
+               SUM(c) AS total_rows
+        FROM per_key
+    ),
+    heavy AS (
+        SELECT k, c, ROW_NUMBER() OVER (ORDER BY c DESC, k ASC) AS rn
+        FROM per_key
+    )
+    SELECT heavy.k AS heavy_key, heavy.c AS heavy_rows,
+           CAST(heavy.rn AS INTEGER) AS rank,
+           stats.n_keys, stats.max_rows,
+           FLOOR(CAST(stats.total_rows AS DOUBLE) / stats.n_keys
+                 * 10000 + 0.5) / 10000 AS avg_rows,
+           FLOOR(CAST(stats.max_rows AS DOUBLE)
+                 / (CAST(stats.total_rows AS DOUBLE) / stats.n_keys)
+                 * 10000 + 0.5) / 10000 AS skew_ratio
+    FROM heavy CROSS JOIN stats
+    WHERE heavy.rn <= 5
+    """,
+)
+def profile_join_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew diagnosis: per-key cardinality profile of a join
+    column (top-5 heaviest keys, max/avg ratio) — the measurement that
+    DECIDES between a plain shuffle join, salting (join_skew_salted),
+    and AQE skew splitting. At 100 TB you run this before the join,
+    not after the stage straggles: one partial-aggregable count per
+    key, a 1-row moment summary broadcast onto the O(keys) rollup, and
+    a top-k window over that rollup (WindowGroupLimit — never a sort
+    of the fact table). The skew ratio is a ratio of exact integers
+    under the stable round."""
+    li = table(spark, sf_dir, "lineitem")
+    per_key = li.groupBy(F.col("l_partkey").alias("k")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    stats = per_key.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.max("c").alias("max_rows"),
+        F.sum("c").alias("total_rows"),
+    )
+    heavy = per_key.withColumn(
+        "rn", F.row_number().over(Window.orderBy(F.desc("c"), F.asc("k")))
+    ).filter(F.col("rn") <= 5)
+    avg_rows = F.col("total_rows").cast("double") / F.col("n_keys")
+    return heavy.crossJoin(F.broadcast(stats)).select(
+        F.col("k").alias("heavy_key"),
+        F.col("c").alias("heavy_rows"),
+        F.col("rn").cast("int").alias("rank"),
+        "n_keys",
+        "max_rows",
+        round4(avg_rows).alias("avg_rows"),
+        round4(F.col("max_rows").cast("double") / avg_rows).alias(
+            "skew_ratio"
+        ),
+    )

@@ -58,6 +58,8 @@ NLJ_OK = {
                                   # (same class as text_tfidf)
     "rec_association_rules",      # 1-row basket-count scalar broadcast
     "ml_target_encoding",         # 1-row global-mean scalar broadcast
+    "profile_join_skew",          # 1-row moment-summary broadcast onto
+                                  # the O(keys) top-5 rollup
     "embedding_random_projection",  # 8×64 literal-range sign matrix
                                     # (512 constant rows, built by cross
                                     # of two spark.range literals)

@@ -315,6 +315,7 @@ _NEW_R5B = frozenset(
     ml_feature_scaling ml_target_encoding events_stickiness
     scan_ignore_corrupt_files
     events_ab_test_analysis rec_diversity_coverage stream_windowed_topk
+    profile_join_skew events_window_funnel
     """.split()
 )
 

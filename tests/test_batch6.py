@@ -825,3 +825,45 @@ def test_stream_windowed_topk_rank_and_cut(spark, tmp_path_factory):
         QS["stream_windowed_topk"](spark, out).collect(),
         key=lambda r: r["rnk"])]
     assert got == [("view", 3, 1), ("click", 2, 2), ("error", 2, 3)]
+
+
+def test_join_skew_profile_values(spark, tmp_path_factory):
+    # keys: 1 ×6, 2 ×2, 3 ×1, 4 ×1: n_keys 4, max 6, avg 2.5,
+    # skew_ratio 2.4; heavy list ordered by count desc then key.
+    out = str(tmp_path_factory.mktemp("skew"))
+    rows = []
+    for i, pk in enumerate([1] * 6 + [2] * 2 + [3, 4]):
+        rows.append((i, pk, 1, 1, 1.0, 1.0, 0.0, 0.0, "N", "O", T0))
+    _write(
+        spark, out, "lineitem", rows,
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int, "
+        "l_quantity double, l_extendedprice double, l_discount double, "
+        "l_tax double, l_returnflag string, l_linestatus string, "
+        "l_shipdate timestamp",
+    )
+    got = sorted(QS["profile_join_skew"](spark, out).collect(),
+                 key=lambda r: r["rank"])
+    assert [(r["heavy_key"], r["heavy_rows"]) for r in got] == [
+        (1, 6), (2, 2), (3, 1), (4, 1)]
+    assert got[0]["n_keys"] == 4
+    assert got[0]["avg_rows"] == 2.5
+    assert got[0]["skew_ratio"] == 2.4
+
+
+def test_window_funnel_time_cap(spark, tmp_path_factory):
+    # user 1 converts inside the hour; user 2's purchase comes 2h
+    # after their click (out of window); user 3 purchases with NO
+    # prior click; user 4 clicks only.
+    out = str(tmp_path_factory.mktemp("wf"))
+    rows = [
+        (1, T0, 1, "click", 1.0, "{}"),
+        (2, T0 + dt.timedelta(minutes=30), 1, "purchase", 5.0, "{}"),
+        (3, T0, 2, "click", 1.0, "{}"),
+        (4, T0 + dt.timedelta(hours=2), 2, "purchase", 5.0, "{}"),
+        (5, T0, 3, "purchase", 5.0, "{}"),
+        (6, T0, 4, "click", 1.0, "{}"),
+    ]
+    _events(spark, out, rows)
+    r = QS["events_window_funnel"](spark, out).collect()[0]
+    assert (r["n_users"], r["n_clicked"], r["n_converted_1h"]) == (4, 3, 1)
+    assert r["conv_rate"] == 0.3333

@@ -179,6 +179,9 @@ REPRESENTATIVE = [
     # experiment report (grand-total class); rec_diversity_coverage
     # likewise (1-row metric report).
     "stream_windowed_topk",
+    # round-5 batch 14. events_window_funnel excluded (1-row funnel
+    # report, grand-total class).
+    "profile_join_skew",
 ]
 
 
