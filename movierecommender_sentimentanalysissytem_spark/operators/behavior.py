@@ -842,3 +842,91 @@ def events_window_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.nullif(F.sum("did_click"), F.lit(0))
         ).alias("conv_rate"),
     )
+
+
+@query(
+    "stats_power_analysis",
+    oracle="""
+    WITH assigned AS (
+        SELECT DISTINCT user_id,
+               CAST('0x' || substr(md5('ab:' || user_id), 1, 15)
+                    AS BIGINT) % 2 AS arm
+        FROM events
+    ),
+    conv AS (
+        SELECT DISTINCT user_id FROM events
+        WHERE event_type = 'purchase' AND value > 150
+    ),
+    arms AS (
+        SELECT arm, COUNT(*) AS n,
+               CAST(SUM(CASE WHEN conv.user_id IS NOT NULL
+                        THEN 1 ELSE 0 END) AS BIGINT) AS x
+        FROM assigned LEFT JOIN conv USING (user_id)
+        GROUP BY arm
+    ),
+    base AS (
+        SELECT SUM(n) AS n_total,
+               CAST(SUM(x) AS DOUBLE) / SUM(n) AS p,
+               MIN(n) AS n_arm
+        FROM arms
+    )
+    SELECT CAST(n_total AS BIGINT) AS n_total,
+           CAST(n_arm AS BIGINT) AS n_per_arm,
+           FLOOR(p * 10000 + 0.5) / 10000 AS baseline_rate,
+           FLOOR(((1.96 + 0.8416) * sqrt(2.0 * p * (1 - p) / n_arm))
+                 * 10000 + 0.5) / 10000 AS mde_abs,
+           FLOOR(((1.96 + 0.8416) * sqrt(2.0 * p * (1 - p) / n_arm)
+                  / NULLIF(p, 0)) * 10000 + 0.5) / 10000 AS mde_rel
+    FROM base
+    """,
+)
+def stats_power_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Experiment power analysis: the minimum detectable effect at
+    α = 0.05 (two-sided) and 80% power for the A/B setup of
+    events_ab_test_analysis — MDE = (z_α/2 + z_β)·√(2p(1−p)/n_arm),
+    the pre-registration number every experiment review asks for
+    BEFORE the test runs (an observed lift below the MDE is noise no
+    matter what the z-score says). Same two distinct-reductions as the
+    A/B readout collapsed to a 1-row report; the conservative per-arm
+    n is the SMALLER arm (hash assignment is near- but not exactly
+    50/50). Pure closed-form arithmetic over exact integer counts —
+    the z quantiles are literals, the single sqrt is IEEE-exact."""
+    e = table(spark, sf_dir, "events")
+    assigned = e.select(
+        "user_id",
+        F.expr(
+            "CAST(conv(substring(md5(concat('ab:', user_id)), 1, 15),"
+            " 16, 10) AS BIGINT) % 2"
+        ).alias("arm"),
+    ).distinct()
+    conv = (
+        e.filter(
+            (F.col("event_type") == "purchase") & (F.col("value") > 150)
+        )
+        .select("user_id")
+        .distinct()
+        .withColumn("converted", F.lit(1))
+    )
+    arms = (
+        assigned.join(conv, "user_id", "left")
+        .groupBy("arm")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.coalesce("converted", F.lit(0))).cast("bigint").alias("x"),
+        )
+    )
+    base = arms.agg(
+        F.sum("n").alias("n_total"),
+        (F.sum("x").cast("double") / F.sum("n")).alias("p"),
+        F.min("n").alias("n_arm"),
+    )
+    mde = (1.96 + 0.8416) * F.sqrt(
+        2.0 * F.col("p") * (1 - F.col("p")) / F.col("n_arm")
+    )
+    return base.select(
+        F.col("n_total").cast("bigint").alias("n_total"),
+        F.col("n_arm").cast("bigint").alias("n_per_arm"),
+        round4(F.col("p")).alias("baseline_rate"),
+        round4(mde).alias("mde_abs"),
+        round4(mde / F.nullif(F.col("p"), F.lit(0.0))).alias("mde_rel"),
+    )

@@ -391,3 +391,85 @@ def timeseries_rate_spike(spark: SparkSession, sf_dir: str) -> DataFrame:
         round4(F.col("trail_avg")).alias("trail_avg"),
         (F.col("err_rate") > 2 * F.col("trail_avg")).alias("is_spike"),
     )
+
+
+@query(
+    "timeseries_backlog_curve",
+    oracle="""
+    WITH placed AS (
+        SELECT datediff('day', DATE '1992-01-01',
+                        CAST(o_orderdate AS DATE)) AS d,
+               COUNT(*) AS placed
+        FROM orders GROUP BY d
+    ),
+    completed AS (
+        SELECT datediff('day', DATE '1992-01-01',
+                        CAST(MAX(l_shipdate) AS DATE)) AS d,
+               COUNT(*) AS done
+        FROM lineitem GROUP BY l_orderkey
+        HAVING COUNT(*) > 0
+    ),
+    done_per_day AS (
+        SELECT d, CAST(COUNT(*) AS BIGINT) AS done
+        FROM (SELECT d FROM completed) GROUP BY d
+    ),
+    spine AS (
+        SELECT COALESCE(p.d, c.d) AS d,
+               COALESCE(p.placed, 0) AS placed,
+               COALESCE(c.done, 0) AS done
+        FROM placed p FULL OUTER JOIN done_per_day c ON p.d = c.d
+    )
+    SELECT CAST(d AS BIGINT) AS day_num,
+           CAST(placed AS BIGINT) AS placed,
+           done AS completed,
+           CAST(SUM(placed - done) OVER (ORDER BY d
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS open_backlog
+    FROM spine
+    """,
+)
+def timeseries_backlog_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Open-order backlog over time, reconstructed event-sourcing
+    style: each order contributes +1 on its placement day and −1 on
+    its completion day (max line-item ship date), and the backlog
+    curve is the running sum of the daily net — the operational
+    inventory/WIP chart. The scalable identity: the fact tables
+    collapse to two O(days) daily rollups (placement is a direct
+    groupBy; completion needs one orderkey reduction first), a
+    full-outer day-spine merge aligns them, and the only ordered pass
+    is the running sum over the calendar-bounded spine (same reviewed
+    class as the growth curve). No per-day interval-containment join
+    — the naive "count orders where placed ≤ d < completed per d"
+    re-scans the facts once per day."""
+    o = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    placed = o.groupBy(
+        F.datediff(F.to_date("o_orderdate"), F.lit("1992-01-01")).alias("d")
+    ).agg(F.count(F.lit(1)).alias("placed"))
+    completed = (
+        li.groupBy("l_orderkey")
+        .agg(F.max("l_shipdate").alias("last_ship"))
+        .groupBy(
+            F.datediff(F.to_date("last_ship"), F.lit("1992-01-01")).alias(
+                "d"
+            )
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("done"))
+    )
+    spine = placed.join(
+        completed, placed.d == completed.d, "full_outer"
+    ).select(
+        F.coalesce(placed.d, completed.d).alias("d"),
+        F.coalesce("placed", F.lit(0)).alias("placed"),
+        F.coalesce("done", F.lit(0)).alias("done"),
+    )
+    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    return spine.select(
+        F.col("d").cast("bigint").alias("day_num"),
+        F.col("placed").cast("bigint").alias("placed"),
+        F.col("done").alias("completed"),
+        F.sum(F.col("placed") - F.col("done"))
+        .over(w)
+        .cast("bigint")
+        .alias("open_backlog"),
+    )

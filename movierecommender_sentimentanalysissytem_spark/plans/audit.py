@@ -76,6 +76,7 @@ NLJ_OK = {
     "timeseries_rate_spike",        # trailing-week window: O(days) rows
     "rec_diversity_coverage",       # Gini rank pass: O(catalog items)
                                     # rollup, not O(interactions)
+    "timeseries_backlog_curve",     # running-sum window: O(days) spine
 }
 
 

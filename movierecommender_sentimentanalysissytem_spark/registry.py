@@ -316,6 +316,7 @@ _NEW_R5B = frozenset(
     scan_ignore_corrupt_files
     events_ab_test_analysis rec_diversity_coverage stream_windowed_topk
     profile_join_skew events_window_funnel
+    stats_power_analysis timeseries_backlog_curve
     """.split()
 )
 

@@ -867,3 +867,62 @@ def test_window_funnel_time_cap(spark, tmp_path_factory):
     r = QS["events_window_funnel"](spark, out).collect()[0]
     assert (r["n_users"], r["n_clicked"], r["n_converted_1h"]) == (4, 3, 1)
     assert r["conv_rate"] == 0.3333
+
+
+def test_power_analysis_closed_form(spark, tmp_path_factory):
+    import hashlib
+
+    def arm(uid):
+        h = hashlib.md5(f"ab:{uid}".encode()).hexdigest()
+        return int(h[:15], 16) % 2
+
+    # 2 users per arm; exactly one converter total -> p = 0.25.
+    arm0 = [u for u in range(1, 60) if arm(u) == 0][:2]
+    arm1 = [u for u in range(1, 60) if arm(u) == 1][:2]
+    out = str(tmp_path_factory.mktemp("pow"))
+    rows, eid = [], 0
+    for u in arm0 + arm1:
+        val = 200.0 if u == arm0[0] else 10.0
+        rows.append((eid, T0, u, "purchase", val, "{}")); eid += 1
+    _events(spark, out, rows)
+    r = QS["stats_power_analysis"](spark, out).collect()[0]
+    assert (r["n_total"], r["n_per_arm"]) == (4, 2)
+    assert r["baseline_rate"] == 0.25
+    # mde = 2.8016 * sqrt(2*0.25*0.75/2) = 2.8016*sqrt(0.1875)
+    import math
+    raw = 2.8016 * math.sqrt(0.1875)
+    assert r["mde_abs"] == math.floor(raw * 10000 + 0.5) / 10000
+    # relative MDE divides the UNROUNDED absolute value
+    assert r["mde_rel"] == math.floor(raw / 0.25 * 10000 + 0.5) / 10000
+
+
+def test_backlog_curve_reconciles(spark, tmp_path_factory):
+    # order 1 placed day0 ships day2; order 2 placed day1 ships day1:
+    # backlog by day = [1, 1, 0] with placement/completion columns.
+    d0 = dt.datetime(1992, 1, 1)
+    out = str(tmp_path_factory.mktemp("backlog"))
+    _write(
+        spark, out, "orders",
+        [(1, 1, "O", 1.0, d0, "p"),
+         (2, 1, "O", 1.0, d0 + dt.timedelta(days=1), "p")],
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    )
+    _write(
+        spark, out, "lineitem",
+        [(1, 1, 1, 1, 1.0, 1.0, 0.0, 0.0, "N", "O",
+          d0 + dt.timedelta(days=1)),
+         (1, 2, 1, 2, 1.0, 1.0, 0.0, 0.0, "N", "O",
+          d0 + dt.timedelta(days=2)),
+         (2, 1, 1, 1, 1.0, 1.0, 0.0, 0.0, "N", "O",
+          d0 + dt.timedelta(days=1))],
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int, "
+        "l_quantity double, l_extendedprice double, l_discount double, "
+        "l_tax double, l_returnflag string, l_linestatus string, "
+        "l_shipdate timestamp",
+    )
+    got = {r["day_num"]: (r["placed"], r["completed"], r["open_backlog"])
+           for r in QS["timeseries_backlog_curve"](spark, out).collect()}
+    # day0: order1 placed; day1: order2 placed AND completed (its only
+    # line ships day1); day2: order1's last line ships -> completed.
+    assert got == {0: (1, 0, 1), 1: (1, 1, 1), 2: (0, 1, 0)}

@@ -182,6 +182,9 @@ REPRESENTATIVE = [
     # round-5 batch 14. events_window_funnel excluded (1-row funnel
     # report, grand-total class).
     "profile_join_skew",
+    # round-5 batch 15. stats_power_analysis excluded (1-row report);
+    # timeseries_backlog_curve included (empty spine -> 0 rows).
+    "timeseries_backlog_curve",
 ]
 
 
