@@ -254,13 +254,43 @@ def _subquery_query(rng: random.Random) -> str:
     )
 
 
+def _rollup_query(rng: random.Random, table: str) -> str:
+    """ROLLUP/CUBE with GROUPING() markers — subtotal rows emit NULL
+    group keys, and GROUPING() is the only way to tell a rolled-up
+    NULL from a data NULL; both engines must agree on the full
+    subtotal lattice.
+
+    NO WHERE clause by design: the fuzzer found (seed 0 / k 332) that
+    on EMPTY input Spark's ROLLUP/CUBE returns zero rows while DuckDB
+    emits the SQL-standard grand-total row (the () grouping set
+    aggregates the empty relation to one row, like a bare COUNT(*)).
+    That is a REAL engine divergence, pinned as a known-divergence
+    test — not noise for the agreement sweep."""
+    cols = rng.sample(STR_COLS[table], k=min(2, len(STR_COLS[table])))
+    op = rng.choice(["ROLLUP", "CUBE"])
+    agg = rng.choice(["SUM", "MIN", "MAX", "COUNT"])
+    e = _int_expr(rng, table)
+    where = ""
+    glist = ", ".join(cols)
+    marks = ", ".join(
+        f"CAST(GROUPING({c}) AS INTEGER) AS m{i}"
+        for i, c in enumerate(cols)
+    )
+    return (
+        f"SELECT {glist}, {marks}, COUNT(*) AS n, {agg}({e}) AS a "
+        f"FROM {table}{where} GROUP BY {op}({glist})"
+    )
+
+
 def gen_query(seed: int, k: int) -> str:
     rng = random.Random((seed << 16) ^ k)
     table = rng.choice(TABLES)
     shape = rng.choice(
         ["grouped", "grouped", "filtered_scan", "join", "topk", "window",
-         "distinct", "subquery"]
+         "distinct", "subquery", "rollup"]
     )
+    if shape == "rollup":
+        return _rollup_query(rng, table)
     if shape == "join":
         return _join_query(rng)
     if shape == "topk":

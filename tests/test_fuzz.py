@@ -52,3 +52,24 @@ def test_harness_detects_known_divergence(spark, monkeypatch):
     failures = fz.run_differential(spark, SF_SMALL, [(99, 0)])
     assert len(failures) == 1
     assert "MISMATCH" in failures[0]
+
+
+def test_known_divergence_rollup_on_empty_input(spark, monkeypatch):
+    """Found by the fuzzer (seed 0 / k 332): on EMPTY input, DuckDB's
+    GROUP BY ROLLUP emits the SQL-standard grand-total row (the ()
+    grouping set aggregates the empty relation to one row, count 0)
+    while Spark returns ZERO rows. Pinned so the knowledge survives:
+    the harness must flag it, and the curated rollup keys' empty-input
+    exclusions (tests/test_empty_inputs.py's grand-total class) rest
+    on exactly this asymmetry."""
+    monkeypatch.setattr(
+        fz,
+        "gen_query",
+        lambda seed, k: (
+            "SELECT o_orderstatus, COUNT(*) AS n FROM orders "
+            "WHERE o_orderkey < 0 GROUP BY ROLLUP(o_orderstatus)"
+        ),
+    )
+    failures = fz.run_differential(spark, SF_SMALL, [(98, 0)])
+    assert len(failures) == 1
+    assert "MISMATCH rows 0 vs 1" in failures[0]
