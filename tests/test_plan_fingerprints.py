@@ -87,3 +87,39 @@ def test_plan_fingerprint_unchanged(live, key):
         f"PLAN_FINGERPRINTS.json (scripts/plan_fingerprints.py) and "
         f"commit the diff."
     )
+
+
+def test_fingerprint_parser_on_synthetic_plan():
+    """The fingerprint must count tree nodes by strategy name and
+    ignore ids, arguments, and the repeated detail blocks — otherwise
+    a 'snapshot unchanged' result could be vacuous."""
+    from movierecommender_sentimentanalysissytem_spark.plans.fingerprint import (
+        fingerprint,
+    )
+
+    plan = """== Physical Plan ==
+AdaptiveSparkPlan (9)
++- HashAggregate (8)
+   +- Exchange (7)
+      +- HashAggregate (6)
+         +- Project (5)
+            +- SortMergeJoin Inner (4)
+               :- Sort (3)
+               :  +- Exchange (2)
+               :     +- Scan parquet  (1)
+               +- Sort (3)
+
+(1) Scan parquet
+Output: [a]
+
+(7) Exchange
+Arguments: SinglePartition
+"""
+    fp = fingerprint(plan)
+    assert fp == {
+        "HashAggregate": 2,
+        "Exchange": 2,
+        "SortMergeJoin": 1,
+        "Sort": 2,
+        "Scan parquet": 1,
+    }
