@@ -287,3 +287,92 @@ def ml_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("sum_y") + 10 * F.col("gm")) / (F.col("n") + 10)
         ).alias("encoded"),
     )
+
+
+@query(
+    "ml_eval_classification",
+    oracle="""
+    WITH scored AS (
+        SELECT (-1.0 + 0.1 * l_quantity - 2.0 * l_discount + 5.0 * l_tax) >= 0
+                   AS pred,
+               l_returnflag = 'R' AS actual
+        FROM lineitem
+    ),
+    cm AS (
+        SELECT
+            CAST(SUM(CASE WHEN pred AND actual THEN 1 ELSE 0 END)
+                 AS BIGINT) AS tp,
+            CAST(SUM(CASE WHEN pred AND NOT actual THEN 1 ELSE 0 END)
+                 AS BIGINT) AS fp,
+            CAST(SUM(CASE WHEN NOT pred AND actual THEN 1 ELSE 0 END)
+                 AS BIGINT) AS fn,
+            CAST(SUM(CASE WHEN NOT pred AND NOT actual THEN 1 ELSE 0 END)
+                 AS BIGINT) AS tn
+        FROM scored
+    )
+    SELECT tp, fp, fn, tn,
+           FLOOR(CAST(tp + tn AS DOUBLE) / (tp + fp + fn + tn) * 10000 + 0.5)
+               / 10000 AS accuracy,
+           FLOOR(CAST(tp AS DOUBLE) / NULLIF(tp + fp, 0) * 10000 + 0.5)
+               / 10000 AS precision_score,
+           FLOOR(CAST(tp AS DOUBLE) / NULLIF(tp + fn, 0) * 10000 + 0.5)
+               / 10000 AS recall_score,
+           FLOOR(CAST(2 * tp AS DOUBLE) / NULLIF(2 * tp + fp + fn, 0)
+                 * 10000 + 0.5) / 10000 AS f1
+    FROM cm
+    """,
+)
+def ml_eval_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classification evaluation: confusion matrix + accuracy /
+    precision / recall / F1 for the fixed ml_batch_scoring model
+    against a deterministic label (l_returnflag = 'R') — the
+    classification twin of ml_eval_rmse (regression). Predictions
+    reuse the scoring key's exact-linear-term decision (z >= 0, never
+    the rounded sigmoid), so the confusion counts are integer-exact
+    cross-engine; every ratio divides those integers once and takes
+    the stable round, and F1 is computed as 2tp/(2tp+fp+fn) directly
+    from counts rather than from the two rounded ratios. One
+    conditional-aggregate scan, map-side combinable — evaluation at
+    100 TB costs exactly one pass, no per-class shuffle."""
+    li = table(spark, sf_dir, "lineitem")
+    z = (
+        F.lit(-1.0)
+        + 0.1 * F.col("l_quantity")
+        - 2.0 * F.col("l_discount")
+        + 5.0 * F.col("l_tax")
+    )
+    cm = li.select(
+        (z >= 0).alias("pred"), (F.col("l_returnflag") == "R").alias("actual")
+    ).agg(
+        F.sum(F.when(F.col("pred") & F.col("actual"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("tp"),
+        F.sum(F.when(F.col("pred") & ~F.col("actual"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("fp"),
+        F.sum(F.when(~F.col("pred") & F.col("actual"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("fn"),
+        F.sum(F.when(~F.col("pred") & ~F.col("actual"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("tn"),
+    )
+    tp, fp, fn, tn = (F.col(c) for c in ("tp", "fp", "fn", "tn"))
+    return cm.select(
+        "tp",
+        "fp",
+        "fn",
+        "tn",
+        round4((tp + tn).cast("double") / (tp + fp + fn + tn)).alias(
+            "accuracy"
+        ),
+        round4(tp.cast("double") / F.nullif(tp + fp, F.lit(0))).alias(
+            "precision_score"
+        ),
+        round4(tp.cast("double") / F.nullif(tp + fn, F.lit(0))).alias(
+            "recall_score"
+        ),
+        round4(
+            (2 * tp).cast("double") / F.nullif(2 * tp + fp + fn, F.lit(0))
+        ).alias("f1"),
+    )

@@ -930,3 +930,67 @@ def stats_power_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
         round4(mde).alias("mde_abs"),
         round4(mde / F.nullif(F.col("p"), F.lit(0.0))).alias("mde_rel"),
     )
+
+
+@query(
+    "attribution_multi_touch",
+    oracle=f"""
+    WITH o AS (
+        SELECT user_id, event_id, event_type,
+               CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                    OVER w AS BIGINT) AS n_touches,
+               first_value(CASE WHEN event_type = 'click' THEN event_id END
+                           IGNORE NULLS) OVER w AS first_click_id,
+               last_value(CASE WHEN event_type = 'click' THEN event_id END
+                          IGNORE NULLS) OVER w AS last_click_id
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY {_SEC}, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT event_id AS purchase_id, user_id, n_touches,
+           first_click_id, last_click_id,
+           CAST(FLOOR(10000.0 / NULLIF(n_touches, 0)) AS BIGINT) AS credit_bp
+    FROM o WHERE event_type = 'purchase'
+    """,
+)
+def attribution_multi_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear multi-touch attribution: each purchase reports how many
+    clicks preceded it, the first and last of them, and the equal
+    credit share each would receive (floor basis points — integer, so
+    the split is hash-exact; NULL when no click preceded, mirroring
+    attribution_last_touch's unattributed rows). All three facts are
+    running window state over the same (user, time) ordering — one
+    user_id shuffle shared by the count and both ignore-NULLs
+    endpoints, O(1) state per row, no clicks-to-purchases self-join
+    (which would shuffle both event classes again and skew on heavy
+    clickers). The first/last pair is what position-based (U-shaped)
+    attribution weights; n_touches is the denominator linear
+    attribution divides by."""
+    e = table(spark, sf_dir, "events").withColumn("sec", _sec_col())
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("sec", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    click_id = F.when(F.col("event_type") == "click", F.col("event_id"))
+    touched = e.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+        .over(w)
+        .cast("bigint")
+        .alias("n_touches"),
+        F.first(click_id, ignorenulls=True).over(w).alias("first_click_id"),
+        F.last(click_id, ignorenulls=True).over(w).alias("last_click_id"),
+    )
+    return touched.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        "n_touches",
+        "first_click_id",
+        "last_click_id",
+        F.floor(F.lit(10000.0) / F.nullif(F.col("n_touches"), F.lit(0)))
+        .cast("bigint")
+        .alias("credit_bp"),
+    )

@@ -713,3 +713,60 @@ def stats_spearman_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("bigint").alias("n"),
         round4(rho).alias("rho"),
     )
+
+
+@query(
+    "stats_wilson_ci",
+    oracle="""
+    WITH agg AS (
+        SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CASE WHEN c_acctbal > 5000 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS pos
+        FROM customer GROUP BY c_nationkey
+    )
+    SELECT c_nationkey AS nationkey, n, pos,
+           FLOOR((CAST(pos AS DOUBLE) / n) * 10000 + 0.5) / 10000 AS p_hat,
+           FLOOR(((CAST(pos AS DOUBLE) / n + 1.9208 / n
+                   - 1.96 * SQRT((CAST(pos AS DOUBLE) / n)
+                                 * (1 - CAST(pos AS DOUBLE) / n) / n
+                                 + 0.9604 / (n * n)))
+                  / (1 + 3.8416 / n)) * 10000 + 0.5) / 10000 AS ci_lo,
+           FLOOR(((CAST(pos AS DOUBLE) / n + 1.9208 / n
+                   + 1.96 * SQRT((CAST(pos AS DOUBLE) / n)
+                                 * (1 - CAST(pos AS DOUBLE) / n) / n
+                                 + 0.9604 / (n * n)))
+                  / (1 + 3.8416 / n)) * 10000 + 0.5) / 10000 AS ci_hi
+    FROM agg
+    """,
+)
+def stats_wilson_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wilson score interval for a per-group proportion (share of
+    high-balance customers per nation, z = 1.96): the binomial CI that
+    behaves at extreme p and small n, unlike the Wald interval that
+    collapses to zero width at p ∈ {0, 1} — the per-segment
+    conversion-rate readout (events_ab_test_analysis gives the
+    two-arm z; this gives each arm's own uncertainty band). Everything
+    is closed-form arithmetic over two BIGINT counts: +, ×, ÷ and one
+    SQRT, all correctly-rounded IEEE ops, with the same literal
+    constants (z² = 3.8416 folded) and parenthesization on both
+    engines — bit-identical before the stable round even touches it.
+    One map-side-combinable aggregate; O(groups) output."""
+    c = table(spark, sf_dir, "customer")
+    agg = c.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("c_acctbal") > 5000, 1).otherwise(0))
+        .cast("bigint")
+        .alias("pos"),
+    )
+    n = F.col("n")
+    p = F.col("pos").cast("double") / n
+    half = 1.96 * F.sqrt(p * (1 - p) / n + 0.9604 / (n * n))
+    denom = 1 + 3.8416 / n
+    return agg.select(
+        F.col("c_nationkey").alias("nationkey"),
+        "n",
+        "pos",
+        round4(p).alias("p_hat"),
+        round4((p + 1.9208 / n - half) / denom).alias("ci_lo"),
+        round4((p + 1.9208 / n + half) / denom).alias("ci_hi"),
+    )

@@ -841,3 +841,63 @@ def rec_diversity_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             - (F.col("n_rec") + 1.0) / F.col("n_rec")
         ).alias("exposure_gini"),
     )
+
+
+@query(
+    "rec_popularity_time_decay",
+    oracle="""
+    WITH r AS (
+        SELECT l_partkey AS item, o_orderdate
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    ),
+    mx AS (SELECT MAX(o_orderdate) AS maxd FROM orders),
+    w AS (
+        SELECT item,
+               CAST(FLOOR(10000.0 / POWER(2.0,
+                    date_diff('day', o_orderdate, maxd) // 30))
+                    AS BIGINT) AS weight_bp
+        FROM r CROSS JOIN mx
+    )
+    SELECT item, CAST(COUNT(*) AS BIGINT) AS n_ratings,
+           CAST(SUM(weight_bp) AS BIGINT) AS decayed_bp
+    FROM w GROUP BY item
+    ORDER BY decayed_bp DESC, item ASC
+    LIMIT 25
+    """,
+)
+def rec_popularity_time_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-decayed item popularity — the recency-aware ranking the
+    plain rec_top_items counts can't express (a hit from five years ago
+    should not outrank last month's). Each interaction contributes a
+    half-life-decayed weight (half-life = one 30-day bucket); the
+    weight is materialized as INTEGER basis points 10000 >> bucket, so
+    the per-item score is a BIGINT sum — hash-exact at any summation
+    order, unlike a POWER(0.5, age_days/30.0) double sum whose
+    accumulation order differs cross-engine. The reference date is the
+    live MAX(o_orderdate) as a 1-row broadcast (text_tfidf class), not
+    a fixture-coupled literal; the rollup is one map-side-combinable
+    aggregate and the top-25 a TakeOrdered — at 100 TB: one join, one
+    shuffle on item, no window."""
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    r = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        F.col("l_partkey").alias("item"), "o_orderdate"
+    )
+    mx = o.agg(F.max("o_orderdate").alias("maxd"))
+    bucket = F.floor(
+        F.datediff(F.col("maxd"), F.col("o_orderdate")) / 30
+    )
+    weight = F.floor(F.lit(10000.0) / F.pow(F.lit(2.0), bucket)).cast(
+        "bigint"
+    )
+    return (
+        r.crossJoin(F.broadcast(mx))
+        .select("item", weight.alias("weight_bp"))
+        .groupBy("item")
+        .agg(
+            F.count(F.lit(1)).alias("n_ratings"),
+            F.sum("weight_bp").cast("bigint").alias("decayed_bp"),
+        )
+        .orderBy(F.col("decayed_bp").desc(), F.col("item").asc())
+        .limit(25)
+    )

@@ -824,3 +824,79 @@ def profile_join_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
             "skew_ratio"
         ),
     )
+
+
+@query(
+    "quality_key_candidates",
+    oracle="""
+    WITH a AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS k1,
+               CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS k2,
+               CAST(COUNT(DISTINCT CONCAT(CAST(o_custkey AS VARCHAR), '|',
+                                          CAST(o_orderdate AS VARCHAR)))
+                    AS BIGINT) AS k3
+        FROM orders
+    )
+    SELECT 'o_orderkey' AS candidate, k1 AS n_distinct, n_rows,
+           FLOOR(CAST(k1 AS DOUBLE) / n_rows * 10000 + 0.5) / 10000
+               AS uniqueness,
+           k1 = n_rows AS is_key
+    FROM a
+    UNION ALL
+    SELECT 'o_custkey', k2, n_rows,
+           FLOOR(CAST(k2 AS DOUBLE) / n_rows * 10000 + 0.5) / 10000,
+           k2 = n_rows
+    FROM a
+    UNION ALL
+    SELECT 'o_custkey|o_orderdate', k3, n_rows,
+           FLOOR(CAST(k3 AS DOUBLE) / n_rows * 10000 + 0.5) / 10000,
+           k3 = n_rows
+    FROM a
+    """,
+)
+def quality_key_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate-key discovery: exact uniqueness ratio (distinct/rows)
+    for each contracted column set of orders, with an is_key verdict —
+    the profiling step schema contracts, dedup keepers, and upsert
+    merge keys are all decided from (and the check the fuzzer's
+    lineitem finding shows is NOT optional: that fixture silently has
+    no unique key). All three candidates plus the row count come from
+    ONE scan — Spark plans the multi-distinct aggregate as a single
+    Expand (3× row multiply) rather than three passes, then a 1-row
+    stack() projection fans the wide result into report rows. The
+    composite candidate is canonicalized as 'custkey|date' text: both
+    engines print dates as YYYY-MM-DD, and both columns are non-NULL
+    fixture FKs, so plain CONCAT has no NULL-skip hazard
+    (scan_text_lines advice class). At 100 TB exact multi-distinct is
+    one Expand shuffle; the approx variant to trade toward is
+    agg_approx_count_distinct."""
+    o = table(spark, sf_dir, "orders")
+    a = o.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("o_orderkey").alias("k1"),
+        F.countDistinct("o_custkey").alias("k2"),
+        F.countDistinct(
+            F.concat(
+                F.col("o_custkey").cast("string"),
+                F.lit("|"),
+                F.col("o_orderdate").cast("string"),
+            )
+        ).alias("k3"),
+    )
+    stacked = a.select(
+        F.expr(
+            "stack(3, 'o_orderkey', k1, 'o_custkey', k2, "
+            "'o_custkey|o_orderdate', k3) AS (candidate, n_distinct)"
+        ),
+        "n_rows",
+    )
+    return stacked.select(
+        "candidate",
+        "n_distinct",
+        "n_rows",
+        round4(F.col("n_distinct").cast("double") / F.col("n_rows")).alias(
+            "uniqueness"
+        ),
+        (F.col("n_distinct") == F.col("n_rows")).alias("is_key"),
+    )

@@ -473,3 +473,62 @@ def timeseries_backlog_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("open_backlog"),
     )
+
+
+@query(
+    "timeseries_seasonal_baseline",
+    oracle="""
+    WITH daily AS (
+        SELECT o_orderdate AS day,
+               (date_diff('day', DATE '1970-01-01', o_orderdate) + 3) % 7
+                   AS weekday,
+               SUM(o_totalprice) AS revenue
+        FROM orders GROUP BY 1, 2
+    ),
+    wd AS (
+        SELECT weekday AS wk, AVG(revenue) AS mu,
+               stddev_samp(revenue) AS sigma
+        FROM daily GROUP BY weekday
+    )
+    SELECT day, CAST(weekday AS INTEGER) AS weekday,
+           FLOOR(revenue * 10000 + 0.5) / 10000 AS revenue,
+           FLOOR(mu * 10000 + 0.5) / 10000 AS wd_avg,
+           FLOOR(((revenue - mu) / sigma) * 10000 + 0.5) / 10000 AS z,
+           ABS(FLOOR(((revenue - mu) / sigma) * 10000 + 0.5) / 10000) > 2.0
+               AS is_anomaly
+    FROM daily JOIN wd ON weekday = wk
+    """,
+)
+def timeseries_seasonal_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekday-seasonal anomaly baseline: each day's revenue is scored
+    against ITS WEEKDAY's mean/stddev — the deseasonalized complement
+    of anomaly_zscore (whose global per-type moments would flag every
+    ordinary Saturday if weekends ran hot). Weekday comes from pure
+    epoch-day integer arithmetic ((days + 3) % 7, 0 = Monday), the
+    events_time_profile convention — Spark's dayofweek and DuckDB's
+    dow disagree on numbering, so neither appears. Plan shape: daily
+    rollup (one shuffle on ~O(days) groups) → 7-row moment aggregate
+    broadcast back as a row-local join — never a window over the day
+    partition. The z-score is rounded before the |z| > 2 cut so
+    summation-order noise in the moments can't flip a boundary day."""
+    o = table(spark, sf_dir, "orders")
+    epoch_day = F.datediff(
+        F.col("o_orderdate"), F.lit("1970-01-01").cast("date")
+    )
+    daily = o.groupBy(
+        F.col("o_orderdate").alias("day"),
+        ((epoch_day.cast("bigint") + 3) % 7).alias("weekday"),
+    ).agg(F.sum("o_totalprice").alias("revenue"))
+    wd = daily.groupBy(F.col("weekday").alias("wk")).agg(
+        F.avg("revenue").alias("mu"),
+        F.stddev_samp("revenue").alias("sigma"),
+    )
+    z = round4((F.col("revenue") - F.col("mu")) / F.col("sigma"))
+    return daily.join(F.broadcast(wd), F.col("weekday") == F.col("wk")).select(
+        "day",
+        F.col("weekday").cast("int").alias("weekday"),
+        round4(F.col("revenue")).alias("revenue"),
+        round4(F.col("mu")).alias("wd_avg"),
+        z.alias("z"),
+        (F.abs(z) > 2.0).alias("is_anomaly"),
+    )

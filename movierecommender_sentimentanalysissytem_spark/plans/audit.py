@@ -64,6 +64,7 @@ NLJ_OK = {
                                     # (512 constant rows, built by cross
                                     # of two spark.range literals)
     "rec_rfm_segmentation",   # 1-row quartile-boundary broadcast cross join
+    "rec_popularity_time_decay",  # 1-row max-order-date broadcast cross
     # reviewed single-partition sorts over BOUNDED rollups (the consumer-
     # aware SinglePartition check, live since round 5):
     "curation_shard_token_budget",  # offsets pass: O(buckets) rows

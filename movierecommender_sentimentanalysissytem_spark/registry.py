@@ -317,6 +317,8 @@ _NEW_R5B = frozenset(
     events_ab_test_analysis rec_diversity_coverage stream_windowed_topk
     profile_join_skew events_window_funnel
     stats_power_analysis timeseries_backlog_curve
+    ml_eval_classification attribution_multi_touch rec_popularity_time_decay
+    timeseries_seasonal_baseline stats_wilson_ci quality_key_candidates
     """.split()
 )
 
