@@ -994,3 +994,93 @@ def attribution_multi_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("credit_bp"),
     )
+
+
+@query(
+    "events_interarrival_histogram",
+    oracle=f"""
+    WITH gaps AS (
+        SELECT {_SEC} - lag({_SEC}) OVER (
+                   PARTITION BY user_id
+                   ORDER BY {_SEC}, event_id) AS gap_s
+        FROM events
+    )
+    SELECT CAST(LEAST(gap_s // 60, 60) AS BIGINT) AS bucket_min,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM gaps WHERE gap_s IS NOT NULL
+    GROUP BY 1
+    """,
+)
+def events_interarrival_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-arrival-time distribution: per-user gaps between
+    consecutive events, bucketed by minute with a 60-minute overflow
+    cap — the empirical histogram a sessionization threshold (the
+    sessionize_batch 30-min gap) should be READ FROM rather than
+    guessed; its valley is the session boundary. Gap computation is
+    the same single user_id-shuffle lag window every behavior key
+    shares; bucketing is pure integer arithmetic (floor-div 60,
+    LEAST cap) so the rollup — at most 61 groups — is
+    map-side-combinable and hash-exact. First events per user drop
+    out as NULL gaps on both engines."""
+    e = table(spark, sf_dir, "events").withColumn("sec", _sec_col())
+    w = Window.partitionBy("user_id").orderBy("sec", "event_id")
+    gaps = e.select((F.col("sec") - F.lag("sec").over(w)).alias("gap_s"))
+    return (
+        gaps.filter(F.col("gap_s").isNotNull())
+        .select(
+            F.least(F.floor(F.col("gap_s") / 60), F.lit(60))
+            .cast("bigint")
+            .alias("bucket_min")
+        )
+        .groupBy("bucket_min")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@query(
+    "events_path_analysis",
+    oracle=f"""
+    WITH seq AS (
+        SELECT event_type AS e1,
+               lead(event_type, 1) OVER w AS e2,
+               lead(event_type, 2) OVER w AS e3
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY {_SEC}, event_id)
+    )
+    SELECT e1 || '>' || e2 || '>' || e3 AS path,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM seq WHERE e2 IS NOT NULL AND e3 IS NOT NULL
+    GROUP BY 1
+    ORDER BY n DESC, path ASC
+    LIMIT 10
+    """,
+)
+def events_path_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 three-step behavior paths (event-type trigrams within a
+    user's timeline) — the depth-3 extension of
+    events_transition_matrix (first-order) that surfaces WORKFLOWS
+    (browse>click>purchase vs browse>click>error) instead of single
+    hops; the behavioral twin of text_bigram_lm's n-gram step-up. Two
+    leads share one window sort on the standard (user, sec, event_id)
+    total order; incomplete tails (fewer than 2 successors) drop out
+    via the NULL filter identically cross-engine. The rollup groups
+    on O(|event types|³) ≤ a few hundred keys — map-side combinable —
+    and the top-10 is a TakeOrdered with the path itself as the
+    deterministic tie-break."""
+    e = table(spark, sf_dir, "events").withColumn("sec", _sec_col())
+    w = Window.partitionBy("user_id").orderBy("sec", "event_id")
+    seq = e.select(
+        F.col("event_type").alias("e1"),
+        F.lead("event_type", 1).over(w).alias("e2"),
+        F.lead("event_type", 2).over(w).alias("e3"),
+    )
+    return (
+        seq.filter(F.col("e2").isNotNull() & F.col("e3").isNotNull())
+        .select(
+            F.concat_ws(">", "e1", "e2", "e3").alias("path"),
+        )
+        .groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("path").asc())
+        .limit(10)
+    )

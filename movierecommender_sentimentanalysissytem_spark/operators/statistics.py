@@ -900,3 +900,78 @@ def quality_key_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         (F.col("n_distinct") == F.col("n_rows")).alias("is_key"),
     )
+
+
+@query(
+    "quality_order_reconcile",
+    oracle="""
+    WITH per_order AS (
+        SELECT l_orderkey,
+               SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax))
+                   AS line_total
+        FROM lineitem GROUP BY l_orderkey
+    ),
+    j AS (
+        SELECT o_orderkey, o_totalprice, line_total,
+               FLOOR((line_total / o_totalprice) * 10000 + 0.5) / 10000
+                   AS ratio
+        FROM orders LEFT JOIN per_order ON o_orderkey = l_orderkey
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CASE WHEN line_total IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_without_lines,
+           CAST(SUM(CASE WHEN ABS(ratio - 1) <= 0.01 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_within_1pct,
+           CAST(SUM(CASE WHEN ratio IS NOT NULL AND ABS(ratio - 1) > 0.01
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_mismatched,
+           FLOOR(MIN(ratio) * 10000 + 0.5) / 10000 AS min_ratio,
+           FLOOR(MAX(ratio) * 10000 + 0.5) / 10000 AS max_ratio
+    FROM j
+    """,
+)
+def quality_order_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-table reconciliation: does each order header's total agree
+    with its lines' net revenue? The inter-TABLE data-quality check
+    the single-table keys (quality_expectation_suite, checksum, null
+    profile) cannot see — broken ETL usually disagrees BETWEEN tables
+    before any within-table rule fires. Shape: per-order line rollup
+    (one shuffle on the join key), LEFT join from headers so
+    line-less orders surface as their own defect class instead of
+    silently vanishing, then a 1-row conditional-aggregate summary.
+    The per-order ratio takes the stable round before the ±1%
+    tolerance gate so summation-order noise in the ≤7-term line sums
+    can't flip a boundary order between the matched/mismatched
+    counts."""
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    per_order = li.groupBy("l_orderkey").agg(
+        F.sum(
+            F.col("l_extendedprice")
+            * (1 - F.col("l_discount"))
+            * (1 + F.col("l_tax"))
+        ).alias("line_total")
+    )
+    j = o.join(per_order, o.o_orderkey == per_order.l_orderkey, "left").select(
+        "o_totalprice",
+        "line_total",
+        round4(F.col("line_total") / F.col("o_totalprice")).alias("ratio"),
+    )
+    return j.agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.when(F.col("line_total").isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_without_lines"),
+        F.sum(F.when(F.abs(F.col("ratio") - 1) <= 0.01, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_within_1pct"),
+        F.sum(
+            F.when(
+                F.col("ratio").isNotNull() & (F.abs(F.col("ratio") - 1) > 0.01),
+                1,
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_mismatched"),
+        round4(F.min("ratio")).alias("min_ratio"),
+        round4(F.max("ratio")).alias("max_ratio"),
+    )

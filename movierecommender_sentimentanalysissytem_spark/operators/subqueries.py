@@ -230,3 +230,43 @@ def subq_not_in_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
                 AS n_not_exists
         """
     )
+
+
+@query(
+    "subq_relational_division",
+    oracle="""
+    WITH per_cust AS (
+        SELECT o_custkey, COUNT(DISTINCT o_orderpriority) AS n_priorities
+        FROM orders GROUP BY o_custkey
+    )
+    SELECT o_custkey AS custkey, CAST(n_priorities AS BIGINT) AS n_priorities
+    FROM per_cust
+    WHERE n_priorities = (SELECT COUNT(DISTINCT o_orderpriority) FROM orders)
+    """,
+)
+def subq_relational_division(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relational division — "customers who have ordered under EVERY
+    priority level": the universal-quantification operator the other
+    subquery keys (IN/EXISTS/ANY/ALL) can't express. The textbook
+    double-NOT-EXISTS form re-probes the divisor per candidate; the
+    scalable rewrite is COUNT-MATCHING — one distinct-count rollup per
+    customer equi-compared against the divisor's distinct count, which
+    Catalyst evaluates once as an uncorrelated scalar subquery
+    (subq_scalar class) and folds into a literal filter. At 100 TB:
+    one aggregate shuffle on the group key, a scalar job for the
+    divisor, zero joins. The divisor set is data-derived, not a
+    literal — new priority values tighten the division automatically."""
+    _view(spark, sf_dir, "orders", "rd_orders")
+    return spark.sql(
+        """
+        WITH per_cust AS (
+            SELECT o_custkey, COUNT(DISTINCT o_orderpriority) AS n_priorities
+            FROM rd_orders GROUP BY o_custkey
+        )
+        SELECT o_custkey AS custkey,
+               CAST(n_priorities AS BIGINT) AS n_priorities
+        FROM per_cust
+        WHERE n_priorities =
+              (SELECT COUNT(DISTINCT o_orderpriority) FROM rd_orders)
+        """
+    )

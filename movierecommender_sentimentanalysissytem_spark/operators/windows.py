@@ -448,3 +448,60 @@ def win_share_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.count(F.lit(1)).over(w).alias("n_user_events"),
     )
+
+
+@query(
+    "win_topk_with_ties",
+    oracle="""
+    WITH b AS (
+        SELECT c_custkey, c_mktsegment,
+               CAST(FLOOR(c_acctbal / 100) AS BIGINT) AS band
+        FROM customer
+    ),
+    r AS (
+        SELECT *,
+               rank() OVER (PARTITION BY c_mktsegment
+                            ORDER BY band DESC) AS rnk,
+               row_number() OVER (PARTITION BY c_mktsegment
+                                  ORDER BY band DESC, c_custkey) AS rn
+        FROM b
+    )
+    SELECT c_mktsegment AS segment, c_custkey AS custkey, band,
+           CAST(rnk AS BIGINT) AS rnk, rn > 3 AS is_tie_overflow
+    FROM r WHERE rnk <= 3
+    """,
+)
+def win_topk_with_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k WITH TIES — the FETCH FIRST 3 ROWS WITH TIES semantics:
+    rank() <= k keeps every peer of the k-th row, where
+    win_row_number_topk's row_number() <= k silently drops all but an
+    arbitrary one (arbitrary = whatever the tie-break picks; without a
+    unique tie-break it isn't even deterministic — exactly the
+    ambiguity the fuzzer's lineitem finding documented). Ranking is on
+    a banded balance (FLOOR/100) so the fixture genuinely has peers;
+    is_tie_overflow marks the rows a WITHOUT-ties cut would have
+    dropped, via a row_number with the c_custkey total-order
+    tie-break. One window shuffle on segment; rank and row_number
+    share the sort."""
+    c = table(spark, sf_dir, "customer")
+    b = c.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") / 100).cast("bigint").alias("band"),
+    )
+    w_rank = Window.partitionBy("c_mktsegment").orderBy(F.col("band").desc())
+    w_rn = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("band").desc(), F.col("c_custkey").asc()
+    )
+    return (
+        b.withColumn("rnk", F.rank().over(w_rank).cast("bigint"))
+        .withColumn("rn", F.row_number().over(w_rn))
+        .filter(F.col("rnk") <= 3)
+        .select(
+            F.col("c_mktsegment").alias("segment"),
+            F.col("c_custkey").alias("custkey"),
+            "band",
+            "rnk",
+            (F.col("rn") > 3).alias("is_tie_overflow"),
+        )
+    )

@@ -319,6 +319,8 @@ _NEW_R5B = frozenset(
     stats_power_analysis timeseries_backlog_curve
     ml_eval_classification attribution_multi_touch rec_popularity_time_decay
     timeseries_seasonal_baseline stats_wilson_ci quality_key_candidates
+    subq_relational_division win_topk_with_ties quality_order_reconcile
+    events_interarrival_histogram events_path_analysis
     """.split()
 )
 
