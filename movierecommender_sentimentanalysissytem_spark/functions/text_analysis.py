@@ -548,3 +548,64 @@ def ml_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
     return toks.groupBy("doc_id", bucket.alias("bucket")).agg(
         F.count(F.lit(1)).alias("weight")
     )
+
+
+@query(
+    "text_readability_score",
+    oracle="""
+    WITH counts AS (
+        SELECT doc_id, lang,
+               CAST(length(regexp_extract_all(text, '\\S+')) AS BIGINT)
+                   AS words,
+               CAST(GREATEST(length(regexp_extract_all(text, '[.!?]+')), 1)
+                    AS BIGINT) AS sentences,
+               CAST(length(regexp_extract_all(text, '[aeiouAEIOU]+'))
+                    AS BIGINT) AS syllables
+        FROM documents
+    )
+    SELECT doc_id, lang, words, sentences, syllables,
+           FLOOR((206.835
+                  - 1.015 * (CAST(words AS DOUBLE) / sentences)
+                  - 84.6 * (CAST(syllables AS DOUBLE) / NULLIF(words, 0)))
+                 * 10000 + 0.5) / 10000 AS flesch
+    FROM counts
+    """,
+)
+def text_readability_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch-style readability per document: words (whitespace
+    tokens), sentences (terminal-punctuation runs, floored at 1 so a
+    fragment still scores), and the classic vowel-group syllable
+    heuristic — the curation signal that separates natural prose from
+    keyword soup and OCR noise at a layer the quality-gate key
+    (text_quality_score) doesn't measure. All three counts come from
+    regexp_count over RE2∩Java-safe patterns (the text_pii_redaction
+    contract: no lookaround, no engine-specific classes), so the row
+    stays expression-only JVM work — a pure narrow map at 100 TB.
+    The two divisions happen once per doc on BIGINT counts
+    (zero-word docs yield NULL via NULLIF, not a crash) and take the
+    stable round."""
+    docs = table(spark, sf_dir, "documents")
+    words = F.regexp_count(F.col("text"), F.lit(r"\S+")).cast("bigint")
+    sentences = F.greatest(
+        F.regexp_count(F.col("text"), F.lit(r"[.!?]+")), F.lit(1)
+    ).cast("bigint")
+    syllables = F.regexp_count(F.col("text"), F.lit(r"[aeiouAEIOU]+")).cast(
+        "bigint"
+    )
+    counts = docs.select(
+        "doc_id",
+        "lang",
+        words.alias("words"),
+        sentences.alias("sentences"),
+        syllables.alias("syllables"),
+    )
+    flesch = round4(
+        206.835
+        - 1.015 * (F.col("words").cast("double") / F.col("sentences"))
+        - 84.6
+        * (
+            F.col("syllables").cast("double")
+            / F.nullif(F.col("words"), F.lit(0))
+        )
+    )
+    return counts.withColumn("flesch", flesch)

@@ -1084,3 +1084,84 @@ def events_path_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n").desc(), F.col("path").asc())
         .limit(10)
     )
+
+
+@query(
+    "events_conversion_latency_quantiles",
+    oracle=f"""
+    WITH c AS (
+        SELECT user_id, MIN({_SEC}) AS csec
+        FROM events WHERE event_type = 'click' GROUP BY user_id
+    ),
+    p AS (
+        SELECT e.user_id, c.csec, MIN({_SEC}) AS psec
+        FROM events e JOIN c ON e.user_id = c.user_id
+        WHERE e.event_type = 'purchase' AND {_SEC} >= c.csec
+        GROUP BY e.user_id, c.csec
+    ),
+    d AS (SELECT psec - csec AS delay_s FROM p),
+    v AS (SELECT delay_s, COUNT(*) AS cnt FROM d GROUP BY delay_s),
+    cum AS (
+        SELECT delay_s,
+               SUM(cnt) OVER (ORDER BY delay_s
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) AS cc,
+               (SELECT COUNT(*) FROM d) AS n
+        FROM v
+    )
+    SELECT CAST(ANY_VALUE(n) AS BIGINT) AS n_conv,
+           CAST(MIN(CASE WHEN cc >= (n + 1) // 2 THEN delay_s END)
+                AS BIGINT) AS p50_s,
+           CAST(MIN(CASE WHEN cc >= (9 * n + 9) // 10 THEN delay_s END)
+                AS BIGINT) AS p90_s
+    FROM cum
+    """,
+)
+def events_conversion_latency_quantiles(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Click→purchase latency distribution: each user's first click
+    paired with their first purchase at-or-after it, then the exact
+    DISCRETE p50/p90 of the delay — the SLA-style readout
+    time_to_conversion's per-user rows feed. The quantile never ranks
+    raw rows: delays collapse to a distinct-value/count relation
+    first (stats_mann_whitney's trick), so the one global cumulative
+    window runs over O(distinct delay seconds) — bounded by the
+    integer delay domain, not by users — and the percentile is the
+    smallest value whose cumulative count reaches the integer-ceil
+    rank ((n+1)//2, (9n+9)//10 — agg_percentile_disc's no-doubles
+    convention). n arrives as a 1-row broadcast. Everything is BIGINT
+    end-to-end: no rounding anywhere."""
+    e = table(spark, sf_dir, "events").withColumn("sec", _sec_col())
+    c = (
+        e.filter(F.col("event_type") == "click")
+        .groupBy("user_id")
+        .agg(F.min("sec").alias("csec"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("sec") >= F.col("csec"))
+        .groupBy("user_id", "csec")
+        .agg(F.min("sec").alias("psec"))
+    )
+    d = p.select((F.col("psec") - F.col("csec")).alias("delay_s"))
+    v = d.groupBy("delay_s").agg(F.count(F.lit(1)).alias("cnt"))
+    wcum = Window.orderBy("delay_s").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    n = d.agg(F.count(F.lit(1)).alias("n"))
+    cum = v.withColumn("cc", F.sum("cnt").over(wcum)).crossJoin(
+        F.broadcast(n)
+    )
+    r50 = F.floor((F.col("n") + 1) / 2)
+    r90 = F.floor((9 * F.col("n") + 9) / 10)
+    return cum.agg(
+        F.any_value(F.col("n")).cast("bigint").alias("n_conv"),
+        F.min(F.when(F.col("cc") >= r50, F.col("delay_s")))
+        .cast("bigint")
+        .alias("p50_s"),
+        F.min(F.when(F.col("cc") >= r90, F.col("delay_s")))
+        .cast("bigint")
+        .alias("p90_s"),
+    )

@@ -497,3 +497,61 @@ def scan_ignore_corrupt_files(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("o_totalprice"), 4).alias("total"),
         )
     )
+
+
+@query(
+    "scan_csv_dropmalformed",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS n,
+           ROUND(SUM(o_totalprice), 4) AS total
+    FROM orders WHERE o_orderkey % 20 = 0
+    GROUP BY o_orderpriority
+    """,
+)
+def scan_csv_dropmalformed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Malformed-row policy for text formats: a CSV directory holding
+    one well-formed member and one garbage member (wrong arity, type
+    garbage), read with ``mode=DROPMALFORMED`` — bad ROWS are skipped
+    while every valid row survives. The row-level sibling of
+    scan_ignore_corrupt_files' file-level contract: in a 100 TB text
+    ingest the question is never whether malformed lines exist but
+    whether they cost you the job (FAILFAST), silent NULL rows
+    (PERMISSIVE default), or are dropped with the rest of the file
+    intact — this key pins the third. The oracle recomputes the
+    expected survivors from the intact fixture slice, so the check
+    proves both that garbage vanished AND that nothing valid was
+    dropped with it.
+
+    Gotcha pinned here (found live): DROPMALFORMED interacts with CSV
+    column pruning — a row is judged malformed only on the columns the
+    plan actually parses, so an aggregate touching just (price,
+    priority) lets an under-arity line survive as an all-NULL row, and
+    a bare count() parses nothing and counts every garbage line. The
+    o_orderkey IS NOT NULL gate below is therefore load-bearing: it
+    forces the key column into the parse path, which is what makes
+    arity/type garbage malformed again. (Equivalently:
+    spark.sql.csv.parser.columnPruning.enabled=false, but a session
+    conf would leak past this query.)"""
+    o = table(spark, sf_dir, "orders")
+    out = os.path.join(tempfile.mkdtemp(prefix="mrsas_csvmal_"), "orders_csv")
+    o.filter(F.col("o_orderkey") % 20 == 0).select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    ).coalesce(1).write.mode("overwrite").option("header", "false").csv(out)
+    with open(os.path.join(out, "part-malformed.csv"), "w") as fh:
+        fh.write("justonefield\n")                 # arity too low
+        fh.write("1,2.5,3-MEDIUM,extra,fields\n")  # arity too high
+        fh.write("notanint,alsonotadouble,9-FAKE\n")  # type garbage
+    read = (
+        spark.read.schema(
+            "o_orderkey BIGINT, o_totalprice DOUBLE, o_orderpriority STRING"
+        )
+        .option("header", "false")
+        .option("mode", "DROPMALFORMED")
+        .csv(out)
+    )
+    return read.filter(F.col("o_orderkey").isNotNull()).groupBy(
+        "o_orderpriority"
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("o_totalprice"), 4).alias("total"),
+    )

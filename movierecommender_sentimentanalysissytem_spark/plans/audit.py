@@ -78,6 +78,9 @@ NLJ_OK = {
     "rec_diversity_coverage",       # Gini rank pass: O(catalog items)
                                     # rollup, not O(interactions)
     "timeseries_backlog_curve",     # running-sum window: O(days) spine
+    "events_conversion_latency_quantiles",  # cumulative window over the
+                                            # O(distinct delay seconds)
+                                            # rollup + 1-row n broadcast
 }
 
 

@@ -321,6 +321,8 @@ _NEW_R5B = frozenset(
     timeseries_seasonal_baseline stats_wilson_ci quality_key_candidates
     subq_relational_division win_topk_with_ties quality_order_reconcile
     events_interarrival_histogram events_path_analysis
+    events_conversion_latency_quantiles text_readability_score
+    scan_csv_dropmalformed
     """.split()
 )
 
