@@ -642,3 +642,85 @@ def fn_array_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("except_probe"),
         F.size(F.array_distinct(F.concat(toks, probe))).alias("n_union"),
     )
+
+
+@query(
+    "fn_array_higher_order",
+    oracle="""
+    SELECT p_partkey,
+           list_filter(string_split(p_name, ' '), x -> length(x) > 5)
+               AS long_words,
+           list_transform(string_split(p_name, ' '), x -> upper(x))
+               AS upper_words,
+           CAST(list_sum(list_transform(string_split(p_name, ' '),
+                                        x -> length(x))) AS BIGINT)
+               AS total_chars,
+           list_has_any(string_split(p_name, ' '),
+                        ['widget', 'gear']) AS is_mechanical
+    FROM part
+    """,
+)
+def fn_array_higher_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array functions with lambda arguments — filter,
+    transform, fold, and set-overlap over a split column, the
+    expression family fn_array_transform only samples (transform) and
+    the vector kernels use internally (vector.py's zip_with/aggregate
+    folds). Everything stays inside whole-stage codegen: the lambdas
+    compile to JVM expressions, no UDF. The fold is written as
+    transform-to-lengths THEN sum on BOTH engines because the raw
+    fold primitives disagree: Spark's aggregate() takes an explicit
+    zero, DuckDB's list_reduce seeds from the first element — summing
+    a transformed list is the form with one shared semantics (and it
+    is empty-safe where list_reduce throws)."""
+    p = table(spark, sf_dir, "part")
+    arr = F.split(F.col("p_name"), " ")
+    return p.select(
+        "p_partkey",
+        F.filter(arr, lambda x: F.length(x) > 5).alias("long_words"),
+        F.transform(arr, F.upper).alias("upper_words"),
+        F.aggregate(
+            F.transform(arr, F.length),
+            F.lit(0),
+            lambda acc, x: acc + x,
+        )
+        .cast("bigint")
+        .alias("total_chars"),
+        F.arrays_overlap(arr, F.array(F.lit("widget"), F.lit("gear"))).alias(
+            "is_mechanical"
+        ),
+    )
+
+
+@query(
+    "fn_regexp_replace_backrefs",
+    oracle=r"""
+    SELECT c_custkey,
+           regexp_replace(c_name, '^(\w+)#(\d+)$', '\2:\1') AS swapped,
+           regexp_replace(c_name, '^(\w+)#0*(\d+)$', '\1-\2') AS compact,
+           regexp_replace(c_name, '\d', '#', 'g') AS masked
+    FROM customer
+    """,
+)
+def fn_regexp_replace_backrefs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Capture-group backreferences in regexp_replace — group swap,
+    leading-zero compaction (greedy 0* before the captured digits),
+    and global digit masking. The pinned cross-engine trap is pure
+    SYNTAX: Java replacement strings write backrefs as $1/$2, RE2
+    writes \\1/\\2 — the same logical replacement must be spelled
+    differently per engine, which is exactly the kind of silent
+    mistranslation a migration harness has to catch (a $1 shipped to
+    DuckDB is a literal dollar-one). Patterns themselves stay in the
+    RE2∩Java-safe subset (text_pii_redaction contract); Spark's
+    regexp_replace is global by default where DuckDB needs the 'g'
+    flag — the masked column pins that second asymmetry too."""
+    c = table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.regexp_replace(F.col("c_name"), r"^(\w+)#(\d+)$", r"$2:$1").alias(
+            "swapped"
+        ),
+        F.regexp_replace(
+            F.col("c_name"), r"^(\w+)#0*(\d+)$", r"$1-$2"
+        ).alias("compact"),
+        F.regexp_replace(F.col("c_name"), r"\d", "#").alias("masked"),
+    )

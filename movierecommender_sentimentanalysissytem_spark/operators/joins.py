@@ -951,3 +951,33 @@ def geo_grid_proximity_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(d2 <= 4.0)
         .select("c_custkey", "s_suppkey", round4(d2).alias("dist2"))
     )
+
+
+@query(
+    "join_hint_shuffle_hash",
+    oracle="""
+    SELECT c_mktsegment, COUNT(*) AS n, ROUND(SUM(o_totalprice), 4) AS total
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    """,
+)
+def join_hint_shuffle_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-strategy control: the SHUFFLE_HASH hint forces a
+    ShuffledHashJoin where Catalyst's cost model would default to
+    sort-merge (or broadcast, below the threshold). The result is by
+    construction identical to the plain equi-join — what this key
+    pins is the STRATEGY lever itself (plan shape asserted in
+    tests/test_plans.py and frozen in PLAN_FINGERPRINTS.json): at
+    100 TB, hash-join-ing a medium build side that fits per-partition
+    memory skips both sort passes of SMJ — the right call when one
+    side is much smaller but still over the broadcast threshold.
+    The hint is advisory-but-honored for equi-joins; a strategy
+    regression here (hint silently ignored) multiplies cost, which
+    is why the fingerprint diff matters more than the values."""
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    j = o.join(c.hint("shuffle_hash"), o.o_custkey == c.c_custkey)
+    return j.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("o_totalprice"), 4).alias("total"),
+    )

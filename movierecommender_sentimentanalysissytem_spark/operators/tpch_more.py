@@ -622,3 +622,69 @@ def tpch_q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("revenue"),
         F.count(F.lit(1)).alias("n_lines"),
     )
+
+
+@query(
+    "tpch_shipping_delay_profile",
+    oracle="""
+    WITH j AS (
+        SELECT strftime(o_orderdate, '%Y-%m') AS month,
+               date_diff('day', o_orderdate, l_shipdate) AS delay,
+               l_orderkey, l_linenumber
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    ),
+    r AS (
+        SELECT month, delay,
+               ROW_NUMBER() OVER (
+                   PARTITION BY month
+                   ORDER BY delay, l_orderkey, l_linenumber) AS rn,
+               COUNT(*) OVER (PARTITION BY month) AS n
+        FROM j
+    )
+    SELECT month, CAST(ANY_VALUE(n) AS BIGINT) AS n,
+           CAST(MAX(CASE WHEN rn = (n + 1) // 2 THEN delay END)
+                AS BIGINT) AS p50_delay,
+           CAST(MAX(CASE WHEN rn = (9 * n + 9) // 10 THEN delay END)
+                AS BIGINT) AS p90_delay
+    FROM r GROUP BY month
+    """,
+)
+def tpch_shipping_delay_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-to-ship latency profile: exact discrete p50/p90 of
+    (l_shipdate − o_orderdate) per order month — the supply-chain SLA
+    twin of events_conversion_latency_quantiles, over the JOINED
+    fact pair instead of a single event stream. Delay is integer
+    days and the percentile ranks are integer arithmetic
+    ((n+1)//2, (9n+9)//10 — the agg_percentile_disc convention), so
+    the whole result is BIGINT-exact with no rounding. Plan: one
+    equi-join shuffle, then rank/count windows partitioned BY MONTH
+    (never a global sort — ~80 balanced month partitions at any
+    scale) feeding the final rollup on the same key."""
+    from pyspark.sql.window import Window
+
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    j = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        F.date_format("o_orderdate", "yyyy-MM").alias("month"),
+        F.datediff("l_shipdate", "o_orderdate").alias("delay"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    wr = Window.partitionBy("month").orderBy(
+        "delay", "l_orderkey", "l_linenumber"
+    )
+    wn = Window.partitionBy("month")
+    r = j.withColumn("rn", F.row_number().over(wr)).withColumn(
+        "n", F.count(F.lit(1)).over(wn)
+    )
+    r50 = F.floor((F.col("n") + 1) / 2)
+    r90 = F.floor((9 * F.col("n") + 9) / 10)
+    return r.groupBy("month").agg(
+        F.any_value(F.col("n")).cast("bigint").alias("n"),
+        F.max(F.when(F.col("rn") == r50, F.col("delay")))
+        .cast("bigint")
+        .alias("p50_delay"),
+        F.max(F.when(F.col("rn") == r90, F.col("delay")))
+        .cast("bigint")
+        .alias("p90_delay"),
+    )

@@ -323,6 +323,8 @@ _NEW_R5B = frozenset(
     events_interarrival_histogram events_path_analysis
     events_conversion_latency_quantiles text_readability_score
     scan_csv_dropmalformed
+    fn_array_higher_order fn_regexp_replace_backrefs
+    join_hint_shuffle_hash tpch_shipping_delay_profile
     """.split()
 )
 

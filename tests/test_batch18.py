@@ -130,3 +130,69 @@ def test_dropmalformed_column_pruning_trap_is_real(spark, tmp_path):
     assert read.select("c").count() == 2
     # parsing column a forces the failure and drops the line
     assert read.filter("a IS NOT NULL").count() == 1
+
+
+def test_array_higher_order_lambdas(spark, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("hof"))
+    parts = [
+        (1, "shiny widget", "B", "T", 1, 10.0),
+        (2, "dull bolt", "B", "T", 1, 10.0),
+    ]
+    _write(
+        spark, out, "part", parts,
+        "p_partkey long, p_name string, p_brand string, p_type string, "
+        "p_size int, p_retailprice double",
+    )
+    got = {r["p_partkey"]: r for r in
+           QS["fn_array_higher_order"](spark, out).collect()}
+    r1 = got[1]
+    assert r1["long_words"] == ["widget"]
+    assert r1["upper_words"] == ["SHINY", "WIDGET"]
+    assert r1["total_chars"] == 11
+    assert r1["is_mechanical"] is True
+    r2 = got[2]
+    assert r2["long_words"] == []
+    assert r2["total_chars"] == 8
+    assert r2["is_mechanical"] is False
+
+
+def test_regexp_backref_replacements(spark, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("backref"))
+    cust = [(7, "Customer#000000042", 1, 0.0, "AUTO")]
+    _write(
+        spark, out, "customer", cust,
+        "c_custkey long, c_name string, c_nationkey long, "
+        "c_acctbal double, c_mktsegment string",
+    )
+    r = QS["fn_regexp_replace_backrefs"](spark, out).collect()[0]
+    assert r["swapped"] == "000000042:Customer"
+    assert r["compact"] == "Customer-42"
+    assert r["masked"] == "Customer##########"
+
+
+def test_shipping_delay_profile_exact_ranks(spark, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("delay"))
+    d0 = dt.date(2024, 1, 10)
+    orders = [(k, 1, "O", 10.0, d0, "1-URGENT") for k in (1, 2, 3, 4)]
+    li = [
+        (1, 1, 1, 1, 1.0, 10.0, 0.0, 0.0, "N", "O",
+         d0 + dt.timedelta(days=5)),
+        (2, 1, 1, 1, 1.0, 10.0, 0.0, 0.0, "N", "O",
+         d0 + dt.timedelta(days=7)),
+        (3, 1, 1, 1, 1.0, 10.0, 0.0, 0.0, "N", "O",
+         d0 + dt.timedelta(days=9)),
+        (4, 1, 1, 1, 1.0, 10.0, 0.0, 0.0, "N", "O",
+         d0 + dt.timedelta(days=30)),
+    ]
+    _write(spark, out, "orders", orders, _ORDERS_SCHEMA)
+    _write(
+        spark, out, "lineitem", li,
+        "l_orderkey long, l_partkey long, l_suppkey long, "
+        "l_linenumber long, l_quantity double, l_extendedprice double, "
+        "l_discount double, l_tax double, l_returnflag string, "
+        "l_linestatus string, l_shipdate date",
+    )
+    r = QS["tpch_shipping_delay_profile"](spark, out).collect()
+    assert len(r) == 1 and r[0]["month"] == "2024-01"
+    # delays [5,7,9,30]: p50 rank (4+1)//2=2 -> 7; p90 rank 4 -> 30
+    assert (r[0]["n"], r[0]["p50_delay"], r[0]["p90_delay"]) == (4, 7, 30)

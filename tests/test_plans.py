@@ -329,3 +329,12 @@ def test_dynamic_partition_pruning_subquery_in_plan(spark):
     fed by the filtered dim side — the runtime partition-prune."""
     plan = _plan(spark, "join_dynamic_partition_pruning")
     assert "dynamicpruning" in plan.lower()
+
+
+def test_shuffle_hash_hint_is_honored(spark):
+    """join_hint_shuffle_hash exists to pin the STRATEGY lever: the
+    hinted side must produce a ShuffledHashJoin, not the sort-merge
+    default (and not a broadcast — the dim is hinted, not small)."""
+    plan = _plan(spark, "join_hint_shuffle_hash")
+    assert "ShuffledHashJoin" in plan
+    assert "SortMergeJoin" not in plan
