@@ -26,7 +26,7 @@ identically AND evaluate deterministically:
 Seeded: query k is a pure function of (seed, k) — a failure message
 names the reproducing seed.
 
-CLI: python scripts/fuzz_differential.py [n_queries] [sf_dir]
+CLI: python scripts/fuzz_differential.py [n_queries] [sf_dir] [seed]
 """
 
 from __future__ import annotations
@@ -282,15 +282,96 @@ def _rollup_query(rng: random.Random, table: str) -> str:
     )
 
 
+def _str_expr(rng: random.Random, table: str, depth: int = 0) -> str:
+    """String-valued expression from the cross-engine-safe function
+    subset: substr (1-based start only — negative-start semantics
+    diverge), || concatenation (NULL-propagating in both), replace,
+    trim, upper/lower, and CASE. No instr/strpos (names differ), no
+    lpad with multi-char pads (edge conventions differ), no collation-
+    sensitive comparisons beyond equality (covered by the curated
+    fn_collation_aware key)."""
+    col = rng.choice(STR_COLS[table])
+    if depth >= 2:
+        return rng.choice([col, f"'{rng.choice('abcxyz')}'"])
+    kind = rng.choice(
+        ["col", "upper", "lower", "substr", "concat", "replace", "trim",
+         "case"]
+    )
+    if kind == "col":
+        return col
+    if kind == "upper":
+        return f"upper({_str_expr(rng, table, depth + 1)})"
+    if kind == "lower":
+        return f"lower({_str_expr(rng, table, depth + 1)})"
+    if kind == "substr":
+        start = rng.randint(1, 4)
+        ln = rng.randint(0, 6)
+        return f"substr({_str_expr(rng, table, depth + 1)}, {start}, {ln})"
+    if kind == "concat":
+        a = _str_expr(rng, table, depth + 1)
+        b = _str_expr(rng, table, depth + 1)
+        return f"(({a}) || '_' || ({b}))"
+    if kind == "replace":
+        src = rng.choice("aeiou")
+        dst = rng.choice("xyz")
+        return f"replace({_str_expr(rng, table, depth + 1)}, '{src}', '{dst}')"
+    if kind == "trim":
+        return f"trim({_str_expr(rng, table, depth + 1)})"
+    c = _bool_expr(rng, table, depth + 1)
+    t = _str_expr(rng, table, depth + 1)
+    f = _str_expr(rng, table, depth + 1)
+    return f"(CASE WHEN {c} THEN {t} ELSE {f} END)"
+
+
+def _string_query(rng: random.Random, table: str) -> str:
+    """Project string-function compositions (plus a LIKE gate half the
+    time) — sweeps the string layer under fn_string / fn_split_explode
+    the way the int grammar sweeps arithmetic."""
+    exprs = ", ".join(
+        f"({_str_expr(rng, table)}) AS s{i}" for i in range(3)
+    )
+    key = INT_COLS[table][0]
+    where = ""
+    if rng.random() < 0.5:
+        pat = rng.choice(["%a%", "_o%", "%t", "%e_", "%ur%"])
+        where = f" WHERE {rng.choice(STR_COLS[table])} LIKE '{pat}'"
+    return f"SELECT {key}, {exprs} FROM {table}{where}"
+
+
+def _setop_query(rng: random.Random, table: str) -> str:
+    """UNION / UNION ALL / INTERSECT / EXCEPT (+ ALL variants) between
+    two filtered projections of the same table — ANSI defaults
+    (DISTINCT unless ALL) and bag-vs-set semantics must agree; the
+    curated set_* keys pin single cases, this sweeps the space."""
+    op = rng.choice(
+        ["UNION", "UNION ALL", "INTERSECT", "EXCEPT",
+         "INTERSECT ALL", "EXCEPT ALL"]
+    )
+    scol = rng.choice(STR_COLS[table])
+    e1 = _int_expr(rng, table)
+    e2 = _int_expr(rng, table)
+    b1 = _bool_expr(rng, table)
+    b2 = _bool_expr(rng, table)
+    return (
+        f"SELECT {scol} AS s, ({e1}) % 50 AS v FROM {table} WHERE {b1} "
+        f"{op} "
+        f"SELECT {scol} AS s, ({e2}) % 50 AS v FROM {table} WHERE {b2}"
+    )
+
+
 def gen_query(seed: int, k: int) -> str:
     rng = random.Random((seed << 16) ^ k)
     table = rng.choice(TABLES)
     shape = rng.choice(
         ["grouped", "grouped", "filtered_scan", "join", "topk", "window",
-         "distinct", "subquery", "rollup"]
+         "distinct", "subquery", "rollup", "string", "setop"]
     )
     if shape == "rollup":
         return _rollup_query(rng, table)
+    if shape == "string":
+        return _string_query(rng, table)
+    if shape == "setop":
+        return _setop_query(rng, table)
     if shape == "join":
         return _join_query(rng)
     if shape == "topk":
@@ -382,6 +463,7 @@ def run_differential(spark, sf_dir: str, seeds) -> list[str]:
 def main() -> int:
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 50
     sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.001"
+    seed = int(sys.argv[3]) if len(sys.argv) > 3 else 0
 
     from pyspark.sql import SparkSession
 
@@ -396,7 +478,7 @@ def main() -> int:
     )
     spark.sparkContext.setLogLevel("ERROR")
     failures = run_differential(
-        spark, sf_dir, [(0, k) for k in range(n)]
+        spark, sf_dir, [(seed, k) for k in range(n)]
     )
     for f in failures:
         print("FAIL", f)
