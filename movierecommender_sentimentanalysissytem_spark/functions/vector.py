@@ -547,3 +547,127 @@ def embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
+
+
+# Squared-euclidean kernel over columns v (point) / cvec (centroid):
+# in-order left fold, so both engines produce bit-identical doubles
+# (0.0 + x == x exactly, making Spark's explicit zero and DuckDB's
+# first-element seed equivalent).
+_SQDIST = (
+    "aggregate(zip_with(v, cvec, (x, y) -> (x - y) * (x - y)),"
+    " 0.0D, (acc, u) -> acc + u)"
+)
+_DUCK_SQDIST = (
+    "list_reduce(list_transform(range(1, 65),"
+    " i -> ({e}.v[i] - {c}.cvec[i]) * ({e}.v[i] - {c}.cvec[i])),"
+    " (x, y) -> x + y)"
+)
+
+
+@query(
+    "ml_kmeans_lloyd",
+    oracle=f"""
+    WITH e AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings
+    ),
+    seeds AS (
+        SELECT vec_id AS cid, v AS cvec FROM e ORDER BY vec_id LIMIT 4
+    ),
+    d1 AS (
+        SELECT e.vec_id, s.cid,
+               FLOOR({_DUCK_SQDIST.format(e='e', c='s')} * 10000 + 0.5)
+                   / 10000 AS dist
+        FROM e CROSS JOIN seeds s
+    ),
+    a1 AS (
+        SELECT vec_id, cid AS c1
+        FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+                                           ORDER BY dist, cid) AS rn
+              FROM d1)
+        WHERE rn = 1
+    ),
+    pe AS (
+        SELECT a1.c1 AS cid, pos,
+               FLOOR(AVG(e.v[pos]) * 10000 + 0.5) / 10000 AS c
+        FROM e JOIN a1 USING (vec_id)
+        CROSS JOIN (SELECT unnest(range(1, 65)) AS pos) dims
+        GROUP BY a1.c1, pos
+    ),
+    cent2 AS (SELECT cid, list(c ORDER BY pos) AS cvec FROM pe
+              GROUP BY cid),
+    d2 AS (
+        SELECT e.vec_id, c.cid,
+               FLOOR({_DUCK_SQDIST.format(e='e', c='c')} * 10000 + 0.5)
+                   / 10000 AS dist
+        FROM e CROSS JOIN cent2 c
+    ),
+    a2 AS (
+        SELECT vec_id, cid AS c2, dist
+        FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+                                           ORDER BY dist, cid) AS rn
+              FROM d2)
+        WHERE rn = 1
+    )
+    SELECT a1.vec_id, CAST(a1.c1 AS BIGINT) AS c1,
+           CAST(a2.c2 AS BIGINT) AS c2,
+           a1.c1 != a2.c2 AS moved, a2.dist AS dist2
+    FROM a1 JOIN a2 USING (vec_id)
+    """,
+)
+def ml_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One full Lloyd iteration of k-means (k = 4), ORACLE-EXACT — the
+    iterative-training step the rows-only ML keys (ALS, pipeline,
+    IVF's KMeans) can't hash-check, made deterministic end-to-end:
+    seeds are the 4 lowest vec_ids, assignment is argmin of the
+    in-order squared-distance fold (bit-identical cross-engine, cid
+    tie-break), means are re-estimated per (cluster, dim) and ROUNDED
+    to 4 dp before re-scoring (embedding_centroid_assign's rule: the
+    round fences cross-partition summation order out of the argmin),
+    then every point re-assigns. The output pins both assignments and
+    which points MOVED — the convergence signal a full trainer loops
+    on. Scale shape: centroid state is k × dims regardless of corpus
+    size, assignment is a row-local fold against a ≤4-row broadcast,
+    and each iteration is one posexplode rollup — Lloyd at 100 TB is
+    exactly this plan repeated."""
+    e = table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("v"),
+    )
+    seeds = (
+        e.orderBy("vec_id")
+        .limit(4)
+        .select(F.col("vec_id").alias("cid"), F.col("v").alias("cvec"))
+    )
+
+    def assign(cents: DataFrame) -> DataFrame:
+        d = e.crossJoin(F.broadcast(cents)).withColumn(
+            "dist", round4(F.expr(_SQDIST))
+        )
+        w = Window.partitionBy("vec_id").orderBy("dist", "cid")
+        return d.withColumn("rn", F.row_number().over(w)).filter(
+            F.col("rn") == 1
+        )
+
+    a1 = assign(seeds).select("vec_id", F.col("cid").alias("c1"))
+    pe = (
+        e.join(a1, "vec_id")
+        .select("c1", F.posexplode("v").alias("pos", "x"))
+        .groupBy("c1", "pos")
+        .agg(round4(F.avg("x")).alias("c"))
+    )
+    cent2 = (
+        pe.groupBy(F.col("c1").alias("cid"))
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "c"))).alias("pc"))
+        .select("cid", F.expr("transform(pc, r -> r.c)").alias("cvec"))
+    )
+    a2 = assign(cent2).select(
+        "vec_id", F.col("cid").alias("c2"), "dist"
+    )
+    return a1.join(a2, "vec_id").select(
+        "vec_id",
+        F.col("c1").cast("bigint").alias("c1"),
+        F.col("c2").cast("bigint").alias("c2"),
+        (F.col("c1") != F.col("c2")).alias("moved"),
+        F.col("dist").alias("dist2"),
+    )

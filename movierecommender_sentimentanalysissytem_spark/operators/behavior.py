@@ -1165,3 +1165,90 @@ def events_conversion_latency_quantiles(
         .cast("bigint")
         .alias("p90_s"),
     )
+
+
+@query(
+    "events_bot_detection",
+    oracle=f"""
+    WITH e AS (
+        SELECT user_id, event_type, {_SEC} AS sec FROM events
+    ),
+    tc AS (
+        SELECT user_id, event_type, COUNT(*) AS c
+        FROM e GROUP BY user_id, event_type
+    ),
+    tp AS (
+        SELECT user_id, c,
+               CAST(c AS DOUBLE) / SUM(c) OVER (PARTITION BY user_id) AS p
+        FROM tc
+    ),
+    u AS (
+        SELECT user_id, CAST(SUM(c) AS BIGINT) AS n,
+               FLOOR(-SUM(p * ln(p)) * 10000 + 0.5) / 10000 AS type_entropy
+        FROM tp GROUP BY user_id
+    ),
+    span AS (
+        SELECT user_id, MAX(sec) - MIN(sec) AS span_s FROM e
+        GROUP BY user_id
+    ),
+    feat AS (
+        SELECT u.user_id, n, span_s, type_entropy,
+               FLOOR((CAST(n AS DOUBLE) * 86400 / (span_s + 1))
+                     * 10000 + 0.5) / 10000 AS events_per_day
+        FROM u JOIN span ON u.user_id = span.user_id
+    ),
+    mom AS (
+        SELECT AVG(events_per_day) AS mu, stddev_samp(events_per_day) AS sd
+        FROM feat
+    )
+    SELECT user_id, n, span_s, events_per_day, type_entropy,
+           FLOOR(((events_per_day - mu) / sd) * 10000 + 0.5) / 10000
+               AS rate_z,
+           FLOOR(((events_per_day - mu) / sd) * 10000 + 0.5) / 10000 > 1.5
+               AND type_entropy < 1.55 AS is_bot
+    FROM feat CROSS JOIN mom
+    """,
+)
+def events_bot_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rule-based bot/spam scoring per user: event volume, active
+    span, events-per-day rate, and event-type entropy (a scripted
+    client hammers one endpoint — low diversity; a human's mix is
+    high-entropy) — the traffic-hygiene filter that runs BEFORE any
+    behavioral analytics or training-data export trusts the events
+    table. The rate flag is SELF-CALIBRATING: a z-score against the
+    live population moments (1-row broadcast, anomaly_zscore class)
+    rather than a fixture-coupled absolute threshold, composed with
+    an absolute entropy floor (ln-scale; 5 uniform types ≈ 1.609).
+    Shape: two rollups sharing the user_id shuffle, a per-user
+    entropy window bounded by |event types|, and a 1-row moment
+    cross — no windows over raw events. The z is rounded before the
+    1.5 cut (boundary-ulp rule)."""
+    e = table(spark, sf_dir, "events").withColumn("sec", _sec_col())
+    tc = e.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("c"))
+    wtot = Window.partitionBy("user_id")
+    p = F.col("c").cast("double") / F.sum("c").over(wtot)
+    ent = tc.withColumn("pe", -p * F.log(p)).groupBy("user_id").agg(
+        F.sum("c").cast("bigint").alias("n"),
+        round4(F.sum("pe")).alias("type_entropy"),
+    )
+    span = e.groupBy("user_id").agg(
+        (F.max("sec") - F.min("sec")).alias("span_s")
+    )
+    feat = ent.join(span, "user_id").withColumn(
+        "events_per_day",
+        round4(F.col("n").cast("double") * 86400 / (F.col("span_s") + 1)),
+    )
+    mom = feat.agg(
+        F.avg("events_per_day").alias("mu"),
+        F.stddev_samp("events_per_day").alias("sd"),
+    )
+    z = round4((F.col("events_per_day") - F.col("mu")) / F.col("sd"))
+    return feat.crossJoin(F.broadcast(mom)).select(
+        "user_id",
+        "n",
+        "span_s",
+        "events_per_day",
+        "type_entropy",
+        z.alias("rate_z"),
+        ((z > 1.5) & (F.col("type_entropy") < 1.55)).alias("is_bot"),
+    )

@@ -65,6 +65,9 @@ NLJ_OK = {
                                     # of two spark.range literals)
     "rec_rfm_segmentation",   # 1-row quartile-boundary broadcast cross join
     "rec_popularity_time_decay",  # 1-row max-order-date broadcast cross
+    "ml_kmeans_lloyd",        # ≤4-row centroid broadcast crosses
+                              # (embedding_centroid_assign class)
+    "events_bot_detection",   # 1-row population-moment broadcast cross
     # reviewed single-partition sorts over BOUNDED rollups (the consumer-
     # aware SinglePartition check, live since round 5):
     "curation_shard_token_budget",  # offsets pass: O(buckets) rows

@@ -325,6 +325,7 @@ _NEW_R5B = frozenset(
     scan_csv_dropmalformed
     fn_array_higher_order fn_regexp_replace_backrefs
     join_hint_shuffle_hash tpch_shipping_delay_profile
+    ml_kmeans_lloyd events_bot_detection
     """.split()
 )
 
