@@ -770,3 +770,124 @@ def stats_wilson_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         round4((p + 1.9208 / n - half) / denom).alias("ci_lo"),
         round4((p + 1.9208 / n + half) / denom).alias("ci_hi"),
     )
+
+
+@query(
+    "stats_kaplan_meier",
+    oracle="""
+    WITH mx AS (SELECT MAX(o_orderdate) AS maxd FROM orders),
+    cust AS (
+        SELECT o_custkey,
+               date_diff('day', MIN(o_orderdate), MAX(o_orderdate)) AS dur,
+               MAX(o_orderdate) AS last_d
+        FROM orders GROUP BY o_custkey
+    ),
+    obs AS (
+        SELECT dur,
+               CASE WHEN last_d < maxd - INTERVAL 90 DAY THEN 1 ELSE 0 END
+                   AS churned
+        FROM cust CROSS JOIN mx
+    ),
+    tot AS (SELECT COUNT(*) AS n FROM obs),
+    bydur AS (
+        SELECT dur, CAST(SUM(churned) AS BIGINT) AS d,
+               CAST(SUM(1 - churned) AS BIGINT) AS c
+        FROM obs GROUP BY dur
+    ),
+    risk AS (
+        SELECT dur, d, c,
+               n - COALESCE(SUM(d + c) OVER (
+                       ORDER BY dur
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND 1 PRECEDING), 0) AS at_risk
+        FROM bydur CROSS JOIN tot
+    ),
+    surv AS (
+        SELECT dur, d, c, CAST(at_risk AS BIGINT) AS at_risk,
+               SUM(CASE WHEN d = at_risk THEN 1 ELSE 0 END) OVER w
+                   AS hit_zero,
+               SUM(CASE WHEN d < at_risk AND d > 0
+                        THEN ln(1 - CAST(d AS DOUBLE) / at_risk)
+                        ELSE 0.0 END) OVER w AS logsum
+        FROM risk
+        WINDOW w AS (ORDER BY dur ROWS BETWEEN UNBOUNDED PRECEDING
+                     AND CURRENT ROW)
+    )
+    SELECT dur, d, c, at_risk,
+           CASE WHEN hit_zero > 0 THEN 0.0
+                ELSE FLOOR(exp(logsum) * 10000 + 0.5) / 10000
+           END AS s
+    FROM surv
+    """,
+)
+def stats_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan–Meier survival estimator with right-censoring — customer
+    lifetime measured first-to-last order, an observation counted as a
+    churn EVENT only if the customer's last order predates the
+    dataset horizon by 90+ days (later actives are CENSORED, the
+    correction naive churn averages get wrong). S(t) = Π(1 − dᵢ/nᵢ)
+    over event times ≤ t, computed in log-space as a running sum
+    (cumulative products have no window form), with the d = n
+    terminal case routed around ln(0) by an explicit zero flag
+    carried forward — NULLIF-into-SUM would silently SKIP the factor
+    (SQL sums ignore NULL) and report survival rising after
+    extinction. All windows run over the O(distinct durations)
+    rollup, never per customer; the horizon is a live 1-row broadcast
+    (text_tfidf class). ln/exp land inside the stable round."""
+    o = table(spark, sf_dir, "orders")
+    mx = o.agg(F.max("o_orderdate").alias("maxd"))
+    cust = o.groupBy("o_custkey").agg(
+        F.datediff(F.max("o_orderdate"), F.min("o_orderdate")).alias("dur"),
+        F.max("o_orderdate").alias("last_d"),
+    )
+    obs = cust.crossJoin(F.broadcast(mx)).select(
+        "dur",
+        F.when(
+            F.col("last_d") < F.date_sub(F.col("maxd"), 90), 1
+        )
+        .otherwise(0)
+        .alias("churned"),
+    )
+    tot = obs.agg(F.count(F.lit(1)).alias("n"))
+    bydur = obs.groupBy("dur").agg(
+        F.sum("churned").cast("bigint").alias("d"),
+        F.sum(1 - F.col("churned")).cast("bigint").alias("c"),
+    )
+    wprev = Window.orderBy("dur").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    risk = bydur.crossJoin(F.broadcast(tot)).withColumn(
+        "at_risk",
+        (
+            F.col("n")
+            - F.coalesce(
+                F.sum(F.col("d") + F.col("c")).over(wprev), F.lit(0)
+            )
+        ).cast("bigint"),
+    )
+    wcum = Window.orderBy("dur").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    surv = risk.withColumn(
+        "hit_zero",
+        F.sum(
+            F.when(F.col("d") == F.col("at_risk"), 1).otherwise(0)
+        ).over(wcum),
+    ).withColumn(
+        "logsum",
+        F.sum(
+            F.when(
+                (F.col("d") < F.col("at_risk")) & (F.col("d") > 0),
+                F.log(1 - F.col("d").cast("double") / F.col("at_risk")),
+            ).otherwise(0.0)
+        ).over(wcum),
+    )
+    return surv.select(
+        "dur",
+        "d",
+        "c",
+        "at_risk",
+        F.when(F.col("hit_zero") > 0, 0.0)
+        .otherwise(round4(F.exp(F.col("logsum"))))
+        .alias("s"),
+    )

@@ -555,3 +555,59 @@ def scan_csv_dropmalformed(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.round(F.sum("o_totalprice"), 4).alias("total"),
     )
+
+
+@query(
+    "scan_json_permissive_corrupt",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_valid,
+           CAST(3 AS BIGINT) AS n_corrupt,
+           ROUND(SUM(o_totalprice), 4) AS total
+    FROM orders WHERE o_orderkey % 25 = 0
+    """,
+)
+def scan_json_permissive_corrupt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERMISSIVE-mode JSON ingest with a corrupt-record quarantine
+    column — the third point on the malformed-input policy axis next
+    to scan_csv_dropmalformed (drop rows) and scan_ignore_corrupt_files
+    (drop files): bad lines are KEPT, routed into _corrupt_record with
+    every data column NULL, so the pipeline can count, alert on, and
+    replay them instead of silently losing input. The directory holds
+    a valid JSONL member (a fixture slice) plus exactly three planted
+    garbage lines (truncated JSON, non-JSON text, wrong-type object) —
+    the contract checked is the split: n_corrupt = 3 (the literal IS
+    the plant count), n_valid and the revenue sum = the intact fixture
+    slice, proving quarantine swallowed nothing valid. Spark caveat
+    honored: _corrupt_record cannot be the ONLY referenced column
+    (raises AnalysisException by design) — the aggregate touches data
+    columns too."""
+    o = table(spark, sf_dir, "orders")
+    out = os.path.join(tempfile.mkdtemp(prefix="mrsas_jsonmal_"), "orders_js")
+    o.filter(F.col("o_orderkey") % 25 == 0).select(
+        "o_orderkey", "o_totalprice"
+    ).coalesce(1).write.mode("overwrite").json(out)
+    with open(os.path.join(out, "part-garbage.json"), "w") as fh:
+        fh.write('{"o_orderkey": 1, "o_totalprice":\n')      # truncated
+        fh.write("this is not json at all\n")                 # not JSON
+        fh.write('{"o_orderkey": "NaNsense", "o_totalprice": "x"}\n')
+    read = spark.read.schema(
+        "o_orderkey BIGINT, o_totalprice DOUBLE, _corrupt_record STRING"
+    ).option("mode", "PERMISSIVE").option(
+        "columnNameOfCorruptRecord", "_corrupt_record"
+    ).json(out)
+    return read.agg(
+        F.sum(F.when(F.col("_corrupt_record").isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_valid"),
+        F.sum(F.when(F.col("_corrupt_record").isNotNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_corrupt"),
+        F.round(
+            F.sum(
+                F.when(
+                    F.col("_corrupt_record").isNull(), F.col("o_totalprice")
+                )
+            ),
+            4,
+        ).alias("total"),
+    )

@@ -68,6 +68,9 @@ NLJ_OK = {
     "ml_kmeans_lloyd",        # ≤4-row centroid broadcast crosses
                               # (embedding_centroid_assign class)
     "events_bot_detection",   # 1-row population-moment broadcast cross
+    "stats_kaplan_meier",     # horizon + total 1-row broadcasts; both
+                              # cumulative windows run over the
+                              # O(distinct durations) rollup
     # reviewed single-partition sorts over BOUNDED rollups (the consumer-
     # aware SinglePartition check, live since round 5):
     "curation_shard_token_budget",  # offsets pass: O(buckets) rows

@@ -326,6 +326,7 @@ _NEW_R5B = frozenset(
     fn_array_higher_order fn_regexp_replace_backrefs
     join_hint_shuffle_hash tpch_shipping_delay_profile
     ml_kmeans_lloyd events_bot_detection
+    stats_kaplan_meier scan_json_permissive_corrupt
     """.split()
 )
 

@@ -102,3 +102,71 @@ def test_bot_detection_flags_low_entropy_hammering(
         assert r["is_bot"] is False
         # 10 events, uniform over 5 types -> H = ln 5
         assert r["type_entropy"] == _round4(math.log(5))
+
+
+_ORDERS_SCHEMA = (
+    "o_orderkey long, o_custkey long, o_orderstatus string, "
+    "o_totalprice double, o_orderdate date, o_orderpriority string"
+)
+
+
+def _order(key, cust, day):
+    return (key, cust, "O", 100.0, day, "1-URGENT")
+
+
+def test_kaplan_meier_censoring_and_survival_steps(
+    spark, tmp_path_factory
+):
+    out = str(tmp_path_factory.mktemp("km"))
+    d = dt.date
+    orders = [
+        # u1, u2: dur 10, last order far before the 90-day horizon
+        _order(1, 1, d(2024, 1, 1)), _order(2, 1, d(2024, 1, 11)),
+        _order(3, 2, d(2024, 1, 1)), _order(4, 2, d(2024, 1, 11)),
+        # u3: dur 20, churned
+        _order(5, 3, d(2024, 1, 1)), _order(6, 3, d(2024, 1, 21)),
+        # u4: dur 20 but recent -> censored
+        _order(7, 4, d(2024, 11, 1)), _order(8, 4, d(2024, 11, 21)),
+        # u5: single order ON the dataset max date -> dur 0, censored
+        _order(9, 5, d(2024, 12, 31)),
+    ]
+    _write(spark, out, "orders", orders, _ORDERS_SCHEMA)
+    rows = {r["dur"]: r for r in QS["stats_kaplan_meier"](spark, out).collect()}
+    assert set(rows) == {0, 10, 20}
+    r0, r10, r20 = rows[0], rows[10], rows[20]
+    assert (r0["d"], r0["c"], r0["at_risk"], r0["s"]) == (0, 1, 5, 1.0)
+    assert (r10["d"], r10["c"], r10["at_risk"], r10["s"]) == (2, 0, 4, 0.5)
+    # at dur 20: one churn, one censored, 2 at risk -> S = 0.5 * 0.5
+    assert (r20["d"], r20["c"], r20["at_risk"], r20["s"]) == (1, 1, 2, 0.25)
+
+
+def test_kaplan_meier_extinction_pins_zero_not_skip(
+    spark, tmp_path_factory
+):
+    # the d = at_risk terminal case must yield S = 0, NOT skip the
+    # ln(0) factor (a NULL inside SUM would silently drop it and
+    # leave S at its previous value)
+    out = str(tmp_path_factory.mktemp("km0"))
+    d = dt.date
+    orders = [
+        _order(1, 1, d(2024, 1, 1)), _order(2, 1, d(2024, 1, 6)),
+        _order(3, 2, d(2024, 1, 1)), _order(4, 2, d(2024, 1, 6)),
+        _order(5, 3, d(2024, 12, 31)),  # defines the horizon, censored
+    ]
+    _write(spark, out, "orders", orders, _ORDERS_SCHEMA)
+    rows = {r["dur"]: r for r in QS["stats_kaplan_meier"](spark, out).collect()}
+    assert rows[5]["d"] == 2 and rows[5]["at_risk"] == 2
+    assert rows[5]["s"] == 0.0
+
+
+def test_json_permissive_quarantine_split(spark, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("jsonmal"))
+    d = dt.date(2024, 1, 1)
+    orders = [
+        (k, 1, "O", float(10 * k), d, "1-URGENT") for k in (24, 25, 50, 51)
+    ]
+    _write(spark, out, "orders", orders, _ORDERS_SCHEMA)
+    r = QS["scan_json_permissive_corrupt"](spark, out).collect()[0]
+    # slice o_orderkey % 25 == 0 -> keys 25 and 50 survive as valid
+    assert (r["n_valid"], r["n_corrupt"]) == (2, 3)
+    assert r["total"] == 250.0 + 500.0
