@@ -522,14 +522,18 @@ def scan_csv_dropmalformed(spark: SparkSession, sf_dir: str) -> DataFrame:
     proves both that garbage vanished AND that nothing valid was
     dropped with it.
 
-    Gotcha pinned here (found live): DROPMALFORMED interacts with CSV
-    column pruning — a row is judged malformed only on the columns the
-    plan actually parses, so an aggregate touching just (price,
-    priority) lets an under-arity line survive as an all-NULL row, and
-    a bare count() parses nothing and counts every garbage line. The
-    o_orderkey IS NOT NULL gate below is therefore load-bearing: it
-    forces the key column into the parse path, which is what makes
-    arity/type garbage malformed again. (Equivalently:
+    Gotcha pinned here (found live, twice): DROPMALFORMED interacts
+    with CSV column pruning — a row is judged malformed only on the
+    columns the plan actually parses, so an aggregate touching just
+    (price, priority) lets an under-arity line survive as an all-NULL
+    row, a bare count() parses nothing and counts every garbage line,
+    and — the second finding — an OVER-arity line survives any plan
+    that doesn't parse the full schema, making the same DataFrame's
+    show() and count() disagree (count() of the aggregate needs only
+    the group/filter columns). The all-columns NOT NULL gate below is
+    therefore load-bearing: it forces EVERY schema column into the
+    parse path on every execution route, which is what makes
+    arity/type garbage malformed deterministically. (Equivalently:
     spark.sql.csv.parser.columnPruning.enabled=false, but a session
     conf would leak past this query.)"""
     o = table(spark, sf_dir, "orders")
@@ -549,7 +553,12 @@ def scan_csv_dropmalformed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("mode", "DROPMALFORMED")
         .csv(out)
     )
-    return read.filter(F.col("o_orderkey").isNotNull()).groupBy(
+    gate = (
+        F.col("o_orderkey").isNotNull()
+        & F.col("o_totalprice").isNotNull()
+        & F.col("o_orderpriority").isNotNull()
+    )
+    return read.filter(gate).groupBy(
         "o_orderpriority"
     ).agg(
         F.count(F.lit(1)).alias("n"),

@@ -196,3 +196,24 @@ def test_shipping_delay_profile_exact_ranks(spark, tmp_path_factory):
     assert len(r) == 1 and r[0]["month"] == "2024-01"
     # delays [5,7,9,30]: p50 rank (4+1)//2=2 -> 7; p90 rank 4 -> 30
     assert (r[0]["n"], r[0]["p50_delay"], r[0]["p90_delay"]) == (4, 7, 30)
+
+
+def test_dropmalformed_over_arity_depends_on_parsed_columns(
+    spark, tmp_path
+):
+    """Second pruning finding (found live via the empty-input
+    harness): an OVER-arity line is judged malformed only when the
+    plan parses the full schema — so collect() (full parse) drops it
+    while a subset-column count keeps it, and the same DataFrame can
+    answer show() and count() differently. scan_csv_dropmalformed's
+    all-columns gate exists to kill this path dependence."""
+    out = str(tmp_path)
+    with open(os.path.join(out, "m.csv"), "w") as fh:
+        fh.write("1,2.5,OK,surplus\n")
+    read = (
+        spark.read.schema("a BIGINT, b DOUBLE, c STRING")
+        .option("mode", "DROPMALFORMED")
+        .csv(out)
+    )
+    assert len(read.collect()) == 0       # full parse: malformed
+    assert read.select("a", "c").count() == 1  # pruned parse: survives

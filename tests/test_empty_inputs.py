@@ -185,6 +185,35 @@ REPRESENTATIVE = [
     # round-5 batch 15. stats_power_analysis excluded (1-row report);
     # timeseries_backlog_curve included (empty spine -> 0 rows).
     "timeseries_backlog_curve",
+    # round-5 batch 16. ml_eval_classification and
+    # quality_key_candidates excluded (1-row / fixed-3-row aggregate
+    # reports, grand-total class).
+    "attribution_multi_touch",
+    "rec_popularity_time_decay",
+    "timeseries_seasonal_baseline",
+    "stats_wilson_ci",
+    # round-5 batch 17. quality_order_reconcile excluded (1-row
+    # report).
+    "subq_relational_division",
+    "win_topk_with_ties",
+    "events_interarrival_histogram",
+    "events_path_analysis",
+    # round-5 batch 18. events_conversion_latency_quantiles excluded
+    # (1-row report); scan_csv_dropmalformed included (empty coalesced
+    # CSV part + planted garbage still reads to zero survivors).
+    "text_readability_score",
+    "scan_csv_dropmalformed",
+    # round-5 batch 19
+    "fn_array_higher_order",
+    "fn_regexp_replace_backrefs",
+    "join_hint_shuffle_hash",
+    "tpch_shipping_delay_profile",
+    # round-5 batches 20-21. scan_json_permissive_corrupt excluded
+    # (1-row report). ml_kmeans_lloyd: empty corpus -> empty seed set
+    # -> empty assignments, no crash, is exactly the contract.
+    "ml_kmeans_lloyd",
+    "events_bot_detection",
+    "stats_kaplan_meier",
 ]
 
 
