@@ -66,6 +66,9 @@ SUBSET = [
     "curation_chunk_overlap",
     "stream_tumbling_window",
     "stream_windowed_topk",
+    "join_hint_shuffle_hash",
+    "ml_kmeans_lloyd",
+    "stats_kaplan_meier",
 ]
 
 
