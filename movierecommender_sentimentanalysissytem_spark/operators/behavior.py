@@ -1252,3 +1252,89 @@ def events_bot_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
         z.alias("rate_z"),
         ((z > 1.5) & (F.col("type_entropy") < 1.55)).alias("is_bot"),
     )
+
+
+@query(
+    "ml_training_snapshot",
+    oracle=f"""
+    WITH e AS (
+        SELECT event_id, user_id, event_type, value, {_SEC} AS sec
+        FROM events
+    ),
+    feat AS (
+        SELECT event_id, user_id, event_type, sec,
+               COALESCE(SUM(CASE WHEN event_type = 'click' THEN 1 END)
+                   OVER w7, 0) AS clicks_7d,
+               FLOOR(COALESCE(SUM(CASE WHEN event_type = 'purchase'
+                                       THEN value END) OVER w7, 0.0)
+                     * 10000 + 0.5) / 10000 AS spend_7d,
+               COALESCE(COUNT(*) OVER wlife, 0) AS prior_events
+        FROM e
+        WINDOW w7 AS (PARTITION BY user_id ORDER BY sec
+                      RANGE BETWEEN 604800 PRECEDING AND 1 PRECEDING),
+               wlife AS (PARTITION BY user_id ORDER BY sec
+                         RANGE BETWEEN UNBOUNDED PRECEDING
+                         AND 1 PRECEDING)
+    )
+    SELECT event_id AS purchase_id, user_id, sec,
+           CAST(clicks_7d AS BIGINT) AS clicks_7d, spend_7d,
+           CAST(prior_events AS BIGINT) AS prior_events
+    FROM feat WHERE event_type = 'purchase'
+    """,
+)
+def ml_training_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-free training-set assembly: for every purchase (the
+    label event), features computed from STRICTLY PRIOR activity —
+    clicks and spend in the trailing 7 days, lifetime prior event
+    count. This is the feature-store point-in-time-correctness
+    pattern: the frames end at 1 PRECEDING on the VALUE axis (RANGE,
+    not ROWS), so nothing co-timestamped with or later than the label
+    can leak into its features, and the prior-window membership is a
+    pure function of the timestamp — deterministic even among
+    same-second peers, where a ROWS frame would depend on tie order
+    (the lineitem fuzz finding's hazard class). All three features
+    share one user_id shuffle and one sort; at 100 TB this is the
+    single-pass alternative to N point-in-time joins against a
+    feature table (join_temporal_snapshot is the two-table form)."""
+    e = table(spark, sf_dir, "events").withColumn("sec", _sec_col())
+    w7 = (
+        Window.partitionBy("user_id")
+        .orderBy("sec")
+        .rangeBetween(-604800, -1)
+    )
+    wlife = (
+        Window.partitionBy("user_id")
+        .orderBy("sec")
+        .rangeBetween(Window.unboundedPreceding, -1)
+    )
+    feat = e.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "sec",
+        F.coalesce(
+            F.sum(F.when(F.col("event_type") == "click", 1)).over(w7),
+            F.lit(0),
+        )
+        .cast("bigint")
+        .alias("clicks_7d"),
+        round4(
+            F.coalesce(
+                F.sum(
+                    F.when(F.col("event_type") == "purchase", F.col("value"))
+                ).over(w7),
+                F.lit(0.0),
+            )
+        ).alias("spend_7d"),
+        F.coalesce(F.count(F.lit(1)).over(wlife), F.lit(0))
+        .cast("bigint")
+        .alias("prior_events"),
+    )
+    return feat.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        "sec",
+        "clicks_7d",
+        "spend_7d",
+        "prior_events",
+    )

@@ -532,3 +532,70 @@ def timeseries_seasonal_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
         z.alias("z"),
         (F.abs(z) > 2.0).alias("is_anomaly"),
     )
+
+
+@query(
+    "timeseries_decompose_additive",
+    oracle="""
+    WITH daily AS (
+        SELECT o_orderdate AS day,
+               (date_diff('day', DATE '1970-01-01', o_orderdate) + 3) % 7
+                   AS weekday,
+               SUM(o_totalprice) AS revenue
+        FROM orders GROUP BY 1, 2
+    ),
+    tr AS (
+        SELECT day, weekday, revenue,
+               AVG(revenue) OVER (ORDER BY day
+                                  ROWS BETWEEN 3 PRECEDING
+                                  AND 3 FOLLOWING) AS trend
+        FROM daily
+    ),
+    se AS (
+        SELECT weekday AS wk, AVG(revenue - trend) AS seasonal
+        FROM tr GROUP BY weekday
+    )
+    SELECT day, CAST(weekday AS INTEGER) AS weekday,
+           FLOOR(revenue * 10000 + 0.5) / 10000 AS revenue,
+           FLOOR(trend * 10000 + 0.5) / 10000 AS trend,
+           FLOOR(seasonal * 10000 + 0.5) / 10000 AS seasonal,
+           FLOOR((revenue - trend - seasonal) * 10000 + 0.5) / 10000
+               AS residual
+    FROM tr JOIN se ON weekday = wk
+    """,
+)
+def timeseries_decompose_additive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical additive decomposition of the daily revenue series:
+    trend = centered 7-day moving average, seasonal = weekday mean of
+    the detrended series, residual = what's left — the three-way
+    split behind every 'is this dip real or just Sunday' question,
+    and the generative model the seasonal-baseline anomaly key
+    (timeseries_seasonal_baseline) implicitly assumes. The trend
+    window and the 7-row seasonal broadcast both run over the
+    O(days) ROLLUP — the raw fact table is touched exactly once;
+    series edges keep Spark/DuckDB-identical partial frames (AVG
+    over however many of the 7 rows exist). Weekday is the
+    (epoch_day + 3) % 7 integer convention."""
+    o = table(spark, sf_dir, "orders")
+    epoch_day = F.datediff(
+        F.col("o_orderdate"), F.lit("1970-01-01").cast("date")
+    )
+    daily = o.groupBy(
+        F.col("o_orderdate").alias("day"),
+        ((epoch_day.cast("bigint") + 3) % 7).alias("weekday"),
+    ).agg(F.sum("o_totalprice").alias("revenue"))
+    wtr = Window.orderBy("day").rowsBetween(-3, 3)
+    tr = daily.withColumn("trend", F.avg("revenue").over(wtr))
+    se = tr.groupBy(F.col("weekday").alias("wk")).agg(
+        F.avg(F.col("revenue") - F.col("trend")).alias("seasonal")
+    )
+    return tr.join(F.broadcast(se), F.col("weekday") == F.col("wk")).select(
+        "day",
+        F.col("weekday").cast("int").alias("weekday"),
+        round4(F.col("revenue")).alias("revenue"),
+        round4(F.col("trend")).alias("trend"),
+        round4(F.col("seasonal")).alias("seasonal"),
+        round4(
+            F.col("revenue") - F.col("trend") - F.col("seasonal")
+        ).alias("residual"),
+    )

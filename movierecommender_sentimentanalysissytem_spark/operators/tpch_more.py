@@ -688,3 +688,68 @@ def tpch_shipping_delay_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("p90_delay"),
     )
+
+
+@query(
+    "tpch_abc_classification",
+    oracle="""
+    WITH rev AS (
+        SELECT l_partkey,
+               SUM(l_extendedprice * (1 - l_discount)) AS revenue
+        FROM lineitem GROUP BY l_partkey
+    ),
+    tot AS (SELECT SUM(revenue) AS t FROM rev),
+    ranked AS (
+        SELECT l_partkey, revenue,
+               FLOOR((SUM(revenue) OVER (
+                          ORDER BY revenue DESC, l_partkey
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW) / t)
+                     * 10000 + 0.5) / 10000 AS cum_share
+        FROM rev CROSS JOIN tot
+    )
+    SELECT l_partkey,
+           FLOOR(revenue * 10000 + 0.5) / 10000 AS revenue,
+           cum_share,
+           CASE WHEN cum_share <= 0.8 THEN 'A'
+                WHEN cum_share <= 0.95 THEN 'B'
+                ELSE 'C' END AS abc_class
+    FROM ranked
+    """,
+)
+def tpch_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC (Pareto) inventory classification: parts ranked by revenue,
+    A = the head covering 80% of cumulative revenue, B = to 95%,
+    C = the long tail — the standard working-capital cut, and the
+    relational form of the "top-1% dominates" concentration story the
+    Gini metric (rec_diversity_coverage) summarizes to one number.
+    The cumulative window runs over the O(parts) DIMENSION rollup —
+    bounded by catalog size, never by fact rows — with the part key
+    as deterministic tie-break; the grand total arrives as a 1-row
+    broadcast. Cumulative shares take the stable round BEFORE the
+    0.8/0.95 class cuts so summation-order noise can't flip a
+    boundary part's class."""
+    from pyspark.sql.window import Window
+
+    li = table(spark, sf_dir, "lineitem")
+    rev = li.groupBy("l_partkey").agg(
+        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+            "revenue"
+        )
+    )
+    tot = rev.agg(F.sum("revenue").alias("t"))
+    wcum = Window.orderBy(
+        F.col("revenue").desc(), F.col("l_partkey").asc()
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ranked = rev.crossJoin(F.broadcast(tot)).withColumn(
+        "cum_share", round4(F.sum("revenue").over(wcum) / F.col("t"))
+    )
+    return ranked.select(
+        "l_partkey",
+        round4(F.col("revenue")).alias("revenue"),
+        "cum_share",
+        F.when(F.col("cum_share") <= 0.8, "A")
+        .when(F.col("cum_share") <= 0.95, "B")
+        .otherwise("C")
+        .alias("abc_class"),
+    )

@@ -71,6 +71,11 @@ NLJ_OK = {
     "stats_kaplan_meier",     # horizon + total 1-row broadcasts; both
                               # cumulative windows run over the
                               # O(distinct durations) rollup
+    "tpch_abc_classification",  # 1-row grand-total broadcast; the
+                                # cumulative window runs over the
+                                # O(parts) dimension rollup
+    "timeseries_decompose_additive",  # centered-MA window over the
+                                      # O(days) rollup
     # reviewed single-partition sorts over BOUNDED rollups (the consumer-
     # aware SinglePartition check, live since round 5):
     "curation_shard_token_budget",  # offsets pass: O(buckets) rows

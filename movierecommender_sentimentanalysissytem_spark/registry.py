@@ -327,6 +327,8 @@ _NEW_R5B = frozenset(
     join_hint_shuffle_hash tpch_shipping_delay_profile
     ml_kmeans_lloyd events_bot_detection
     stats_kaplan_meier scan_json_permissive_corrupt
+    tpch_abc_classification ml_training_snapshot
+    timeseries_decompose_additive
     """.split()
 )
 

@@ -1,0 +1,115 @@
+"""Crafted-input tests for the round-5 batch-22 keys: ABC Pareto
+classification, leakage-free training snapshots, and additive series
+decomposition.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from movierecommender_sentimentanalysissytem_spark import registry
+
+QS = registry.queries()
+
+T0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+_ORDERS_SCHEMA = (
+    "o_orderkey long, o_custkey long, o_orderstatus string, "
+    "o_totalprice double, o_orderdate date, o_orderpriority string"
+)
+
+_LI_SCHEMA = (
+    "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber long, "
+    "l_quantity double, l_extendedprice double, l_discount double, "
+    "l_tax double, l_returnflag string, l_linestatus string, "
+    "l_shipdate date"
+)
+
+_EV_SCHEMA = (
+    "event_id long, ts timestamp, user_id long, event_type string, "
+    "value double, props string"
+)
+
+
+def _write(spark, out: str, name: str, rows, schema: str) -> None:
+    spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(f"{out}/{name}.parquet")
+
+
+def test_abc_classes_at_exact_boundaries(spark, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("abc"))
+    d = dt.date(2024, 1, 1)
+    li = [
+        (1, 10, 1, 1, 1.0, 80.0, 0.0, 0.0, "N", "O", d),
+        (2, 20, 1, 1, 1.0, 15.0, 0.0, 0.0, "N", "O", d),
+        (3, 30, 1, 1, 1.0, 5.0, 0.0, 0.0, "N", "O", d),
+    ]
+    _write(spark, out, "lineitem", li, _LI_SCHEMA)
+    got = {r["l_partkey"]: r for r in
+           QS["tpch_abc_classification"](spark, out).collect()}
+    # cum shares 0.8 / 0.95 / 1.0 land exactly ON the class boundaries
+    assert (got[10]["cum_share"], got[10]["abc_class"]) == (0.8, "A")
+    assert (got[20]["cum_share"], got[20]["abc_class"]) == (0.95, "B")
+    assert (got[30]["cum_share"], got[30]["abc_class"]) == (1.0, "C")
+
+
+def test_training_snapshot_is_leakage_free(spark, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("snap"))
+
+    def ev(eid, uid, typ, secs, value=1.0):
+        return (eid, T0 + dt.timedelta(seconds=secs), uid, typ, value, "{}")
+
+    rows = [
+        # u1: two clicks then two purchases
+        ev(1, 1, "click", 0),
+        ev(2, 1, "click", 100),
+        ev(3, 1, "purchase", 200, 50.0),
+        ev(4, 1, "purchase", 300, 70.0),
+        # u2: click and purchase in the SAME second — strictly-prior
+        # frames must exclude the co-timestamped click
+        ev(5, 2, "click", 1000),
+        ev(6, 2, "purchase", 1000, 10.0),
+        # u3: click 8 days before the purchase — outside the 7-day
+        # window but still a lifetime prior event
+        ev(7, 3, "click", 0),
+        ev(8, 3, "purchase", 8 * 86400, 10.0),
+    ]
+    _write(spark, out, "events", rows, _EV_SCHEMA)
+    got = {r["purchase_id"]: r for r in
+           QS["ml_training_snapshot"](spark, out).collect()}
+    p3 = got[3]
+    assert (p3["clicks_7d"], p3["spend_7d"], p3["prior_events"]) == (
+        2, 0.0, 2,
+    )
+    p4 = got[4]
+    # the purchase at 200 is prior spend for the purchase at 300
+    assert (p4["clicks_7d"], p4["spend_7d"], p4["prior_events"]) == (
+        2, 50.0, 3,
+    )
+    p6 = got[6]
+    assert (p6["clicks_7d"], p6["spend_7d"], p6["prior_events"]) == (
+        0, 0.0, 0,
+    )
+    p8 = got[8]
+    assert (p8["clicks_7d"], p8["spend_7d"], p8["prior_events"]) == (
+        0, 0.0, 1,
+    )
+
+
+def test_decompose_constant_series_is_pure_trend(spark, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("decomp"))
+    monday0 = dt.date(2024, 1, 1)
+    orders = [
+        (k, 1, "O", 100.0, monday0 + dt.timedelta(days=k), "1-URGENT")
+        for k in range(14)
+    ]
+    _write(spark, out, "orders", orders, _ORDERS_SCHEMA)
+    rows = QS["timeseries_decompose_additive"](spark, out).collect()
+    assert len(rows) == 14
+    for r in rows:
+        assert r["trend"] == 100.0       # partial edge frames too
+        assert r["seasonal"] == 0.0
+        assert r["residual"] == 0.0
+    wd = {r["day"]: r["weekday"] for r in rows}
+    assert wd[monday0] == 0 and wd[monday0 + dt.timedelta(days=6)] == 6
