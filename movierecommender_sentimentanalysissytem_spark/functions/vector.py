@@ -671,3 +671,62 @@ def ml_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("c1") != F.col("c2")).alias("moved"),
         F.col("dist").alias("dist2"),
     )
+
+
+@query(
+    "quality_embedding_audit",
+    oracle="""
+    WITH e AS (
+        SELECT vec_id, label, len(embedding) AS dim,
+               sqrt(list_reduce(list_transform(embedding,
+                    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+                    (p, q) -> p + q)) AS norm
+        FROM embeddings
+    )
+    SELECT label, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CASE WHEN dim != 64 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_bad_dim,
+           CAST(SUM(CASE WHEN norm = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_zero_vectors,
+           FLOOR(MIN(norm) * 10000 + 0.5) / 10000 AS min_norm,
+           FLOOR(MAX(norm) * 10000 + 0.5) / 10000 AS max_norm,
+           FLOOR(AVG(norm) * 10000 + 0.5) / 10000 AS avg_norm
+    FROM e GROUP BY label
+    """,
+)
+def quality_embedding_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-table health audit per label: dimension-constancy
+    violations, zero vectors (cosine against them is NaN — they
+    poison every similarity key upstream), and the norm distribution
+    (a collapsed or exploding norm band is the first symptom of a
+    bad encoder export or a mixed-model table). This is the DQ gate
+    the entire similarity tier (sim_*, dedup_embedding_cosine, IVF,
+    kmeans) should run behind; the relational-table twins are
+    quality_null_profile / quality_expectation_suite. Norms are
+    in-order JVM folds (bit-identical cross-engine, the vector.py
+    kernel contract); the zero test compares the EXACT norm against
+    0 — no epsilon, because a true zero vector has a true zero norm
+    in IEEE. One narrow map + one O(labels) rollup."""
+    e = table(spark, sf_dir, "embeddings").select(
+        "label",
+        F.size("embedding").alias("dim"),
+        F.sqrt(
+            F.expr(
+                "aggregate(transform(embedding,"
+                " x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),"
+                " 0.0D, (acc, u) -> acc + u)"
+            )
+        ).alias("norm"),
+    )
+    return e.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("dim") != 64, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_bad_dim"),
+        F.sum(F.when(F.col("norm") == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_zero_vectors"),
+        round4(F.min("norm")).alias("min_norm"),
+        round4(F.max("norm")).alias("max_norm"),
+        round4(F.avg("norm")).alias("avg_norm"),
+    )

@@ -981,3 +981,67 @@ def join_hint_shuffle_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.round(F.sum("o_totalprice"), 4).alias("total"),
     )
+
+
+@query(
+    "join_full_outer_using",
+    oracle=f"""
+    WITH clicks AS (
+        SELECT {{sec}} // 86400 AS day, COUNT(*) AS n_clicks
+        FROM events WHERE event_type = 'click' GROUP BY 1
+    ),
+    purchases AS (
+        SELECT {{sec}} // 86400 AS day, COUNT(*) AS n_purchases
+        FROM events WHERE event_type = 'purchase' AND value > 180
+        GROUP BY 1
+    )
+    SELECT CAST(day AS BIGINT) AS day,
+           CAST(COALESCE(n_clicks, 0) AS BIGINT) AS n_clicks,
+           CAST(COALESCE(n_purchases, 0) AS BIGINT) AS n_purchases,
+           (n_clicks IS NULL) AS click_side_missing,
+           (n_purchases IS NULL) AS purchase_side_missing
+    FROM clicks FULL OUTER JOIN purchases USING (day)
+    """.format(
+        sec="CAST(epoch(date_trunc('second', ts)) AS BIGINT)"
+    ),
+)
+def join_full_outer_using(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER JOIN with USING-style key coalescing: daily click
+    counts against daily purchase counts, where a day may exist on
+    either side only. The semantic this key pins is the KEY COLUMN
+    itself: under join(df, [key], 'full') Spark emits ONE coalesced
+    key column (as USING does in DuckDB) — whereas an explicit
+    ON-condition full outer leaves two key columns, each NULL on its
+    missing side, and naive consumers read the left one and see NULL
+    days (join_full_outer pins the explicit-ON form; this is the
+    other convention, and migrating between them silently changes the
+    key column's NULL behavior). Both sides are O(days) rollups of
+    the same scan lineage; the join shuffles on day."""
+    e = table(spark, sf_dir, "events").withColumn(
+        "sec", F.unix_timestamp(F.date_trunc("second", F.col("ts")))
+    )
+    day = F.floor(F.col("sec") / 86400).alias("day")
+    clicks = (
+        e.filter(F.col("event_type") == "click")
+        .select(day)
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).alias("n_clicks"))
+    )
+    purchases = (
+        e.filter((F.col("event_type") == "purchase") & (F.col("value") > 180))
+        .select(day)
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).alias("n_purchases"))
+    )
+    j = clicks.join(purchases, ["day"], "full")
+    return j.select(
+        F.col("day").cast("bigint").alias("day"),
+        F.coalesce(F.col("n_clicks"), F.lit(0))
+        .cast("bigint")
+        .alias("n_clicks"),
+        F.coalesce(F.col("n_purchases"), F.lit(0))
+        .cast("bigint")
+        .alias("n_purchases"),
+        F.col("n_clicks").isNull().alias("click_side_missing"),
+        F.col("n_purchases").isNull().alias("purchase_side_missing"),
+    )

@@ -901,3 +901,72 @@ def rec_popularity_time_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("decayed_bp").desc(), F.col("item").asc())
         .limit(25)
     )
+
+
+@query(
+    "rec_cold_start_backfill",
+    oracle="""
+    WITH ratings AS (
+        SELECT o_custkey AS user, l_partkey AS item
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    ),
+    top3 AS (
+        SELECT item, CAST(COUNT(*) AS BIGINT) AS n_ratings,
+               CAST(row_number() OVER (ORDER BY COUNT(*) DESC, item)
+                    AS BIGINT) AS rank
+        FROM ratings GROUP BY item
+        ORDER BY n_ratings DESC, item LIMIT 3
+    ),
+    lapsed AS (
+        SELECT c_custkey FROM customer
+        WHERE c_custkey NOT IN (
+            SELECT o_custkey FROM orders
+            WHERE o_orderdate >= DATE '1998-01-01')
+    )
+    SELECT c_custkey AS user, item AS rec_item, rank, n_ratings
+    FROM lapsed CROSS JOIN top3
+    """,
+)
+def rec_cold_start_backfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cold-start / lapsed-user backfill: customers with NO recent
+    activity (no 1998 order) get the global top-3 most-rated items —
+    the popularity fallback every personalized recommender needs for
+    the users its model has nothing on (the serving-side complement
+    of rec_eval_precision_at_k's popularity baseline). Plan: the
+    recent-actives set distributes as a left-anti join (NOT IN on a
+    non-null key rewrites to anti), the top-3 list is an O(items)
+    rollup cut to a 3-row broadcast, and the backfill is lapsed ×
+    top3 — a bounded-by-3 fan-out, not a user×catalog cross. Every
+    column is integer/rank — hash-exact with no rounding."""
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    ratings = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        F.col("o_custkey").alias("user"), F.col("l_partkey").alias("item")
+    )
+    top3 = (
+        ratings.groupBy("item")
+        .agg(F.count(F.lit(1)).alias("n_ratings"))
+        .orderBy(F.col("n_ratings").desc(), F.col("item").asc())
+        .limit(3)
+        .withColumn(
+            "rank",
+            F.row_number()
+            .over(
+                Window.orderBy(
+                    F.col("n_ratings").desc(), F.col("item").asc()
+                )
+            )
+            .cast("bigint"),
+        )
+    )
+    recent = o.filter(
+        F.col("o_orderdate") >= F.lit("1998-01-01").cast("date")
+    ).select(F.col("o_custkey").alias("k"))
+    lapsed = c.join(recent, c.c_custkey == F.col("k"), "left_anti")
+    return lapsed.crossJoin(F.broadcast(top3)).select(
+        F.col("c_custkey").alias("user"),
+        F.col("item").alias("rec_item"),
+        "rank",
+        "n_ratings",
+    )

@@ -76,6 +76,8 @@ NLJ_OK = {
                                 # O(parts) dimension rollup
     "timeseries_decompose_additive",  # centered-MA window over the
                                       # O(days) rollup
+    "rec_cold_start_backfill",  # 3-row top-items broadcast cross
+                                # (bounded fan-out, not user×catalog)
     # reviewed single-partition sorts over BOUNDED rollups (the consumer-
     # aware SinglePartition check, live since round 5):
     "curation_shard_token_budget",  # offsets pass: O(buckets) rows

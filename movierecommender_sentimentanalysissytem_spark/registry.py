@@ -329,6 +329,7 @@ _NEW_R5B = frozenset(
     stats_kaplan_meier scan_json_permissive_corrupt
     tpch_abc_classification ml_training_snapshot
     timeseries_decompose_additive
+    rec_cold_start_backfill join_full_outer_using quality_embedding_audit
     """.split()
 )
 

@@ -113,3 +113,92 @@ def test_decompose_constant_series_is_pure_trend(spark, tmp_path_factory):
         assert r["residual"] == 0.0
     wd = {r["day"]: r["weekday"] for r in rows}
     assert wd[monday0] == 0 and wd[monday0 + dt.timedelta(days=6)] == 6
+
+
+def test_cold_start_backfill_targets_lapsed_users_only(
+    spark, tmp_path_factory
+):
+    out = str(tmp_path_factory.mktemp("cold"))
+    d97, d98 = dt.date(1997, 6, 1), dt.date(1998, 3, 1)
+    orders = [
+        (1, 1, "O", 10.0, d98, "1-URGENT"),   # active in 1998
+        (2, 2, "O", 10.0, d97, "1-URGENT"),   # lapsed
+        (3, 2, "O", 10.0, d97, "1-URGENT"),
+    ]
+    li = [
+        # item 10 x3, item 20 x2, item 30 x1, item 40 x1
+        (1, 10, 1, 1, 1.0, 1.0, 0.0, 0.0, "N", "O", d98),
+        (1, 10, 1, 2, 1.0, 1.0, 0.0, 0.0, "N", "O", d98),
+        (2, 10, 1, 1, 1.0, 1.0, 0.0, 0.0, "N", "O", d97),
+        (2, 20, 1, 2, 1.0, 1.0, 0.0, 0.0, "N", "O", d97),
+        (3, 20, 1, 1, 1.0, 1.0, 0.0, 0.0, "N", "O", d97),
+        (3, 30, 1, 2, 1.0, 1.0, 0.0, 0.0, "N", "O", d97),
+        (3, 40, 1, 3, 1.0, 1.0, 0.0, 0.0, "N", "O", d97),
+    ]
+    cust = [(1, "a", 1, 0.0, "AUTO"), (2, "b", 1, 0.0, "AUTO"),
+            (3, "c", 1, 0.0, "AUTO")]  # cust 3 never ordered at all
+    _write(spark, out, "orders", orders, _ORDERS_SCHEMA)
+    _write(spark, out, "lineitem", li, _LI_SCHEMA)
+    _write(
+        spark, out, "customer", cust,
+        "c_custkey long, c_name string, c_nationkey long, "
+        "c_acctbal double, c_mktsegment string",
+    )
+    rows = QS["rec_cold_start_backfill"](spark, out).collect()
+    by_user = {}
+    for r in rows:
+        by_user.setdefault(r["user"], []).append((r["rank"], r["rec_item"]))
+    assert set(by_user) == {2, 3}  # user 1 is active, not backfilled
+    for recs in by_user.values():
+        # top 3 by count desc, item asc: 10 (3), 20 (2), 30 (1, ties 40
+        # broken by item asc)
+        assert sorted(recs) == [(1, 10), (2, 20), (3, 30)]
+
+
+def test_full_outer_using_one_sided_days(spark, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("fou"))
+
+    def ev(eid, typ, days, value=1.0):
+        return (eid, T0 + dt.timedelta(days=days), 1, typ, value, "{}")
+
+    rows = [
+        ev(1, "click", 0),                     # day with clicks only
+        ev(2, "click", 1), ev(3, "purchase", 1, 200.0),  # both sides
+        ev(4, "purchase", 2, 200.0),           # high-value only
+        ev(5, "purchase", 3, 50.0),            # low-value: NO side
+    ]
+    _write(spark, out, "events", rows, _EV_SCHEMA)
+    got = {r["day"]: r for r in
+           QS["join_full_outer_using"](spark, out).collect()}
+    base = min(got)  # epoch-day of T0
+    d0, d1, d2 = got[base], got[base + 1], got[base + 2]
+    assert base + 3 not in got  # low-value-only day joins neither side
+    assert (d0["n_clicks"], d0["n_purchases"]) == (1, 0)
+    assert d0["purchase_side_missing"] is True
+    assert d1["click_side_missing"] is False
+    assert d1["purchase_side_missing"] is False
+    assert (d2["n_clicks"], d2["n_purchases"]) == (0, 1)
+    assert d2["click_side_missing"] is True
+    # the USING-coalesced day column is non-NULL on every row
+    assert all(r["day"] is not None for r in got.values())
+
+
+def test_embedding_audit_flags_zero_and_bad_dim(spark, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("eaudit"))
+    vecs = [
+        (1, [3.0, 4.0] + [0.0] * 62, 1),   # norm 5
+        (2, [0.0] * 64, 1),                # zero vector
+        (3, [1.0, 2.0, 2.0], 2),           # wrong dimension, norm 3
+    ]
+    _write(
+        spark, out, "embeddings", vecs,
+        "vec_id long, embedding array<float>, label int",
+    )
+    got = {r["label"]: r for r in
+           QS["quality_embedding_audit"](spark, out).collect()}
+    l1 = got[1]
+    assert (l1["n"], l1["n_bad_dim"], l1["n_zero_vectors"]) == (2, 0, 1)
+    assert (l1["min_norm"], l1["max_norm"], l1["avg_norm"]) == (0.0, 5.0, 2.5)
+    l2 = got[2]
+    assert (l2["n"], l2["n_bad_dim"], l2["n_zero_vectors"]) == (1, 1, 0)
+    assert l2["min_norm"] == 3.0

@@ -461,6 +461,17 @@ def test_threshold_coupled_keys_nonempty_at_oracle_sf():
         "timeseries_rate_spike",
         "sample_weighted_bernoulli",
         "set_except_distinct",
+        "rec_cold_start_backfill",
     ):
         n = QS[key](spark, SF_ORACLE).count()
         assert n > 0, f"{key} returned 0 rows at {SF_ORACLE}"
+    # join_full_outer_using's high-value bar (value > 180) is
+    # calibrated so genuinely ONE-SIDED days exist — without them the
+    # full outer degenerates to an inner join and the key's semantics
+    # go untested while both engines stay green.
+    one_sided = (
+        QS["join_full_outer_using"](spark, SF_ORACLE)
+        .filter("click_side_missing OR purchase_side_missing")
+        .count()
+    )
+    assert one_sided > 0, "no one-sided days at the oracle SF"
