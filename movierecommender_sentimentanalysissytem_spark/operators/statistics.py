@@ -975,3 +975,84 @@ def quality_order_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
         round4(F.min("ratio")).alias("min_ratio"),
         round4(F.max("ratio")).alias("max_ratio"),
     )
+
+
+@query(
+    "quality_control_chart",
+    oracle=f"""
+    WITH e AS (
+        SELECT CAST(epoch(date_trunc('second', ts)) AS BIGINT) // 86400
+                   AS day,
+               CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS is_err
+        FROM events
+    ),
+    daily AS (
+        SELECT day, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(is_err) AS BIGINT) AS n_errors
+        FROM e GROUP BY day
+    ),
+    center AS (
+        SELECT CAST(SUM(n_errors) AS DOUBLE) / SUM(n) AS pbar FROM daily
+    )
+    SELECT CAST(day AS BIGINT) AS day, n, n_errors,
+           FLOOR((CAST(n_errors AS DOUBLE) / n) * 10000 + 0.5) / 10000 AS p,
+           FLOOR((pbar + 3 * SQRT(pbar * (1 - pbar) / n)) * 10000 + 0.5)
+               / 10000 AS ucl,
+           FLOOR(GREATEST(pbar - 3 * SQRT(pbar * (1 - pbar) / n), 0.0)
+                 * 10000 + 0.5) / 10000 AS lcl,
+           FLOOR((CAST(n_errors AS DOUBLE) / n) * 10000 + 0.5) / 10000 >
+               FLOOR((pbar + 3 * SQRT(pbar * (1 - pbar) / n)) * 10000 + 0.5)
+               / 10000
+           OR
+           FLOOR((CAST(n_errors AS DOUBLE) / n) * 10000 + 0.5) / 10000 <
+               FLOOR(GREATEST(pbar - 3 * SQRT(pbar * (1 - pbar) / n), 0.0)
+                     * 10000 + 0.5) / 10000
+               AS out_of_control
+    FROM daily CROSS JOIN center
+    """,
+)
+def quality_control_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shewhart p-chart over the daily error rate: centerline p̄ from
+    the pooled totals, per-day 3σ binomial control limits
+    p̄ ± 3·√(p̄(1−p̄)/nᵢ) (lower limit clamped at 0), and an
+    out-of-control flag — the SPC discipline that separates
+    common-cause noise from a real process shift, where
+    timeseries_rate_spike's trailing-mean rule reacts to ANY recent
+    level and anomaly_zscore has no per-day sample-size awareness
+    (a small day legitimately wanders wider — the √n denominator is
+    the point). Everything is closed-form IEEE arithmetic over
+    integer counts: exact p̄ as a 1-row broadcast, per-day limits
+    row-local, both sides of each flag comparison rounded first
+    (boundary-ulp rule). One O(days) rollup, one scalar pass."""
+    e = table(spark, sf_dir, "events").select(
+        F.floor(
+            F.unix_timestamp(F.date_trunc("second", F.col("ts"))) / 86400
+        ).alias("day"),
+        F.when(F.col("event_type") == "error", 1).otherwise(0).alias(
+            "is_err"
+        ),
+    )
+    daily = e.groupBy("day").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("is_err").cast("bigint").alias("n_errors"),
+    )
+    center = daily.agg(
+        (
+            F.sum("n_errors").cast("double") / F.sum("n")
+        ).alias("pbar")
+    )
+    p4 = round4(F.col("n_errors").cast("double") / F.col("n"))
+    sigma = F.sqrt(
+        F.col("pbar") * (1 - F.col("pbar")) / F.col("n")
+    )
+    ucl4 = round4(F.col("pbar") + 3 * sigma)
+    lcl4 = round4(F.greatest(F.col("pbar") - 3 * sigma, F.lit(0.0)))
+    return daily.crossJoin(F.broadcast(center)).select(
+        F.col("day").cast("bigint").alias("day"),
+        "n",
+        "n_errors",
+        p4.alias("p"),
+        ucl4.alias("ucl"),
+        lcl4.alias("lcl"),
+        ((p4 > ucl4) | (p4 < lcl4)).alias("out_of_control"),
+    )

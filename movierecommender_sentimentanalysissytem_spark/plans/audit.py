@@ -78,6 +78,7 @@ NLJ_OK = {
                                       # O(days) rollup
     "rec_cold_start_backfill",  # 3-row top-items broadcast cross
                                 # (bounded fan-out, not user×catalog)
+    "quality_control_chart",    # 1-row centerline broadcast cross
     # reviewed single-partition sorts over BOUNDED rollups (the consumer-
     # aware SinglePartition check, live since round 5):
     "curation_shard_token_budget",  # offsets pass: O(buckets) rows

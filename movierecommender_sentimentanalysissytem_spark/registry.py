@@ -330,6 +330,7 @@ _NEW_R5B = frozenset(
     tpch_abc_classification ml_training_snapshot
     timeseries_decompose_additive
     rec_cold_start_backfill join_full_outer_using quality_embedding_audit
+    udf_cogrouped_map quality_control_chart
     """.split()
 )
 

@@ -337,3 +337,84 @@ def udf_pandas_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey",
         round4(standardize(F.col("o_totalprice"))).alias("price_z"),
     )
+
+
+@query(
+    "udf_cogrouped_map",
+    oracle="""
+    WITH e AS (
+        SELECT user_id, event_type,
+               CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS sec
+        FROM events WHERE event_type IN ('click', 'purchase')
+    )
+    SELECT user_id,
+           CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_clicks,
+           CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_purchases,
+           MAX(CASE WHEN event_type = 'click' THEN sec END)
+               AS last_click_sec,
+           MAX(CASE WHEN event_type = 'purchase' THEN sec END)
+               AS last_purchase_sec
+    FROM e GROUP BY user_id
+    """,
+)
+def udf_cogrouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cogrouped-map pandas UDF — ``df1.groupBy(k).cogroup(
+    df2.groupBy(k)).applyInPandas(...)``: BOTH groups for a key arrive
+    in one Python call as two aligned pandas frames, the eval type the
+    rest of the §2.12 matrix (scalar / iter / grouped-map /
+    grouped-agg / UDTF / mapInArrow) doesn't reach. This is the
+    escape hatch for per-key merge logic joins can't express
+    (custom as-of semantics, per-key reconciliation) — here a
+    deliberately SQL-mirrorable merge (side counts + last-activity
+    seconds, either side possibly absent) so the Python path still
+    gets a full hash oracle. Scale shape: one co-partitioned shuffle
+    of both inputs on the key, Arrow-batched transfer, per-key state
+    only — the cogroup twin of udaf_pandas_grouped's notes."""
+    import pandas as pd
+
+    e = table(spark, sf_dir, "events").withColumn(
+        "sec", F.unix_timestamp(F.date_trunc("second", F.col("ts")))
+    )
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id", "sec"
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", "sec"
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("n_clicks", T.LongType()),
+            T.StructField("n_purchases", T.LongType()),
+            T.StructField("last_click_sec", T.LongType()),
+            T.StructField("last_purchase_sec", T.LongType()),
+        ]
+    )
+
+    def merge(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        uid = int(left["user_id"].iloc[0] if len(left)
+                  else right["user_id"].iloc[0])
+        return pd.DataFrame(
+            [
+                {
+                    "user_id": uid,
+                    "n_clicks": len(left),
+                    "n_purchases": len(right),
+                    "last_click_sec": (
+                        int(left["sec"].max()) if len(left) else None
+                    ),
+                    "last_purchase_sec": (
+                        int(right["sec"].max()) if len(right) else None
+                    ),
+                }
+            ]
+        )
+
+    return (
+        clicks.groupBy("user_id")
+        .cogroup(purchases.groupBy("user_id"))
+        .applyInPandas(merge, schema)
+    )

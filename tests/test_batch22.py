@@ -202,3 +202,64 @@ def test_embedding_audit_flags_zero_and_bad_dim(spark, tmp_path_factory):
     l2 = got[2]
     assert (l2["n"], l2["n_bad_dim"], l2["n_zero_vectors"]) == (1, 1, 0)
     assert l2["min_norm"] == 3.0
+
+
+def test_cogrouped_map_handles_one_sided_users(spark, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("cog"))
+
+    def ev(eid, uid, typ, secs):
+        return (eid, T0 + dt.timedelta(seconds=secs), uid, typ, 1.0, "{}")
+
+    rows = [
+        ev(1, 1, "click", 0), ev(2, 1, "click", 60),
+        ev(3, 1, "purchase", 120),
+        ev(4, 2, "click", 0),          # clicks only
+        ev(5, 3, "purchase", 0),       # purchases only
+        ev(6, 4, "view", 0),           # neither side: absent entirely
+    ]
+    _write(spark, out, "events", rows, _EV_SCHEMA)
+    got = {r["user_id"]: r for r in
+           QS["udf_cogrouped_map"](spark, out).collect()}
+    assert set(got) == {1, 2, 3}
+    t0 = int(T0.timestamp())
+    r1 = got[1]
+    assert (r1["n_clicks"], r1["n_purchases"]) == (2, 1)
+    assert r1["last_click_sec"] == t0 + 60
+    assert r1["last_purchase_sec"] == t0 + 120
+    r2 = got[2]
+    assert (r2["n_clicks"], r2["n_purchases"]) == (1, 0)
+    assert r2["last_purchase_sec"] is None
+    r3 = got[3]
+    assert (r3["n_clicks"], r3["n_purchases"]) == (0, 1)
+    assert r3["last_click_sec"] is None
+
+
+def test_control_chart_flags_shifted_day(spark, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("pchart"))
+    rows = []
+    eid = 0
+    # 9 in-control days: 100 events, 10 errors (p = 0.1)
+    for day in range(9):
+        for k in range(100):
+            eid += 1
+            typ = "error" if k < 10 else "click"
+            rows.append((eid, T0 + dt.timedelta(days=day, seconds=k),
+                         1, typ, 1.0, "{}"))
+    # the shifted day: 100 events, 40 errors
+    for k in range(100):
+        eid += 1
+        typ = "error" if k < 40 else "click"
+        rows.append((eid, T0 + dt.timedelta(days=9, seconds=k),
+                     1, typ, 1.0, "{}"))
+    _write(spark, out, "events", rows, _EV_SCHEMA)
+    got = {r["day"]: r for r in
+           QS["quality_control_chart"](spark, out).collect()}
+    assert len(got) == 10
+    # pbar = 130/1000 = 0.13; sigma = sqrt(.13*.87/100) = 0.0336 ->
+    # UCL ~ 0.231: day 9 (p = 0.4) is out, p = 0.1 days are in
+    shifted = [d for d, r in got.items() if r["out_of_control"]]
+    assert len(shifted) == 1
+    assert got[shifted[0]]["p"] == 0.4
+    normal = [r for d, r in got.items() if d != shifted[0]]
+    assert all(r["p"] == 0.1 for r in normal)
+    assert all(r["lcl"] <= 0.1 <= r["ucl"] for r in normal)
