@@ -24,3 +24,12 @@ def round4(col: Column) -> Column:
 def round4_sql(expr: str) -> str:
     """DuckDB side of the stable 4-dp round."""
     return f"FLOOR(({expr}) * 10000 + 0.5) / 10000"
+
+# Saturation bound (found live by stats_anova_oneway's sf0.1 parity
+# run): Spark's floor(double) returns LONG, so round4 SATURATES at
+# Long.MaxValue for |x| >= ~9.223e14 (DuckDB's floor stays double and
+# doesn't) — the rounded value silently pins to 922337203685477.58...
+# and the engines diverge. Keys must not round4 unbounded-growth
+# magnitudes (raw sums of squares, grand totals at extreme SF):
+# normalize first (per-row, per-dof, per-group means) so the rounded
+# quantity is scale-stable. Everything below ~1e14 is safe.

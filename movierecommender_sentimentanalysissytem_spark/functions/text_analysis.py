@@ -609,3 +609,117 @@ def text_readability_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return counts.withColumn("flesch", flesch)
+
+
+@query(
+    "text_collocation_llr",
+    oracle="""
+    WITH pairs AS (
+        SELECT u.bigram AS bg FROM (
+            SELECT list_transform(range(1, len(w)),
+                                  i -> w[i] || ' ' || w[i + 1]) AS bigrams
+            FROM (SELECT string_split(text, ' ') AS w FROM documents) s
+        ) b, unnest(b.bigrams) AS u(bigram)
+    ),
+    c12 AS (
+        SELECT split_part(bg, ' ', 1) AS w1, split_part(bg, ' ', 2) AS w2,
+               CAST(COUNT(*) AS BIGINT) AS k11
+        FROM pairs GROUP BY w1, w2
+    ),
+    r AS (SELECT w1, CAST(SUM(k11) AS BIGINT) AS r1 FROM c12 GROUP BY w1),
+    c AS (SELECT w2, CAST(SUM(k11) AS BIGINT) AS c1 FROM c12 GROUP BY w2),
+    tot AS (SELECT CAST(SUM(k11) AS BIGINT) AS nn FROM c12),
+    cells AS (
+        SELECT c12.w1, c12.w2, k11, r1, c1, nn,
+               r1 - k11 AS k12, c1 - k11 AS k21,
+               nn - r1 - c1 + k11 AS k22
+        FROM c12 JOIN r USING (w1) JOIN c USING (w2) CROSS JOIN tot
+        WHERE k11 >= 5
+    ),
+    scored AS (
+        SELECT w1, w2, k11,
+               2 * (
+                 k11 * ln(CAST(k11 AS DOUBLE) * nn / (r1 * c1))
+                 + CASE WHEN k12 > 0 THEN k12 * ln(CAST(k12 AS DOUBLE) * nn
+                        / (r1 * (nn - c1))) ELSE 0.0 END
+                 + CASE WHEN k21 > 0 THEN k21 * ln(CAST(k21 AS DOUBLE) * nn
+                        / ((nn - r1) * c1)) ELSE 0.0 END
+                 + CASE WHEN k22 > 0 THEN k22 * ln(CAST(k22 AS DOUBLE) * nn
+                        / ((nn - r1) * (nn - c1))) ELSE 0.0 END
+               ) AS llr_raw
+        FROM cells
+    )
+    SELECT w1, w2, k11,
+           FLOOR(llr_raw * 10000 + 0.5) / 10000 AS llr
+    FROM scored
+    ORDER BY llr DESC, w1 ASC, w2 ASC
+    LIMIT 20
+    """,
+)
+def text_collocation_llr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dunning log-likelihood-ratio collocations: the top-20 bigrams
+    whose co-occurrence most exceeds independence under the G²
+    statistic — the corpus-linguistics standard for "real phrase vs
+    frequency accident", robust at low counts where PMI
+    (text_keyword_cooccurrence) explodes. The 2×2 contingency per
+    bigram (k11 pair count, marginals from the bigram relation
+    itself — no second corpus pass) feeds the four k·ln(kN/(RᵢCⱼ))
+    terms; zero cells contribute zero (the lim x→0 x·ln x = 0
+    convention, spelled as an explicit CASE on both engines so no
+    NULL/ln(0) leaks). Marginal relations are vocabulary-sized
+    joins, the total a 1-row broadcast; ≥5-count support floor keeps
+    the scored set dense (text_bigram_lm class). Ranking is on the
+    ROUNDED score with the bigram as total-order tie-break."""
+    d = table(spark, sf_dir, "documents")
+    bigrams = F.expr(
+        "transform(sequence(1, size(split(text, ' ')) - 1),"
+        " i -> concat(element_at(split(text, ' '), i), ' ',"
+        "             element_at(split(text, ' '), i + 1)))"
+    )
+    c12 = (
+        d.select(F.explode(bigrams).alias("bg"))
+        .select(
+            F.substring_index("bg", " ", 1).alias("w1"),
+            F.substring_index("bg", " ", -1).alias("w2"),
+        )
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("k11"))
+    )
+    r = c12.groupBy(F.col("w1").alias("rw")).agg(
+        F.sum("k11").cast("bigint").alias("r1")
+    )
+    c = c12.groupBy(F.col("w2").alias("cw")).agg(
+        F.sum("k11").cast("bigint").alias("c1")
+    )
+    tot = c12.agg(F.sum("k11").cast("bigint").alias("nn"))
+    cells = (
+        c12.filter(F.col("k11") >= 5)
+        .join(F.broadcast(r), F.col("w1") == F.col("rw"))
+        .join(F.broadcast(c), F.col("w2") == F.col("cw"))
+        .crossJoin(F.broadcast(tot))
+        .withColumn("k12", F.col("r1") - F.col("k11"))
+        .withColumn("k21", F.col("c1") - F.col("k11"))
+        .withColumn(
+            "k22", F.col("nn") - F.col("r1") - F.col("c1") + F.col("k11")
+        )
+    )
+
+    def term(k: str, row, col) -> F.Column:
+        return F.when(
+            F.col(k) > 0,
+            F.col(k)
+            * F.log(F.col(k).cast("double") * F.col("nn") / (row * col)),
+        ).otherwise(0.0)
+
+    llr_raw = 2 * (
+        term("k11", F.col("r1"), F.col("c1"))
+        + term("k12", F.col("r1"), F.col("nn") - F.col("c1"))
+        + term("k21", F.col("nn") - F.col("r1"), F.col("c1"))
+        + term("k22", F.col("nn") - F.col("r1"), F.col("nn") - F.col("c1"))
+    )
+    return (
+        cells.withColumn("llr", round4(llr_raw))
+        .orderBy(F.col("llr").desc(), F.col("w1").asc(), F.col("w2").asc())
+        .limit(20)
+        .select("w1", "w2", "k11", "llr")
+    )

@@ -891,3 +891,89 @@ def stats_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(round4(F.exp(F.col("logsum"))))
         .alias("s"),
     )
+
+
+@query(
+    "stats_anova_oneway",
+    oracle="""
+    WITH g AS (
+        SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS cnt,
+               SUM(o_totalprice) AS s,
+               SUM(o_totalprice * o_totalprice) AS ss
+        FROM orders GROUP BY o_orderpriority
+    ),
+    tot AS (
+        SELECT CAST(SUM(cnt) AS BIGINT) AS nn,
+               CAST(COUNT(*) AS BIGINT) AS kk, SUM(s) AS st
+        FROM g
+    ),
+    f AS (
+        SELECT ANY_VALUE(kk) AS kk, ANY_VALUE(nn) AS nn,
+               SUM(cnt * (s / cnt - st / nn) * (s / cnt - st / nn)) AS ssb,
+               SUM(ss - s * s / cnt) AS ssw
+        FROM g CROSS JOIN tot
+    )
+    SELECT kk AS k, nn AS n,
+           CAST(kk - 1 AS BIGINT) AS df1, CAST(nn - kk AS BIGINT) AS df2,
+           FLOOR((ssb / (kk - 1)) * 10000 + 0.5) / 10000 AS ms_between,
+           FLOOR((ssw / (nn - kk)) * 10000 + 0.5) / 10000 AS ms_within,
+           FLOOR(((ssb / (kk - 1)) / (ssw / (nn - kk))) * 10000 + 0.5)
+               / 10000 AS f_stat
+    FROM f
+    """,
+)
+def stats_anova_oneway(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA F statistic (order value across priority
+    classes): between-group vs within-group variance from ONE
+    moments pass — cnt/Σx/Σx² per group, then the closed-form
+    decomposition SSB = Σ nᵍ(x̄ᵍ − x̄)², SSW = Σ(Σx² − (Σx)²/n).
+    The k-sample generalization of stats_t_test_welch (k = 2 reduces
+    to pooled-variance t²); F with its two dof is reported rather
+    than a p-value — neither engine has an F CDF, and the dof pair
+    is what a lookup needs. MEAN squares are reported, not raw
+    SSB/SSW: the raw sums grow with the data (Σx² crossed 3·10¹⁵ at
+    sf0.1) and overflow the stable round's LONG floor — the
+    saturation bound documented in functions/rounding.py, found by
+    THIS key's sf0.1 parity run; mean squares are per-dof, so they
+    stay round-safe at any scale. Group state is O(k) and map-side
+    combinable; the grand totals fold from the GROUP moments (the
+    raw table is scanned exactly once); the one cross join is a
+    1-row broadcast."""
+    o = table(spark, sf_dir, "orders")
+    g = o.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum("o_totalprice").alias("s"),
+        F.sum(F.col("o_totalprice") * F.col("o_totalprice")).alias("ss"),
+    )
+    tot = g.agg(
+        F.sum("cnt").cast("bigint").alias("nn"),
+        F.count(F.lit(1)).cast("bigint").alias("kk"),
+        F.sum("s").alias("st"),
+    )
+    gm = F.col("st") / F.col("nn")
+    f = g.crossJoin(F.broadcast(tot)).agg(
+        F.any_value(F.col("kk")).alias("kk"),
+        F.any_value(F.col("nn")).alias("nn"),
+        F.sum(
+            F.col("cnt")
+            * (F.col("s") / F.col("cnt") - gm)
+            * (F.col("s") / F.col("cnt") - gm)
+        ).alias("ssb"),
+        F.sum(
+            F.col("ss") - F.col("s") * F.col("s") / F.col("cnt")
+        ).alias("ssw"),
+    )
+    return f.select(
+        F.col("kk").alias("k"),
+        F.col("nn").alias("n"),
+        (F.col("kk") - 1).cast("bigint").alias("df1"),
+        (F.col("nn") - F.col("kk")).cast("bigint").alias("df2"),
+        round4(F.col("ssb") / (F.col("kk") - 1)).alias("ms_between"),
+        round4(F.col("ssw") / (F.col("nn") - F.col("kk"))).alias(
+            "ms_within"
+        ),
+        round4(
+            (F.col("ssb") / (F.col("kk") - 1))
+            / (F.col("ssw") / (F.col("nn") - F.col("kk")))
+        ).alias("f_stat"),
+    )

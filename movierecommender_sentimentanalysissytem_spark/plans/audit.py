@@ -79,6 +79,8 @@ NLJ_OK = {
     "rec_cold_start_backfill",  # 3-row top-items broadcast cross
                                 # (bounded fan-out, not user×catalog)
     "quality_control_chart",    # 1-row centerline broadcast cross
+    "stats_anova_oneway",       # 1-row grand-moments broadcast cross
+    "text_collocation_llr",     # 1-row bigram-total broadcast cross
     # reviewed single-partition sorts over BOUNDED rollups (the consumer-
     # aware SinglePartition check, live since round 5):
     "curation_shard_token_budget",  # offsets pass: O(buckets) rows

@@ -331,6 +331,7 @@ _NEW_R5B = frozenset(
     timeseries_decompose_additive
     rec_cold_start_backfill join_full_outer_using quality_embedding_audit
     udf_cogrouped_map quality_control_chart
+    stats_anova_oneway text_collocation_llr
     """.split()
 )
 

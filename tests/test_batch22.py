@@ -263,3 +263,74 @@ def test_control_chart_flags_shifted_day(spark, tmp_path_factory):
     normal = [r for d, r in got.items() if d != shifted[0]]
     assert all(r["p"] == 0.1 for r in normal)
     assert all(r["lcl"] <= 0.1 <= r["ucl"] for r in normal)
+
+
+def test_anova_closed_form_two_groups(spark, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("anova"))
+    d = dt.date(2024, 1, 1)
+    vals = {"1-URGENT": [1.0, 2.0, 3.0], "2-HIGH": [4.0, 5.0, 6.0]}
+    orders, k = [], 0
+    for prio, vs in vals.items():
+        for v in vs:
+            k += 1
+            orders.append((k, 1, "O", v, d, prio))
+    _write(spark, out, "orders", orders, _ORDERS_SCHEMA)
+    r = QS["stats_anova_oneway"](spark, out).collect()[0]
+    # means 2 and 5, grand 3.5: SSB = 3(1.5²)·2 = 13.5, SSW = 2+2 = 4,
+    # F = (13.5/1)/(4/4) = 13.5
+    assert (r["k"], r["n"], r["df1"], r["df2"]) == (2, 6, 1, 4)
+    # MSB = 13.5/1, MSW = 4/4 (mean squares, not raw SS — see the
+    # round4 saturation note in functions/rounding.py)
+    assert (r["ms_between"], r["ms_within"], r["f_stat"]) == (
+        13.5, 1.0, 13.5,
+    )
+
+
+def test_llr_zero_at_independence(spark, tmp_path_factory):
+    # two-word docs: each doc contributes exactly one bigram. The
+    # {a,d}x{b,c} product corpus is EXACTLY independent (every cell
+    # equals its expectation), so every LLR is exactly 0.
+    out = str(tmp_path_factory.mktemp("llr0"))
+    docs, k = [], 0
+    for pair in [("a", "b"), ("a", "c"), ("d", "b"), ("d", "c")]:
+        for _ in range(5):
+            k += 1
+            docs.append((k, f"{pair[0]} {pair[1]}", "en", "s", 3))
+    _write(
+        spark, out, "documents", docs,
+        "doc_id long, text string, lang string, source string, "
+        "n_chars long",
+    )
+    rows = QS["text_collocation_llr"](spark, out).collect()
+    assert len(rows) == 4
+    assert all(r["llr"] == 0.0 for r in rows)
+
+
+def test_llr_ranks_exclusive_pair_first(spark, tmp_path_factory):
+    import math
+
+    out = str(tmp_path_factory.mktemp("llr1"))
+    # (x,y) x10 exclusive pair vs (p,q) x5 background:
+    # N=15, k11=10, r1=c1=10, k22=5 ->
+    # LLR = 2(10 ln 1.5 + 5 ln 3)
+    docs, k = [], 0
+    for pair, cnt in [(("x", "y"), 10), (("p", "q"), 5)]:
+        for _ in range(cnt):
+            k += 1
+            docs.append((k, f"{pair[0]} {pair[1]}", "en", "s", 3))
+    _write(
+        spark, out, "documents", docs,
+        "doc_id long, text string, lang string, source string, "
+        "n_chars long",
+    )
+    rows = QS["text_collocation_llr"](spark, out).collect()
+    got = {(r["w1"], r["w2"]): r for r in rows}
+    want = math.floor(
+        2 * (10 * math.log(1.5) + 5 * math.log(3.0)) * 10000 + 0.5
+    ) / 10000
+    assert got[("x", "y")]["llr"] == want
+    # in a two-pair world each pair perfectly predicts the other, so
+    # (p,q) scores the SAME G² (2(5 ln 3 + 10 ln 1.5) — symmetric) and
+    # the deterministic tie-break puts it first
+    assert got[("p", "q")]["llr"] == want
+    assert (rows[0]["w1"], rows[0]["w2"]) == ("p", "q")
