@@ -723,3 +723,89 @@ def text_collocation_llr(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(20)
         .select("w1", "w2", "k11", "llr")
     )
+
+
+@query(
+    "text_zipf_fit",
+    oracle="""
+    WITH words AS (
+        SELECT u.word, CAST(COUNT(*) AS BIGINT) AS freq
+        FROM documents, unnest(string_split(text, ' ')) AS u(word)
+        WHERE u.word != '' GROUP BY u.word
+    ),
+    ranked AS (
+        SELECT word, freq,
+               row_number() OVER (ORDER BY freq DESC, word ASC) AS rnk
+        FROM words
+    ),
+    top AS (
+        SELECT ln(CAST(rnk AS DOUBLE)) AS x, ln(CAST(freq AS DOUBLE)) AS y
+        FROM ranked WHERE rnk <= 100
+    ),
+    m AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n, AVG(x) AS mx, AVG(y) AS my,
+               AVG(x * y) AS mxy, AVG(x * x) AS mxx, AVG(y * y) AS myy
+        FROM top
+    )
+    SELECT n AS n_words,
+           FLOOR(((mxy - mx * my) / (mxx - mx * mx)) * 10000 + 0.5)
+               / 10000 AS slope,
+           FLOOR((my - ((mxy - mx * my) / (mxx - mx * mx)) * mx)
+                 * 10000 + 0.5) / 10000 AS intercept,
+           FLOOR((((mxy - mx * my) * (mxy - mx * my))
+                  / ((mxx - mx * mx) * (myy - my * my)))
+                 * 10000 + 0.5) / 10000 AS r2
+    FROM m
+    """,
+)
+def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit over the corpus frequency spectrum: OLS of
+    ln(freq) on ln(rank) for the top-100 words — natural language
+    sits near slope −1, and a corpus that doesn't (flat: templated /
+    synthetic boilerplate; cliff: token-soup) fails the
+    distributional smell test no per-document quality gate
+    (text_quality_score) can see. Ranking runs over the O(vocab)
+    rollup with the word as tie-break, the regression is the
+    stats_linear_regression moment form over exactly 100 log-points,
+    and r² uses the same guarded moment identity. One corpus scan,
+    one vocabulary shuffle, a 100-row tail."""
+    d = table(spark, sf_dir, "documents")
+    words = (
+        d.select(F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    w = Window.orderBy(F.col("freq").desc(), F.col("word").asc())
+    top = (
+        words.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 100)
+        .select(
+            F.log(F.col("rnk").cast("double")).alias("x"),
+            F.log(F.col("freq").cast("double")).alias("y"),
+        )
+    )
+    m = top.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.avg("x").alias("mx"),
+        F.avg("y").alias("my"),
+        F.avg(F.col("x") * F.col("y")).alias("mxy"),
+        F.avg(F.col("x") * F.col("x")).alias("mxx"),
+        F.avg(F.col("y") * F.col("y")).alias("myy"),
+    )
+    slope = (F.col("mxy") - F.col("mx") * F.col("my")) / (
+        F.col("mxx") - F.col("mx") * F.col("mx")
+    )
+    r2 = (
+        (F.col("mxy") - F.col("mx") * F.col("my"))
+        * (F.col("mxy") - F.col("mx") * F.col("my"))
+    ) / (
+        (F.col("mxx") - F.col("mx") * F.col("mx"))
+        * (F.col("myy") - F.col("my") * F.col("my"))
+    )
+    return m.select(
+        F.col("n").alias("n_words"),
+        round4(slope).alias("slope"),
+        round4(F.col("my") - slope * F.col("mx")).alias("intercept"),
+        round4(r2).alias("r2"),
+    )

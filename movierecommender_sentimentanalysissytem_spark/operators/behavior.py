@@ -1338,3 +1338,82 @@ def ml_training_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
         "spend_7d",
         "prior_events",
     )
+
+
+@query(
+    "events_user_overlap_jaccard",
+    oracle="""
+    WITH s AS (
+        SELECT DISTINCT user_id, event_type FROM events
+    ),
+    totals AS (
+        SELECT event_type, CAST(COUNT(*) AS BIGINT) AS nu
+        FROM s GROUP BY event_type
+    ),
+    pairs AS (
+        SELECT a.event_type AS t1, b.event_type AS t2,
+               CAST(COUNT(*) AS BIGINT) AS n_both
+        FROM s a JOIN s b
+          ON a.user_id = b.user_id AND a.event_type < b.event_type
+        GROUP BY t1, t2
+    )
+    SELECT t1, t2, n_both, ta.nu AS n1, tb.nu AS n2,
+           FLOOR((CAST(n_both AS DOUBLE) / (ta.nu + tb.nu - n_both))
+                 * 10000 + 0.5) / 10000 AS jaccard
+    FROM pairs
+    JOIN totals ta ON pairs.t1 = ta.event_type
+    JOIN totals tb ON pairs.t2 = tb.event_type
+    """,
+)
+def events_user_overlap_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience overlap between event types: Jaccard |A∩B| / |A∪B| of
+    the user sets for every unordered type pair — the
+    segment-overlap readout behind "do purchasers also search?"
+    targeting questions, and the exact ground truth the MinHash
+    machinery (dedup_near_minhash) estimates at document scale. The
+    (user, type) relation is deduplicated FIRST (one distinct
+    shuffle), so the self-join fans out at most |types| rows per
+    user — intersection counts come from one equi-join on user with
+    the t1 < t2 triangle cut, union sizes by inclusion-exclusion
+    from the O(types) totals (no second pass over users). All
+    integer until the final division."""
+    e = table(spark, sf_dir, "events")
+    s = e.select("user_id", "event_type").distinct()
+    totals = s.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("nu")
+    )
+    a = s.alias("a")
+    b = s.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.event_type") < F.col("b.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("t1"),
+            F.col("b.event_type").alias("t2"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_both"))
+    )
+    ta = totals.select(
+        F.col("event_type").alias("ka"), F.col("nu").alias("n1")
+    )
+    tb = totals.select(
+        F.col("event_type").alias("kb"), F.col("nu").alias("n2")
+    )
+    return (
+        pairs.join(F.broadcast(ta), F.col("t1") == F.col("ka"))
+        .join(F.broadcast(tb), F.col("t2") == F.col("kb"))
+        .select(
+            "t1",
+            "t2",
+            "n_both",
+            "n1",
+            "n2",
+            round4(
+                F.col("n_both").cast("double")
+                / (F.col("n1") + F.col("n2") - F.col("n_both"))
+            ).alias("jaccard"),
+        )
+    )

@@ -81,6 +81,7 @@ NLJ_OK = {
     "quality_control_chart",    # 1-row centerline broadcast cross
     "stats_anova_oneway",       # 1-row grand-moments broadcast cross
     "text_collocation_llr",     # 1-row bigram-total broadcast cross
+    "text_zipf_fit",            # rank window over the O(vocab) rollup
     # reviewed single-partition sorts over BOUNDED rollups (the consumer-
     # aware SinglePartition check, live since round 5):
     "curation_shard_token_budget",  # offsets pass: O(buckets) rows

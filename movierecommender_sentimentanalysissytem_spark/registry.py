@@ -332,6 +332,7 @@ _NEW_R5B = frozenset(
     rec_cold_start_backfill join_full_outer_using quality_embedding_audit
     udf_cogrouped_map quality_control_chart
     stats_anova_oneway text_collocation_llr
+    text_zipf_fit events_user_overlap_jaccard
     """.split()
 )
 

@@ -334,3 +334,55 @@ def test_llr_ranks_exclusive_pair_first(spark, tmp_path_factory):
     # the deterministic tie-break puts it first
     assert got[("p", "q")]["llr"] == want
     assert (rows[0]["w1"], rows[0]["w2"]) == ("p", "q")
+
+
+def test_zipf_perfect_power_law(spark, tmp_path_factory):
+    import math
+
+    out = str(tmp_path_factory.mktemp("zipf"))
+    # freq(rank r) = 12/r exactly: log-log slope -1, r2 = 1
+    freqs = {"aa": 12, "bb": 6, "cc": 4, "dd": 3}
+    docs = [
+        (i + 1, " ".join([w] * n), "en", "s", 1)
+        for i, (w, n) in enumerate(freqs.items())
+    ]
+    _write(
+        spark, out, "documents", docs,
+        "doc_id long, text string, lang string, source string, "
+        "n_chars long",
+    )
+    r = QS["text_zipf_fit"](spark, out).collect()[0]
+    assert r["n_words"] == 4
+    assert r["slope"] == -1.0
+    assert r["r2"] == 1.0
+    assert r["intercept"] == math.floor(math.log(12) * 10000 + 0.5) / 10000
+
+
+def test_user_overlap_jaccard_pairs(spark, tmp_path_factory):
+    import math
+
+    out = str(tmp_path_factory.mktemp("jac"))
+
+    def ev(eid, uid, typ):
+        return (eid, T0, uid, typ, 1.0, "{}")
+
+    rows = [
+        ev(1, 1, "a"), ev(2, 1, "b"),
+        ev(3, 2, "a"), ev(4, 2, "c"),
+        ev(5, 3, "b"),
+        ev(6, 4, "a"), ev(7, 4, "b"),
+        ev(8, 4, "a"),  # duplicate membership must not double-count
+    ]
+    _write(spark, out, "events", rows, _EV_SCHEMA)
+    got = {(r["t1"], r["t2"]): r for r in
+           QS["events_user_overlap_jaccard"](spark, out).collect()}
+    ab = got[("a", "b")]
+    # A = {1,2,4}, B = {1,3,4}, both = {1,4} -> 2/4
+    assert (ab["n1"], ab["n2"], ab["n_both"], ab["jaccard"]) == (
+        3, 3, 2, 0.5,
+    )
+    ac = got[("a", "c")]
+    assert (ac["n_both"], ac["jaccard"]) == (1, math.floor(
+        1 / 3 * 10000 + 0.5) / 10000)
+    # zero-overlap pairs are absent, not zero rows
+    assert ("b", "c") not in got
