@@ -724,3 +724,42 @@ def fn_regexp_replace_backrefs(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("compact"),
         F.regexp_replace(F.col("c_name"), r"\d", "#").alias("masked"),
     )
+
+
+@query(
+    "fn_binary_encoding",
+    oracle="""
+    SELECT doc_id,
+           base64(encode(SUBSTRING(text, 1, 24))) AS b64,
+           hex(SUBSTRING(text, 1, 8)) AS hx,
+           decode(from_base64(base64(encode(SUBSTRING(text, 1, 24)))))
+               = SUBSTRING(text, 1, 24) AS roundtrip_ok,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+    FROM documents WHERE doc_id < 100
+    """,
+)
+def fn_binary_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary↔text encodings: base64 and hex of UTF-8 text bytes, the
+    decode-and-compare roundtrip, and the BYTE length (vs the
+    character length fn_string reports — they diverge the moment a
+    non-ASCII codepoint appears, a classic ingestion off-by-N). The
+    pinned dialect facts: both engines emit RFC-4648 base64 with
+    padding and UPPERCASE hex, but DuckDB types the operand as BLOB
+    (explicit encode()/decode() around the text) while Spark casts
+    string→binary implicitly — the same logical pipeline spelled with
+    different casts, which is exactly what a migration has to map.
+    Pure narrow map, expression-only."""
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    prefix = F.substring(F.col("text"), 1, 24)
+    return d.select(
+        "doc_id",
+        F.base64(prefix.cast("binary")).alias("b64"),
+        F.hex(F.substring(F.col("text"), 1, 8).cast("binary")).alias("hx"),
+        (
+            F.unbase64(F.base64(prefix.cast("binary"))).cast("string")
+            == prefix
+        ).alias("roundtrip_ok"),
+        F.length(F.col("text").cast("binary"))
+        .cast("bigint")
+        .alias("n_bytes"),
+    )

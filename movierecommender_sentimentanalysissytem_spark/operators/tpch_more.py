@@ -753,3 +753,65 @@ def tpch_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("C")
         .alias("abc_class"),
     )
+
+
+@query(
+    "tpch_yoy_customer_growth",
+    oracle="""
+    WITH per AS (
+        SELECT o_custkey,
+               SUM(CASE WHEN o_orderdate >= DATE '1997-01-01'
+                         AND o_orderdate < DATE '1998-01-01'
+                        THEN o_totalprice ELSE 0.0 END) AS s97,
+               SUM(CASE WHEN o_orderdate >= DATE '1998-01-01'
+                         AND o_orderdate < DATE '1999-01-01'
+                        THEN o_totalprice ELSE 0.0 END) AS s98
+        FROM orders GROUP BY o_custkey
+    )
+    SELECT o_custkey AS custkey,
+           FLOOR(s97 * 10000 + 0.5) / 10000 AS spend_97,
+           FLOOR(s98 * 10000 + 0.5) / 10000 AS spend_98,
+           FLOOR((s98 / NULLIF(s97, 0)) * 10000 + 0.5) / 10000
+               AS growth_ratio,
+           s97 > 0 AND s98 >= 2 * s97 AS doubled
+    FROM per
+    WHERE s97 > 0 OR s98 > 0
+    """,
+)
+def tpch_yoy_customer_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Year-over-year customer spend comparison (1997 vs 1998) with a
+    'doubled' flag — the period-pivot shape (conditional aggregation
+    per entity, NOT a self-join of two year slices, which would scan
+    and shuffle orders twice) behind every growth-accounts report.
+    New-in-98 customers surface with NULL growth_ratio (NULLIF
+    denominator) and doubled = false (the s97 > 0 conjunct — growth
+    from zero is undefined, not infinite); customers absent from both
+    years drop out. The doubled flag compares UNROUNDED sums (2× is
+    a structural bound, not a boundary near rounding noise); one
+    scan, one shuffle on the entity key."""
+    o = table(spark, sf_dir, "orders")
+    in97 = (
+        F.col("o_orderdate") >= F.lit("1997-01-01").cast("date")
+    ) & (F.col("o_orderdate") < F.lit("1998-01-01").cast("date"))
+    in98 = (
+        F.col("o_orderdate") >= F.lit("1998-01-01").cast("date")
+    ) & (F.col("o_orderdate") < F.lit("1999-01-01").cast("date"))
+    per = o.groupBy("o_custkey").agg(
+        F.sum(F.when(in97, F.col("o_totalprice")).otherwise(0.0)).alias(
+            "s97"
+        ),
+        F.sum(F.when(in98, F.col("o_totalprice")).otherwise(0.0)).alias(
+            "s98"
+        ),
+    )
+    return per.filter((F.col("s97") > 0) | (F.col("s98") > 0)).select(
+        F.col("o_custkey").alias("custkey"),
+        round4(F.col("s97")).alias("spend_97"),
+        round4(F.col("s98")).alias("spend_98"),
+        round4(F.col("s98") / F.nullif(F.col("s97"), F.lit(0.0))).alias(
+            "growth_ratio"
+        ),
+        (
+            (F.col("s97") > 0) & (F.col("s98") >= 2 * F.col("s97"))
+        ).alias("doubled"),
+    )

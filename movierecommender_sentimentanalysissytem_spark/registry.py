@@ -333,6 +333,7 @@ _NEW_R5B = frozenset(
     udf_cogrouped_map quality_control_chart
     stats_anova_oneway text_collocation_llr
     text_zipf_fit events_user_overlap_jaccard
+    fn_binary_encoding tpch_yoy_customer_growth
     """.split()
 )
 

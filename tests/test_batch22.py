@@ -386,3 +386,53 @@ def test_user_overlap_jaccard_pairs(spark, tmp_path_factory):
         1 / 3 * 10000 + 0.5) / 10000)
     # zero-overlap pairs are absent, not zero rows
     assert ("b", "c") not in got
+
+
+def test_binary_encoding_roundtrip_and_byte_length(
+    spark, tmp_path_factory
+):
+    out = str(tmp_path_factory.mktemp("b64"))
+    docs = [
+        (1, "hello", "en", "s", 5),
+        (2, "café", "fr", "s", 4),  # é: 2 UTF-8 bytes
+    ]
+    _write(
+        spark, out, "documents", docs,
+        "doc_id long, text string, lang string, source string, "
+        "n_chars long",
+    )
+    got = {r["doc_id"]: r for r in
+           QS["fn_binary_encoding"](spark, out).collect()}
+    r1 = got[1]
+    assert r1["b64"] == "aGVsbG8="
+    assert r1["hx"] == "68656C6C6F"
+    assert r1["roundtrip_ok"] is True
+    assert r1["n_bytes"] == 5
+    r2 = got[2]
+    # 4 characters but 5 bytes: the char-vs-byte length divergence
+    assert r2["n_bytes"] == 5
+    assert r2["roundtrip_ok"] is True
+
+
+def test_yoy_growth_flags_and_null_ratio(spark, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("yoy"))
+    d97, d98 = dt.date(1997, 6, 1), dt.date(1998, 6, 1)
+    orders = [
+        # cust 1: 100 -> 250: doubled
+        (1, 1, "O", 100.0, d97, "1-URGENT"),
+        (2, 1, "O", 250.0, d98, "1-URGENT"),
+        # cust 2: 100 -> 150: grew but not doubled
+        (3, 2, "O", 100.0, d97, "1-URGENT"),
+        (4, 2, "O", 150.0, d98, "1-URGENT"),
+        # cust 3: new in 98: NULL ratio, never "doubled"
+        (5, 3, "O", 500.0, d98, "1-URGENT"),
+        # cust 4: only pre-97 activity: absent from the report
+        (6, 4, "O", 100.0, dt.date(1996, 6, 1), "1-URGENT"),
+    ]
+    _write(spark, out, "orders", orders, _ORDERS_SCHEMA)
+    got = {r["custkey"]: r for r in
+           QS["tpch_yoy_customer_growth"](spark, out).collect()}
+    assert set(got) == {1, 2, 3}
+    assert got[1]["doubled"] is True and got[1]["growth_ratio"] == 2.5
+    assert got[2]["doubled"] is False and got[2]["growth_ratio"] == 1.5
+    assert got[3]["growth_ratio"] is None and got[3]["doubled"] is False
