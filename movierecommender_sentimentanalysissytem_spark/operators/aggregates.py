@@ -793,3 +793,68 @@ def agg_percentile_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.any_value("n").alias("n"),
     )
+
+
+@query(
+    "agg_share_of_parent",
+    oracle="""
+    WITH nat AS (
+        SELECT r_name AS region, n_name AS nation,
+               SUM(o_totalprice) AS rev
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY r_name, n_name
+    ),
+    reg AS (
+        SELECT region, nation, rev,
+               SUM(rev) OVER (PARTITION BY region) AS region_rev
+        FROM nat
+    ),
+    tot AS (SELECT SUM(rev) AS total FROM nat)
+    SELECT region, nation,
+           FLOOR(rev * 10000 + 0.5) / 10000 AS revenue,
+           FLOOR((rev / region_rev) * 10000 + 0.5) / 10000
+               AS share_in_region,
+           FLOOR((region_rev / total) * 10000 + 0.5) / 10000
+               AS region_share_of_total
+    FROM reg CROSS JOIN tot
+    """,
+)
+def agg_share_of_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical share-of-parent: each nation's revenue as a share
+    of ITS REGION, and each region's share of the grand total — the
+    drill-down ratio every BI hierarchy renders, which a flat
+    GROUP BY ROLLUP (agg_rollup) gives as absolute subtotals but not
+    as normalized shares. Shape: ONE fact aggregation to the
+    O(nations) leaf rollup; the parent totals come from a window
+    PARTITIONED BY the parent key over that tiny rollup (25 rows —
+    never a second fact scan, never a global window) and the grand
+    total from a 1-row broadcast. Dims broadcast into the fact join;
+    the fact shuffles once on the leaf grouping."""
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region")
+    nat = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(
+            F.col("r_name").alias("region"), F.col("n_name").alias("nation")
+        )
+        .agg(F.sum("o_totalprice").alias("rev"))
+    )
+    wreg = Window.partitionBy("region")
+    reg = nat.withColumn("region_rev", F.sum("rev").over(wreg))
+    tot = nat.agg(F.sum("rev").alias("total"))
+    return reg.crossJoin(F.broadcast(tot)).select(
+        "region",
+        "nation",
+        round4(F.col("rev")).alias("revenue"),
+        round4(F.col("rev") / F.col("region_rev")).alias("share_in_region"),
+        round4(F.col("region_rev") / F.col("total")).alias(
+            "region_share_of_total"
+        ),
+    )

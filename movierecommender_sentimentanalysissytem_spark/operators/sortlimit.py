@@ -236,3 +236,61 @@ def sample_weighted_bernoulli(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.col("o_totalprice") / 50.0).cast("bigint"),
     )
     return o.filter(bucket < threshold).select("o_orderkey", "o_totalprice")
+
+
+@query(
+    "sort_null_ordering",
+    oracle="""
+    WITH v AS (
+        SELECT o_orderkey,
+               CASE WHEN o_orderkey % 7 = 0 THEN NULL
+                    ELSE o_totalprice END AS val
+        FROM orders
+    )
+    SELECT 'nulls_first' AS mode, o_orderkey,
+           FLOOR(val * 10000 + 0.5) / 10000 AS val
+    FROM (SELECT * FROM v
+          ORDER BY val ASC NULLS FIRST, o_orderkey LIMIT 5) a
+    UNION ALL
+    SELECT 'nulls_last', o_orderkey, FLOOR(val * 10000 + 0.5) / 10000
+    FROM (SELECT * FROM v
+          ORDER BY val ASC NULLS LAST, o_orderkey LIMIT 5) b
+    """,
+)
+def sort_null_ordering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit NULL placement in ORDER BY — the dialect trap this key
+    exists to pin: the DEFAULTS disagree (Spark sorts ASC with NULLS
+    FIRST, DuckDB with NULLS LAST), so any top-k over a nullable sort
+    key silently returns different rows across engines unless NULLS
+    FIRST/LAST is spelled out — which is why every ORDER BY in this
+    repo's oracles either sorts non-null keys or says so explicitly.
+    Both directions are exercised: the NULLS FIRST head is all-NULL
+    rows (ordered by the unique tie-break), the NULLS LAST head is
+    the true minima. TakeOrdered both ways; no full sort survives
+    the limit."""
+    o = table(spark, sf_dir, "orders")
+    v = o.select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 7 == 0, None)
+        .otherwise(F.col("o_totalprice"))
+        .alias("val"),
+    )
+    first = (
+        v.orderBy(F.col("val").asc_nulls_first(), F.col("o_orderkey").asc())
+        .limit(5)
+        .select(
+            F.lit("nulls_first").alias("mode"),
+            "o_orderkey",
+            round4(F.col("val")).alias("val"),
+        )
+    )
+    last = (
+        v.orderBy(F.col("val").asc_nulls_last(), F.col("o_orderkey").asc())
+        .limit(5)
+        .select(
+            F.lit("nulls_last").alias("mode"),
+            "o_orderkey",
+            round4(F.col("val")).alias("val"),
+        )
+    )
+    return first.unionByName(last)

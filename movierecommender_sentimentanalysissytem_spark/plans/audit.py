@@ -82,6 +82,8 @@ NLJ_OK = {
     "stats_anova_oneway",       # 1-row grand-moments broadcast cross
     "text_collocation_llr",     # 1-row bigram-total broadcast cross
     "text_zipf_fit",            # rank window over the O(vocab) rollup
+    "agg_share_of_parent",      # 1-row grand-total broadcast; parent
+                                # window over the O(nations) rollup
     # reviewed single-partition sorts over BOUNDED rollups (the consumer-
     # aware SinglePartition check, live since round 5):
     "curation_shard_token_budget",  # offsets pass: O(buckets) rows

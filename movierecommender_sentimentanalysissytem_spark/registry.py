@@ -334,6 +334,7 @@ _NEW_R5B = frozenset(
     stats_anova_oneway text_collocation_llr
     text_zipf_fit events_user_overlap_jaccard
     fn_binary_encoding tpch_yoy_customer_growth
+    agg_share_of_parent sort_null_ordering
     """.split()
 )
 

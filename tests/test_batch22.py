@@ -436,3 +436,59 @@ def test_yoy_growth_flags_and_null_ratio(spark, tmp_path_factory):
     assert got[1]["doubled"] is True and got[1]["growth_ratio"] == 2.5
     assert got[2]["doubled"] is False and got[2]["growth_ratio"] == 1.5
     assert got[3]["growth_ratio"] is None and got[3]["doubled"] is False
+
+
+def test_share_of_parent_hierarchy(spark, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("sop"))
+    d = dt.date(2024, 1, 1)
+    # region R1 = {N1: 60, N2: 40}, region R2 = {N3: 100}
+    orders = [
+        (1, 1, "O", 60.0, d, "1-URGENT"),
+        (2, 2, "O", 40.0, d, "1-URGENT"),
+        (3, 3, "O", 100.0, d, "1-URGENT"),
+    ]
+    cust = [(1, "a", 1, 0.0, "AUTO"), (2, "b", 2, 0.0, "AUTO"),
+            (3, "c", 3, 0.0, "AUTO")]
+    nation = [(1, "N1", 1), (2, "N2", 1), (3, "N3", 2)]
+    region = [(1, "R1"), (2, "R2")]
+    _write(spark, out, "orders", orders, _ORDERS_SCHEMA)
+    _write(
+        spark, out, "customer", cust,
+        "c_custkey long, c_name string, c_nationkey long, "
+        "c_acctbal double, c_mktsegment string",
+    )
+    _write(spark, out, "nation", nation,
+           "n_nationkey long, n_name string, n_regionkey long")
+    _write(spark, out, "region", region,
+           "r_regionkey long, r_name string")
+    got = {r["nation"]: r for r in
+           QS["agg_share_of_parent"](spark, out).collect()}
+    assert got["N1"]["share_in_region"] == 0.6
+    assert got["N2"]["share_in_region"] == 0.4
+    assert got["N3"]["share_in_region"] == 1.0
+    assert got["N1"]["region_share_of_total"] == 0.5
+    assert got["N3"]["region_share_of_total"] == 0.5
+
+
+def test_null_ordering_heads(spark, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("nullord"))
+    d = dt.date(2024, 1, 1)
+    # keys 7, 14, 21 -> NULL val; others val = 10*key
+    orders = [
+        (k, 1, "O", float(10 * k), d, "1-URGENT")
+        for k in range(1, 22)
+    ]
+    _write(spark, out, "orders", orders, _ORDERS_SCHEMA)
+    rows = QS["sort_null_ordering"](spark, out).collect()
+    first = sorted(
+        (r["o_orderkey"] for r in rows if r["mode"] == "nulls_first")
+    )
+    last = sorted(
+        (r["o_orderkey"] for r in rows if r["mode"] == "nulls_last")
+    )
+    # NULLS FIRST head: the 3 NULL rows (7,14,21), then minima 1,2
+    assert first == [1, 2, 7, 14, 21]
+    # NULLS LAST head: the 5 smallest non-NULL values
+    assert last == [1, 2, 3, 4, 5]
+    nulls = {r["o_orderkey"] for r in rows if r["val"] is None}
+    assert nulls == {7, 14, 21}
