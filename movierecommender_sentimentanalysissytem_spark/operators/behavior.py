@@ -1417,3 +1417,118 @@ def events_user_overlap_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("jaccard"),
         )
     )
+
+
+@query(
+    "events_peak_concurrency",
+    oracle=f"""
+    WITH o AS (
+        SELECT user_id, event_id, {_SEC} AS sec,
+               lag({_SEC}) OVER (PARTITION BY user_id
+                                 ORDER BY {_SEC}, event_id) AS prev_sec
+        FROM events
+    ),
+    sess AS (
+        SELECT user_id,
+               SUM(CASE WHEN prev_sec IS NULL OR sec - prev_sec > 1800
+                        THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY user_id ORDER BY sec, event_id)
+                   AS sid,
+               sec
+        FROM o
+    ),
+    spans AS (
+        SELECT user_id, sid, MIN(sec) AS s0, MAX(sec) AS s1
+        FROM sess GROUP BY user_id, sid
+    ),
+    clipped AS (
+        SELECT user_id, sid, d.day,
+               GREATEST(s0, d.day * 86400) AS cs,
+               LEAST(s1, d.day * 86400 + 86399) AS ce
+        FROM spans,
+             unnest(generate_series(s0 // 86400, s1 // 86400)) AS d(day)
+    ),
+    deltas AS (
+        SELECT day, cs AS sec, 1 AS delta FROM clipped
+        UNION ALL
+        SELECT day, ce + 1 AS sec, -1 AS delta FROM clipped
+    ),
+    running AS (
+        SELECT day,
+               SUM(delta) OVER (PARTITION BY day
+                                ORDER BY sec, delta DESC
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS conc,
+               delta
+        FROM deltas
+    )
+    SELECT CAST(day AS BIGINT) AS day,
+           CAST(SUM(CASE WHEN delta = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_sessions,
+           CAST(MAX(conc) AS BIGINT) AS peak_concurrency
+    FROM running GROUP BY day
+    """,
+)
+def events_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrent sessions per day — the capacity number
+    (licenses, connection pools, live-ops dashboards) that neither
+    session COUNTS (sessionize_batch) nor event rates give: it needs
+    the interval-overlap maximum, computed by the classic sweep line.
+    Sessions (the 30-min-gap rule, same lineage as sessionize_batch)
+    are CLIPPED to day boundaries first (explode over the ≤2 days a
+    session touches), then each day processes its own +1/−1 delta
+    stream with a running sum — windows partition by DAY, so sweep
+    state is bounded by daily activity, never the timeline. Ties at
+    one second order starts before ends (delta DESC — touching
+    sessions overlap inclusively); the per-row running values among
+    identical (sec, delta) rows are permutation-dependent but the
+    per-day MAX is not, which is why only the max is emitted."""
+    e = table(spark, sf_dir, "events").withColumn("sec", _sec_col())
+    w = Window.partitionBy("user_id").orderBy("sec", "event_id")
+    marked = e.withColumn(
+        "is_new",
+        F.when(
+            F.lag("sec").over(w).isNull()
+            | (F.col("sec") - F.lag("sec").over(w) > 1800),
+            1,
+        ).otherwise(0),
+    ).withColumn("sid", F.sum("is_new").over(w))
+    spans = marked.groupBy("user_id", "sid").agg(
+        F.min("sec").alias("s0"), F.max("sec").alias("s1")
+    )
+    clipped = spans.select(
+        "s0",
+        "s1",
+        F.explode(
+            F.sequence(
+                F.floor(F.col("s0") / 86400), F.floor(F.col("s1") / 86400)
+            )
+        ).alias("day"),
+    ).select(
+        "day",
+        F.greatest(F.col("s0"), F.col("day") * 86400).alias("cs"),
+        F.least(F.col("s1"), F.col("day") * 86400 + 86399).alias("ce"),
+    )
+    deltas = clipped.select(
+        "day", F.col("cs").alias("sec"), F.lit(1).alias("delta")
+    ).unionByName(
+        clipped.select(
+            "day", (F.col("ce") + 1).alias("sec"), F.lit(-1).alias("delta")
+        )
+    )
+    wrun = (
+        Window.partitionBy("day")
+        .orderBy(F.col("sec").asc(), F.col("delta").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    running = deltas.withColumn("conc", F.sum("delta").over(wrun))
+    return running.groupBy("day").agg(
+        F.sum(F.when(F.col("delta") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_sessions"),
+        F.max("conc").cast("bigint").alias("peak_concurrency"),
+    ).select(
+        F.col("day").cast("bigint").alias("day"),
+        "n_sessions",
+        "peak_concurrency",
+    )

@@ -1045,3 +1045,87 @@ def join_full_outer_using(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_clicks").isNull().alias("click_side_missing"),
         F.col("n_purchases").isNull().alias("purchase_side_missing"),
     )
+
+
+@query(
+    "join_asof_tolerance",
+    oracle="""
+    WITH probe AS (
+        SELECT o_orderkey, o_custkey % 150 AS u_key,
+               TIMESTAMP '2024-01-15 00:00:00'
+                   + INTERVAL (o_orderkey % 14) DAY AS cutoff
+        FROM orders WHERE o_orderkey % 100 = 0
+    ),
+    best AS (
+        SELECT o_orderkey, event_id,
+               CAST(epoch(cutoff) - epoch(date_trunc('second', e.ts))
+                    AS BIGINT) AS gap_s,
+               ROW_NUMBER() OVER (
+                   PARTITION BY o_orderkey
+                   ORDER BY date_trunc('second', e.ts) DESC,
+                            e.event_id DESC) AS rn
+        FROM probe p JOIN events e
+          ON e.user_id = p.u_key
+         AND date_trunc('second', e.ts) <= p.cutoff
+         AND date_trunc('second', e.ts) >= p.cutoff - INTERVAL 6 HOUR
+    )
+    SELECT p.o_orderkey, b.event_id, b.gap_s
+    FROM probe p LEFT JOIN (SELECT * FROM best WHERE rn = 1) b
+      ON p.o_orderkey = b.o_orderkey
+    """,
+)
+def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join with a TOLERANCE bound (pandas merge_asof's
+    ``tolerance=``): the latest event at-or-before each probe cutoff,
+    but only within the trailing 6 hours — beyond that the match is
+    NULL rather than an arbitrarily stale row, which is the
+    correctness difference between 'most recent sensor reading' and
+    'a reading from last month presented as current'. Completes the
+    as-of family (backward/forward/nearest/tolerance). The bound also
+    CHANGES THE SCALE STORY: candidates are [cutoff − tol, cutoff],
+    so per-probe fan-in is capped by tolerance-window activity
+    instead of the user's whole history — the binned candidate
+    generation the unbounded variants need becomes a single bounded
+    range predicate. Unmatched probes are preserved by the final
+    LEFT join (NULL event, NULL gap)."""
+    o = (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 100 == 0)
+        .select(
+            "o_orderkey",
+            (F.col("o_custkey") % 150).alias("u_key"),
+            (
+                F.to_timestamp(F.lit("2024-01-15 00:00:00"))
+                + (F.col("o_orderkey") % 14).cast("int")
+                * F.expr("INTERVAL 1 DAY")
+            ).alias("cutoff"),
+        )
+    )
+    e = table(spark, sf_dir, "events").withColumn(
+        "ts_s", F.date_trunc("second", F.col("ts"))
+    )
+    cand = o.join(
+        e,
+        (e.user_id == o.u_key)
+        & (e.ts_s <= o.cutoff)
+        & (e.ts_s >= o.cutoff - F.expr("INTERVAL 6 HOUR")),
+    )
+    w = Window.partitionBy("o_orderkey").orderBy(
+        F.col("ts_s").desc(), F.col("event_id").desc()
+    )
+    best = (
+        cand.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("o_orderkey").alias("bk"),
+            "event_id",
+            (
+                F.unix_timestamp("cutoff") - F.unix_timestamp("ts_s")
+            )
+            .cast("bigint")
+            .alias("gap_s"),
+        )
+    )
+    return o.join(best, o.o_orderkey == best.bk, "left").select(
+        "o_orderkey", "event_id", "gap_s"
+    )

@@ -335,6 +335,7 @@ _NEW_R5B = frozenset(
     text_zipf_fit events_user_overlap_jaccard
     fn_binary_encoding tpch_yoy_customer_growth
     agg_share_of_parent sort_null_ordering
+    join_asof_tolerance events_peak_concurrency
     """.split()
 )
 

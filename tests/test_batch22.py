@@ -492,3 +492,64 @@ def test_null_ordering_heads(spark, tmp_path_factory):
     assert last == [1, 2, 3, 4, 5]
     nulls = {r["o_orderkey"] for r in rows if r["val"] is None}
     assert nulls == {7, 14, 21}
+
+
+def test_asof_tolerance_matches_and_nulls(spark, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("asoftol"))
+    # orderkey 100 -> cutoff 2024-01-17 00:00, u_key = custkey % 150
+    # orderkey 200 -> cutoff 2024-01-19 00:00
+    orders = [
+        (100, 7, "O", 10.0, dt.date(2024, 1, 1), "1-URGENT"),
+        (200, 8, "O", 10.0, dt.date(2024, 1, 1), "1-URGENT"),
+    ]
+    c17 = dt.datetime(2024, 1, 17, 0, 0, 0)
+    c19 = dt.datetime(2024, 1, 19, 0, 0, 0)
+    events = [
+        # user 7: two in-window events -> the later one wins; one
+        # post-cutoff event must be ignored
+        (1, c17 - dt.timedelta(hours=5), 7, "click", 1.0, "{}"),
+        (2, c17 - dt.timedelta(hours=3), 7, "click", 1.0, "{}"),
+        (3, c17 + dt.timedelta(hours=1), 7, "click", 1.0, "{}"),
+        # user 8: only a stale event 10h before -> outside tolerance
+        (4, c19 - dt.timedelta(hours=10), 8, "click", 1.0, "{}"),
+    ]
+    _write(spark, out, "orders", orders, _ORDERS_SCHEMA)
+    _write(spark, out, "events", events, _EV_SCHEMA)
+    got = {r["o_orderkey"]: r for r in
+           QS["join_asof_tolerance"](spark, out).collect()}
+    assert got[100]["event_id"] == 2
+    assert got[100]["gap_s"] == 3 * 3600
+    assert got[200]["event_id"] is None and got[200]["gap_s"] is None
+
+
+def test_peak_concurrency_sweep_and_midnight_clip(
+    spark, tmp_path_factory
+):
+    out = str(tmp_path_factory.mktemp("conc"))
+
+    def ev(eid, uid, hh, mm, day=0):
+        return (
+            eid,
+            T0 + dt.timedelta(days=day, hours=hh, minutes=mm),
+            uid, "click", 1.0, "{}",
+        )
+
+    rows = [
+        # user 1: session 10:00-11:00 (events every 20 min)
+        ev(1, 1, 10, 0), ev(2, 1, 10, 20), ev(3, 1, 10, 40),
+        ev(4, 1, 11, 0),
+        # user 2: session 10:30-11:30 -> overlaps user 1
+        ev(5, 2, 10, 30), ev(6, 2, 11, 0), ev(7, 2, 11, 30),
+        # user 3: session 23:30 day0 - 00:30 day1 (crosses midnight)
+        ev(8, 3, 23, 30), ev(9, 3, 23, 50),
+        ev(10, 3, 0, 10, day=1), ev(11, 3, 0, 30, day=1),
+    ]
+    _write(spark, out, "events", rows, _EV_SCHEMA)
+    got = {r["day"]: r for r in
+           QS["events_peak_concurrency"](spark, out).collect()}
+    base = min(got)
+    d0, d1 = got[base], got[base + 1]
+    # day 0: three session segments; users 1+2 overlap 10:30-11:00
+    assert (d0["n_sessions"], d0["peak_concurrency"]) == (3, 2)
+    # day 1: only user 3's clipped tail
+    assert (d1["n_sessions"], d1["peak_concurrency"]) == (1, 1)
