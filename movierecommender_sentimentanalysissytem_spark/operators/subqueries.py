@@ -270,3 +270,72 @@ def subq_relational_division(spark: SparkSession, sf_dir: str) -> DataFrame:
               (SELECT COUNT(DISTINCT o_orderpriority) FROM rd_orders)
         """
     )
+
+
+@query(
+    "sql_view_masked",
+    oracle="""
+    SELECT c_custkey,
+           CONCAT(SUBSTRING(c_name, 1, 9), '***') AS masked_name,
+           c_mktsegment,
+           FLOOR(c_acctbal * 10000 + 0.5) / 10000 AS acctbal
+    FROM customer
+    WHERE c_acctbal >= 0
+    """,
+)
+def sql_view_masked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A masked, row-filtered VIEW as the governed access path: the
+    consumer queries a temp view that masks the customer name to a
+    prefix and filters out negative-balance rows — the
+    poor-man's-row-level-security pattern (real RLS/column masking is
+    a catalog feature; the VIEW layer is how an engine without one
+    enforces the same contract, and how this engine would expose
+    redacted tables to a training-data export). The view definition
+    is SQL (Catalyst inlines it — a view adds ZERO runtime cost, the
+    plan is identical to the inlined query, so filters still push to
+    the scan), and the consumer query never touches the base table
+    name."""
+    _view(spark, sf_dir, "customer", "mv_customer_base")
+    spark.sql(
+        """
+        CREATE OR REPLACE TEMP VIEW mv_customer_masked AS
+        SELECT c_custkey,
+               CONCAT(SUBSTRING(c_name, 1, 9), '***') AS masked_name,
+               c_mktsegment,
+               FLOOR(c_acctbal * 10000 + 0.5) / 10000 AS acctbal
+        FROM mv_customer_base
+        WHERE c_acctbal >= 0
+        """
+    )
+    return spark.sql("SELECT * FROM mv_customer_masked")
+
+
+@query(
+    "sql_parameterized",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS n,
+           FLOOR(SUM(o_totalprice) * 10000 + 0.5) / 10000 AS total
+    FROM orders
+    WHERE o_totalprice > 200000 AND o_orderdate >= DATE '1996-01-01'
+    GROUP BY o_orderpriority
+    """,
+)
+def sql_parameterized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Named-parameter SQL binding (``spark.sql(query, args={...})``):
+    the injection-safe templating surface — parameters are bound as
+    typed literals by the PARSER, not string-spliced, so a hostile
+    value cannot change the query shape and Catalyst still constant-
+    folds them (same plan as hand-inlined literals; the filters push
+    to the scan). The oracle inlines the same constants — what's
+    pinned is that binding is semantically identical to inlining."""
+    _view(spark, sf_dir, "orders", "pq_orders")
+    return spark.sql(
+        """
+        SELECT o_orderpriority, COUNT(*) AS n,
+               FLOOR(SUM(o_totalprice) * 10000 + 0.5) / 10000 AS total
+        FROM pq_orders
+        WHERE o_totalprice > :min_total AND o_orderdate >= :since
+        GROUP BY o_orderpriority
+        """,
+        args={"min_total": 200000, "since": "1996-01-01"},
+    )

@@ -553,3 +553,34 @@ def test_peak_concurrency_sweep_and_midnight_clip(
     assert (d0["n_sessions"], d0["peak_concurrency"]) == (3, 2)
     # day 1: only user 3's clipped tail
     assert (d1["n_sessions"], d1["peak_concurrency"]) == (1, 1)
+
+
+def test_masked_view_hides_and_filters(spark, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("mview"))
+    cust = [
+        (1, "Customer#000000001", 1, 100.0, "AUTO"),
+        (2, "Customer#000000002", 1, -5.0, "AUTO"),  # filtered out
+    ]
+    _write(
+        spark, out, "customer", cust,
+        "c_custkey long, c_name string, c_nationkey long, "
+        "c_acctbal double, c_mktsegment string",
+    )
+    rows = QS["sql_view_masked"](spark, out).collect()
+    assert [r["c_custkey"] for r in rows] == [1]
+    assert rows[0]["masked_name"] == "Customer#***"
+    # the raw name must not be reachable through the view's schema
+    assert "c_name" not in rows[0].asDict()
+
+
+def test_parameterized_binding_equals_inlined(spark, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("psql"))
+    orders = [
+        (1, 1, "O", 300000.0, dt.date(1997, 1, 1), "1-URGENT"),  # in
+        (2, 1, "O", 100000.0, dt.date(1997, 1, 1), "1-URGENT"),  # low
+        (3, 1, "O", 300000.0, dt.date(1995, 1, 1), "1-URGENT"),  # old
+    ]
+    _write(spark, out, "orders", orders, _ORDERS_SCHEMA)
+    rows = QS["sql_parameterized"](spark, out).collect()
+    assert len(rows) == 1
+    assert (rows[0]["n"], rows[0]["total"]) == (1, 300000.0)
