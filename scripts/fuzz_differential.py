@@ -359,13 +359,37 @@ def _setop_query(rng: random.Random, table: str) -> str:
     )
 
 
+def _nested_agg_query(rng: random.Random, table: str) -> str:
+    """Aggregate-of-aggregate: an inner GROUP BY rollup re-grouped by a
+    banding of its own aggregate (the rec_user_activity /
+    tpch_q13_customer_distribution shape) — exercises grouping on a
+    DERIVED aggregate value, where an engine folding the outer group
+    expression differently would diverge."""
+    inner_key = rng.choice(INT_COLS[table])
+    e = _int_expr(rng, table)
+    band = rng.randint(2, 20)
+    outer_agg = rng.choice(["SUM", "MIN", "MAX"])
+    where = ""
+    if rng.random() < 0.5:
+        where = f" WHERE {_bool_expr(rng, table)}"
+    return (
+        f"SELECT (n % {band}) AS g2, COUNT(*) AS n_groups, "
+        f"{outer_agg}(a) AS agg2 "
+        f"FROM (SELECT {inner_key} AS g, COUNT(*) AS n, "
+        f"      SUM({e}) AS a FROM {table}{where} GROUP BY {inner_key}) t "
+        f"GROUP BY g2"
+    )
+
+
 def gen_query(seed: int, k: int) -> str:
     rng = random.Random((seed << 16) ^ k)
     table = rng.choice(TABLES)
     shape = rng.choice(
         ["grouped", "grouped", "filtered_scan", "join", "topk", "window",
-         "distinct", "subquery", "rollup", "string", "setop"]
+         "distinct", "subquery", "rollup", "string", "setop", "nested_agg"]
     )
+    if shape == "nested_agg":
+        return _nested_agg_query(rng, table)
     if shape == "rollup":
         return _rollup_query(rng, table)
     if shape == "string":
