@@ -977,3 +977,54 @@ def stats_anova_oneway(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.col("ssw") / (F.col("nn") - F.col("kk")))
         ).alias("f_stat"),
     )
+
+
+@query(
+    "stats_theil_index",
+    oracle="""
+    WITH pos AS (
+        SELECT c_nationkey, c_acctbal AS x FROM customer
+        WHERE c_acctbal > 0
+    ),
+    mom AS (
+        SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS n,
+               SUM(x) AS sx, SUM(x * ln(x)) AS sxlnx
+        FROM pos GROUP BY c_nationkey
+    )
+    SELECT c_nationkey AS nationkey, n,
+           FLOOR((sxlnx / sx - ln(sx / n)) * 10000 + 0.5) / 10000
+               AS theil_t
+    FROM mom WHERE n >= 2
+    """,
+)
+def stats_theil_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil T inequality index per nation over positive balances —
+    the entropy-based inequality measure that, unlike Gini
+    (stats_gini_concentration), DECOMPOSES exactly into
+    within-group + between-group terms, which is why inequality
+    audits over hierarchies prefer it. The identity
+    T = Σ(x/Σx)·ln(x/μ) = Σx·ln x / Σx − ln μ reduces the whole
+    computation to TWO moment sums per group (Σx, Σx·ln x — map-side
+    combinable, no rank window at all, versus Gini's ordered pass);
+    T = 0 exactly for a perfectly equal group, ln n at maximal
+    concentration. Positive-only domain is the estimator's own
+    requirement (ln x), stated in the WHERE on both sides; the
+    single-customer groups a log-moment can't characterize are
+    dropped by the n >= 2 guard."""
+    c = table(spark, sf_dir, "customer")
+    pos = c.filter(F.col("c_acctbal") > 0).select(
+        "c_nationkey", F.col("c_acctbal").alias("x")
+    )
+    mom = pos.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("x") * F.log(F.col("x"))).alias("sxlnx"),
+    )
+    return mom.filter(F.col("n") >= 2).select(
+        F.col("c_nationkey").alias("nationkey"),
+        "n",
+        round4(
+            F.col("sxlnx") / F.col("sx")
+            - F.log(F.col("sx") / F.col("n"))
+        ).alias("theil_t"),
+    )

@@ -336,7 +336,7 @@ _NEW_R5B = frozenset(
     fn_binary_encoding tpch_yoy_customer_growth
     agg_share_of_parent sort_null_ordering
     join_asof_tolerance events_peak_concurrency
-    sql_view_masked sql_parameterized
+    sql_view_masked sql_parameterized stats_theil_index
     """.split()
 )
 

@@ -584,3 +584,35 @@ def test_parameterized_binding_equals_inlined(spark, tmp_path_factory):
     rows = QS["sql_parameterized"](spark, out).collect()
     assert len(rows) == 1
     assert (rows[0]["n"], rows[0]["total"]) == (1, 300000.0)
+
+
+def test_theil_zero_on_equality_and_positive_on_concentration(
+    spark, tmp_path_factory
+):
+    import math
+
+    out = str(tmp_path_factory.mktemp("theil"))
+    cust = [
+        # nation 1: perfectly equal -> T = 0 exactly
+        (1, "a", 1, 100.0, "AUTO"),
+        (2, "b", 1, 100.0, "AUTO"),
+        (3, "c", 1, 100.0, "AUTO"),
+        # nation 2: one holder of 300 vs 100 -> closed form
+        (4, "d", 2, 300.0, "AUTO"),
+        (5, "e", 2, 100.0, "AUTO"),
+        # nation 3: negatives excluded, then only one row -> dropped
+        (6, "f", 3, 100.0, "AUTO"),
+        (7, "g", 3, -50.0, "AUTO"),
+    ]
+    _write(
+        spark, out, "customer", cust,
+        "c_custkey long, c_name string, c_nationkey long, "
+        "c_acctbal double, c_mktsegment string",
+    )
+    got = {r["nationkey"]: r for r in
+           QS["stats_theil_index"](spark, out).collect()}
+    assert got[1]["theil_t"] == 0.0
+    # T = (300 ln 300 + 100 ln 100)/400 - ln 200
+    want = (300 * math.log(300) + 100 * math.log(100)) / 400 - math.log(200)
+    assert got[2]["theil_t"] == math.floor(want * 10000 + 0.5) / 10000
+    assert 3 not in got  # single positive row: dropped by n >= 2
