@@ -1056,3 +1056,86 @@ def quality_control_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
         lcl4.alias("lcl"),
         ((p4 > ucl4) | (p4 < lcl4)).alias("out_of_control"),
     )
+
+
+@query(
+    "quality_fk_matrix",
+    oracle="""
+    SELECT 'orders.o_custkey->customer' AS fk,
+           CAST((SELECT COUNT(*) FROM orders) AS BIGINT) AS n_rows,
+           CAST((SELECT COUNT(*) FROM orders
+                 WHERE o_custkey NOT IN (SELECT c_custkey FROM customer))
+                AS BIGINT) AS n_orphans
+    UNION ALL
+    SELECT 'lineitem.l_orderkey->orders',
+           (SELECT COUNT(*) FROM lineitem),
+           (SELECT COUNT(*) FROM lineitem
+            WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders))
+    UNION ALL
+    SELECT 'lineitem.l_partkey->part',
+           (SELECT COUNT(*) FROM lineitem),
+           (SELECT COUNT(*) FROM lineitem
+            WHERE l_partkey NOT IN (SELECT p_partkey FROM part))
+    UNION ALL
+    SELECT 'lineitem.l_suppkey->supplier',
+           (SELECT COUNT(*) FROM lineitem),
+           (SELECT COUNT(*) FROM lineitem
+            WHERE l_suppkey NOT IN (SELECT s_suppkey FROM supplier))
+    UNION ALL
+    SELECT 'customer.c_nationkey->nation',
+           (SELECT COUNT(*) FROM customer),
+           (SELECT COUNT(*) FROM customer
+            WHERE c_nationkey NOT IN (SELECT n_nationkey FROM nation))
+    UNION ALL
+    SELECT 'supplier.s_nationkey->nation',
+           (SELECT COUNT(*) FROM supplier),
+           (SELECT COUNT(*) FROM supplier
+            WHERE s_nationkey NOT IN (SELECT n_nationkey FROM nation))
+    UNION ALL
+    SELECT 'nation.n_regionkey->region',
+           (SELECT COUNT(*) FROM nation),
+           (SELECT COUNT(*) FROM nation
+            WHERE n_regionkey NOT IN (SELECT r_regionkey FROM region))
+    """,
+)
+def quality_fk_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-wide referential-integrity audit: orphan counts for all
+    SEVEN declared FK relationships in one report — the single table
+    a data-platform on-call reads after a bad load, where
+    quality_fk_orphans drills into one relationship's offending rows.
+    Each relationship is a LEFT-ANTI join count (NOT IN over non-null
+    keys rewrites to anti; every dim side broadcasts); the per-FK
+    rows union into the report. All counts are BIGINT — hash-exact.
+    On the intact fixture every n_orphans is 0 BY DESIGN: the key
+    asserts referential health, and the crafted test plants orphans
+    to prove the counts actually count."""
+    pairs = [
+        ("orders.o_custkey->customer", "orders", "o_custkey",
+         "customer", "c_custkey"),
+        ("lineitem.l_orderkey->orders", "lineitem", "l_orderkey",
+         "orders", "o_orderkey"),
+        ("lineitem.l_partkey->part", "lineitem", "l_partkey",
+         "part", "p_partkey"),
+        ("lineitem.l_suppkey->supplier", "lineitem", "l_suppkey",
+         "supplier", "s_suppkey"),
+        ("customer.c_nationkey->nation", "customer", "c_nationkey",
+         "nation", "n_nationkey"),
+        ("supplier.s_nationkey->nation", "supplier", "s_nationkey",
+         "nation", "n_nationkey"),
+        ("nation.n_regionkey->region", "nation", "n_regionkey",
+         "region", "r_regionkey"),
+    ]
+    out = None
+    for name, child, ck, parent, pk in pairs:
+        ch = table(spark, sf_dir, child)
+        pa = table(spark, sf_dir, parent).select(F.col(pk).alias("__pk"))
+        orphans = ch.join(
+            F.broadcast(pa), ch[ck] == F.col("__pk"), "left_anti"
+        )
+        row = ch.agg(F.count(F.lit(1)).alias("n_rows")).crossJoin(
+            orphans.agg(F.count(F.lit(1)).alias("n_orphans"))
+        ).select(
+            F.lit(name).alias("fk"), "n_rows", "n_orphans"
+        )
+        out = row if out is None else out.unionByName(row)
+    return out

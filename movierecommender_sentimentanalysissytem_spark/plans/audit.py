@@ -84,6 +84,7 @@ NLJ_OK = {
     "text_zipf_fit",            # rank window over the O(vocab) rollup
     "agg_share_of_parent",      # 1-row grand-total broadcast; parent
                                 # window over the O(nations) rollup
+    "quality_fk_matrix",        # seven 1-row × 1-row report crosses
     # reviewed single-partition sorts over BOUNDED rollups (the consumer-
     # aware SinglePartition check, live since round 5):
     "curation_shard_token_budget",  # offsets pass: O(buckets) rows

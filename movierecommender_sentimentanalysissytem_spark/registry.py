@@ -337,6 +337,7 @@ _NEW_R5B = frozenset(
     agg_share_of_parent sort_null_ordering
     join_asof_tolerance events_peak_concurrency
     sql_view_masked sql_parameterized stats_theil_index
+    quality_fk_matrix
     """.split()
 )
 

@@ -616,3 +616,44 @@ def test_theil_zero_on_equality_and_positive_on_concentration(
     want = (300 * math.log(300) + 100 * math.log(100)) / 400 - math.log(200)
     assert got[2]["theil_t"] == math.floor(want * 10000 + 0.5) / 10000
     assert 3 not in got  # single positive row: dropped by n >= 2
+
+
+def test_fk_matrix_counts_planted_orphans(spark, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("fkm"))
+    d = dt.date(2024, 1, 1)
+    region = [(1, "R1")]
+    nation = [(1, "N1", 1), (2, "N2", 99)]     # N2 -> missing region
+    cust = [(1, "a", 1, 0.0, "AUTO"), (2, "b", 77, 0.0, "AUTO")]
+    supplier = [(1, "s", 1, 0.0)]
+    part = [(1, "widget", "B", "T", 1, 1.0)]
+    orders = [(1, 1, "O", 1.0, d, "1-URGENT"),
+              (2, 999, "O", 1.0, d, "1-URGENT")]  # orphan custkey
+    li = [
+        (1, 1, 1, 1, 1.0, 1.0, 0.0, 0.0, "N", "O", d),
+        (77, 1, 1, 1, 1.0, 1.0, 0.0, 0.0, "N", "O", d),  # orphan order
+        (1, 88, 1, 2, 1.0, 1.0, 0.0, 0.0, "N", "O", d),  # orphan part
+    ]
+    _write(spark, out, "region", region, "r_regionkey long, r_name string")
+    _write(spark, out, "nation", nation,
+           "n_nationkey long, n_name string, n_regionkey long")
+    _write(spark, out, "customer", cust,
+           "c_custkey long, c_name string, c_nationkey long, "
+           "c_acctbal double, c_mktsegment string")
+    _write(spark, out, "supplier", supplier,
+           "s_suppkey long, s_name string, s_nationkey long, "
+           "s_acctbal double")
+    _write(spark, out, "part", part,
+           "p_partkey long, p_name string, p_brand string, "
+           "p_type string, p_size int, p_retailprice double")
+    _write(spark, out, "orders", orders, _ORDERS_SCHEMA)
+    _write(spark, out, "lineitem", li, _LI_SCHEMA)
+    got = {r["fk"]: r for r in QS["quality_fk_matrix"](spark, out).collect()}
+    assert len(got) == 7
+    assert got["orders.o_custkey->customer"]["n_orphans"] == 1
+    assert got["lineitem.l_orderkey->orders"]["n_orphans"] == 1
+    assert got["lineitem.l_partkey->part"]["n_orphans"] == 1
+    assert got["lineitem.l_suppkey->supplier"]["n_orphans"] == 0
+    assert got["customer.c_nationkey->nation"]["n_orphans"] == 1
+    assert got["nation.n_regionkey->region"]["n_orphans"] == 1
+    assert got["supplier.s_nationkey->nation"]["n_orphans"] == 0
+    assert got["lineitem.l_orderkey->orders"]["n_rows"] == 3
