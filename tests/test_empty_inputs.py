@@ -214,6 +214,24 @@ REPRESENTATIVE = [
     "ml_kmeans_lloyd",
     "events_bot_detection",
     "stats_kaplan_meier",
+    # round-5 batches 24-32. Excluded as grand-total-report class:
+    # ml_eval_classification, quality_key_candidates,
+    # quality_order_reconcile, events_conversion_latency_quantiles,
+    # stats_anova_oneway, text_zipf_fit (1-row moment reports),
+    # quality_fk_matrix (fixed 7-row report).
+    "udf_cogrouped_map",
+    "quality_control_chart",
+    "text_collocation_llr",
+    "events_user_overlap_jaccard",
+    "fn_binary_encoding",
+    "tpch_yoy_customer_growth",
+    "agg_share_of_parent",
+    "sort_null_ordering",
+    "join_asof_tolerance",
+    "events_peak_concurrency",
+    "sql_view_masked",
+    "sql_parameterized",
+    "stats_theil_index",
 ]
 
 
