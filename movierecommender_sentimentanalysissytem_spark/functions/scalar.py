@@ -605,12 +605,12 @@ def fn_url_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM documents
     )
     SELECT doc_id,
-           list_sort(list_distinct(
-               list_filter(toks, x -> list_contains(probe, x))))
+           coalesce(array_to_string(list_sort(list_distinct(
+               list_filter(toks, x -> list_contains(probe, x)))), '|'), '')
                AS inter,
-           list_sort(list_distinct(
-               list_filter(toks, x -> NOT list_contains(probe, x))))
-               AS except_probe,
+           coalesce(array_to_string(list_sort(list_distinct(
+               list_filter(toks, x -> NOT list_contains(probe, x)))), '|'),
+               '') AS except_probe,
            CAST(len(list_distinct(list_concat(toks, probe))) AS INTEGER)
                AS n_union
     FROM t
@@ -623,22 +623,34 @@ def fn_array_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
     filter/contains/distinct/sort composition rather than their native
     array_intersect/list_intersect, whose dedup-and-order conventions
     are engine-specific: the sorted-distinct normal form makes array
-    VALUES hash-comparable. Pure higher-order JVM expressions — the
-    lambda runs inside codegen, zero shuffles, linear at any scale."""
+    VALUES hash-comparable. Both array results are projected as
+    '|'-joined STRINGS (concat_ws / array_to_string), never raw
+    arrays — the driver's pandas canonicalizer cannot sort
+    list-typed cells (r5 driver-red: TypeError unhashable list),
+    and scalar outputs keep the oracle hash format-independent
+    (same rule as agg_collect). Pure higher-order JVM expressions —
+    the lambda runs inside codegen, zero shuffles, linear at any
+    scale."""
     d = table(spark, sf_dir, "documents")
     toks = F.split("text", " ")
     probe = F.array(*[F.lit(w) for w in ("the", "a", "data", "join", "spark")])
     return d.select(
         "doc_id",
-        F.array_sort(
-            F.array_distinct(
-                F.filter(toks, lambda x: F.array_contains(probe, x))
-            )
+        F.concat_ws(
+            "|",
+            F.array_sort(
+                F.array_distinct(
+                    F.filter(toks, lambda x: F.array_contains(probe, x))
+                )
+            ),
         ).alias("inter"),
-        F.array_sort(
-            F.array_distinct(
-                F.filter(toks, lambda x: ~F.array_contains(probe, x))
-            )
+        F.concat_ws(
+            "|",
+            F.array_sort(
+                F.array_distinct(
+                    F.filter(toks, lambda x: ~F.array_contains(probe, x))
+                )
+            ),
         ).alias("except_probe"),
         F.size(F.array_distinct(F.concat(toks, probe))).alias("n_union"),
     )
@@ -648,10 +660,12 @@ def fn_array_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
     "fn_array_higher_order",
     oracle="""
     SELECT p_partkey,
-           list_filter(string_split(p_name, ' '), x -> length(x) > 5)
-               AS long_words,
-           list_transform(string_split(p_name, ' '), x -> upper(x))
-               AS upper_words,
+           coalesce(array_to_string(
+               list_filter(string_split(p_name, ' '), x -> length(x) > 5),
+               '|'), '') AS long_words,
+           coalesce(array_to_string(
+               list_transform(string_split(p_name, ' '), x -> upper(x)),
+               '|'), '') AS upper_words,
            CAST(list_sum(list_transform(string_split(p_name, ' '),
                                         x -> length(x))) AS BIGINT)
                AS total_chars,
@@ -671,13 +685,19 @@ def fn_array_higher_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     fold primitives disagree: Spark's aggregate() takes an explicit
     zero, DuckDB's list_reduce seeds from the first element — summing
     a transformed list is the form with one shared semantics (and it
-    is empty-safe where list_reduce throws)."""
+    is empty-safe where list_reduce throws). The two array-valued
+    results are projected as '|'-joined strings (concat_ws /
+    array_to_string) per the agg_collect rule: raw array outputs
+    crash the driver's pandas canonicalizer and make hashes
+    format-dependent."""
     p = table(spark, sf_dir, "part")
     arr = F.split(F.col("p_name"), " ")
     return p.select(
         "p_partkey",
-        F.filter(arr, lambda x: F.length(x) > 5).alias("long_words"),
-        F.transform(arr, F.upper).alias("upper_words"),
+        F.concat_ws("|", F.filter(arr, lambda x: F.length(x) > 5)).alias(
+            "long_words"
+        ),
+        F.concat_ws("|", F.transform(arr, F.upper)).alias("upper_words"),
         F.aggregate(
             F.transform(arr, F.length),
             F.lit(0),

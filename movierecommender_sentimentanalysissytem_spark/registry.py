@@ -192,26 +192,55 @@ _R4_DRIVER_CHECKED = frozenset(
     """.split()
 )
 
-# Every key with a non-red driver row (r1 + r2 + r3 + r4). Note the two
-# ML keys inside _R2_DRIVER_CHECKED and sim_threshold_join_lsh in
-# _R4_DRIVER_CHECKED are rows-only records, not hash-greens — rows-only
-# is the strongest check available for oracle-less keys, so they are
-# deprioritized the same way.
+# Keys the driver's round-5 sweep reached (CORRECTNESS_r05.json): 48
+# hash-green + sim_topk_ivf rows-only-by-design. ``fn_array_setops`` is
+# deliberately excluded — it driver-red'd in r5 (raw array-typed output
+# columns crashed the driver's pandas canonicalizer; both engines agreed
+# on values). Its projection was rewritten to '|'-joined strings per the
+# agg_collect rule and it must be re-verified first in r6 (_PRIORITY).
+_R5_DRIVER_CHECKED = frozenset(
+    """
+    stream_session_window_native stream_foreach_batch_sink
+    stream_static_join udf_arrow_optimized udf_map_in_arrow
+    udtf_table_argument scan_python_datasource sink_python_datasource
+    sim_topk_ivf dedup_clusters scan_text_lines join_interval_overlap
+    join_asof_nearest agg_mode agg_weighted_avg quality_benford_digits
+    tpch_q1_pricing_summary tpch_q6_forecast_revenue win_rolling_median
+    rec_item_similarity agg_latest_by_key agg_percentile_disc
+    win_share_of_total sample_k_per_group set_intersect_all
+    subq_not_in_nulls join_temporal_snapshot profile_topk_values
+    graph_degree_stats quality_null_profile quality_table_checksum
+    stats_linear_regression stats_chi_square stats_ks_two_sample
+    stats_gini_concentration quality_outlier_iqr stats_autocorr_daily
+    stats_t_test_welch stats_psi_drift sessionize_batch
+    attribution_last_touch rec_rfm_segmentation events_time_profile
+    events_transition_matrix time_to_conversion timeseries_resample_ohlc
+    timeseries_mom_growth fn_url_extract sim_matmul_topk
+    """.split()
+)
+
+# Every key with a non-red driver row (r1 + r2 + r3 + r4 + r5). Note the
+# two ML keys inside _R2_DRIVER_CHECKED, sim_threshold_join_lsh in
+# _R4_DRIVER_CHECKED and sim_topk_ivf in _R5_DRIVER_CHECKED are
+# rows-only records, not hash-greens — rows-only is the strongest check
+# available for oracle-less keys, so they are deprioritized the same way.
 _DRIVER_CHECKED = (
     _R1_DRIVER_CHECKED
     | _R2_DRIVER_CHECKED
     | _R3_DRIVER_CHECKED
     | _R4_DRIVER_CHECKED
+    | _R5_DRIVER_CHECKED
 )
 
 # Front of the current round's sweep queue: keys that MUST be checked
-# first regardless of grouping (driver-red keys whose oracles were just
-# fixed). Round 5: empty — r4 had no hash-fails, so no key needs a
-# forced re-check. The 20 never-checked keys (the expensive tail that
-# spilled past r4's 50-key budget, plus the round-4 additions) naturally
-# head the queue via the unchecked-first grouping; verifying them closes
-# driver coverage at 214/214.
-_PRIORITY: tuple[str, ...] = ()
+# first regardless of grouping. Round 6: (1) fn_array_setops driver-red'd
+# in r5 (raw array outputs crashed the driver canonicalizer) — its
+# projection is now '|'-joined strings and needs the green row; (2)
+# fn_array_higher_order is the ONLY other oracle-bearing key whose output
+# schema contained arrays (confirmed by the r5 judge's 328-key schema
+# scan) — fixed the same way pre-emptively, pinned here so its debut
+# check happens this round rather than crashing a later sweep.
+_PRIORITY: tuple[str, ...] = ("fn_array_setops", "fn_array_higher_order")
 
 # SURVEY.md §2 inventory — the judge's coverage checklist. These outrank
 # extra keys in sweep priority.
@@ -351,11 +380,13 @@ def _sweep_order(keys: list[str]) -> list[str]:
     groups 1–2: longest-waiting first (pre-existing keys before keys
     added in the latest round), cheap before expensive, then
     registration order (stable, deterministic). Within group 3:
-    STALEST driver record first (r1-checked before r4-checked) — once
-    every key has a row (round 5 closes coverage at 214/214), the
-    budget left after the unchecked head re-verifies the keys whose
-    last driver check is oldest, so regressions surface instead of the
-    same recent keys being re-confirmed."""
+    STALEST driver record first (r1-checked before r5-checked) — once
+    every key has a row, the budget left after the unchecked head
+    re-verifies the keys whose last driver check is oldest, so
+    regressions surface instead of the same recent keys being
+    re-confirmed. With 84 extras still unchecked after r5 and a
+    50-key budget, rounds 6-7 are verification rounds: the surface is
+    frozen at 328 keys until every key has a driver row."""
 
     prio = {k: i for i, k in enumerate(_PRIORITY)}
     last_checked = {}
@@ -365,6 +396,7 @@ def _sweep_order(keys: list[str]) -> list[str]:
             _R2_DRIVER_CHECKED,
             _R3_DRIVER_CHECKED,
             _R4_DRIVER_CHECKED,
+            _R5_DRIVER_CHECKED,
         ),
         start=1,
     ):

@@ -124,13 +124,15 @@ def test_checked_tail_is_staleness_ordered():
         _R2_DRIVER_CHECKED,
         _R3_DRIVER_CHECKED,
         _R4_DRIVER_CHECKED,
+        _R5_DRIVER_CHECKED,
         queries,
     )
 
     last = {}
     for rnd, checked in enumerate(
         (_R1_DRIVER_CHECKED, _R2_DRIVER_CHECKED,
-         _R3_DRIVER_CHECKED, _R4_DRIVER_CHECKED),
+         _R3_DRIVER_CHECKED, _R4_DRIVER_CHECKED,
+         _R5_DRIVER_CHECKED),
         start=1,
     ):
         for k in checked:
@@ -148,10 +150,17 @@ def test_continuation_keys_queue_behind_first_wave():
     from movierecommender_sentimentanalysissytem_spark.registry import (
         _DRIVER_CHECKED,
         _NEW_R5B,
+        _PRIORITY,
         queries,
     )
 
-    unchecked = [k for k in queries() if k not in _DRIVER_CHECKED]
+    # _PRIORITY keys jump the waiting-tier ordering by design (forced
+    # re-checks / pre-emptive fixes), so they are exempt here.
+    unchecked = [
+        k
+        for k in queries()
+        if k not in _DRIVER_CHECKED and k not in _PRIORITY
+    ]
     older = [k for k in unchecked if k not in _NEW_R5B]
     if len(older) >= 50:
         assert not [k for k in unchecked[:50] if k in _NEW_R5B]
@@ -159,3 +168,32 @@ def test_continuation_keys_queue_behind_first_wave():
     # all R5B keys are contiguous at the tail of the unchecked block)
     tail = unchecked[len(older):]
     assert set(tail) <= _NEW_R5B
+
+
+def test_no_array_or_map_outputs_on_oracle_keys(spark):
+    """Class guard for the r5 driver-red: the driver's pandas
+    canonicalizer sorts result cells and crashes on list-typed values
+    (``TypeError: unhashable type: 'list'`` — fn_array_setops,
+    CORRECTNESS_r05.json). Any oracle-bearing key must therefore
+    project arrays/maps as scalar encodings (the agg_collect
+    ``concat_ws('|', sort_array(...))`` idiom), never raw. Building
+    the DataFrame is lazy — no job runs — so this sweeps all ~324
+    oracle keys in seconds and turns the whole driver-crash class
+    into a pre-commit failure."""
+    from pyspark.sql.types import ArrayType, MapType
+
+    qs = entrymod.queries()
+    offenders = []
+    for key in entrymod.oracle_sql():
+        schema = qs[key](spark, "/root/testdata/sf0.001").schema
+        bad = [
+            f.name
+            for f in schema.fields
+            if isinstance(f.dataType, (ArrayType, MapType))
+        ]
+        if bad:
+            offenders.append((key, bad))
+    assert not offenders, (
+        "oracle-bearing keys with raw array/map output columns "
+        f"(driver canonicalizer crashes on these): {offenders}"
+    )

@@ -25,9 +25,10 @@ def test_lsh_recall_against_brute_force(spark):
 def test_ivf_topk_overlaps_brute_force(spark):
     """recall@3 of the IVF path vs the exact brute-force top-3.
 
-    IVF probes IVF_NPROBE=4 of 8 cells — measured recall 0.97 on this
-    corpus; the floor pins ≥ 0.9 so a quantizer/probe regression (or a
-    silent KMeans seed change) fails loudly."""
+    IVF sizes itself k ≈ sqrt(n) cells, probing IVF_PROBE_FRAC of
+    them (round-6 recall audit: measured 0.93-0.97 at sf0.001 AND
+    sf0.1); the floor pins ≥ 0.9 so a quantizer/probe regression (or
+    a silent KMeans seed change) fails loudly."""
     exact = QS["sim_topk_neighbors"](spark, SF_SMALL).collect()
     ivf = QS["sim_topk_ivf"](spark, SF_SMALL).collect()
     exact_top = {(r.query_id, r.neighbor_id) for r in exact}
