@@ -264,47 +264,60 @@ def sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     kmeans = KMeans(k=k, seed=42, featuresCol="v", predictionCol="cell")
     model = kmeans.fit(e)
 
-    centers = spark.createDataFrame(
-        [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
-        ["cell", "center"],
-    )
-    # multi-assignment: each corpus vector enters the inverted lists of
-    # its IVF_NASSIGN nearest cells (unit-space distance to broadcast
-    # centroids, JVM fold, window top-N — one narrow pass over the
-    # corpus, no shuffle beyond the window's hash on vec_id)
-    adist2 = F.expr(
-        "aggregate(zip_with(vn, center, (x, y) -> (x - y) * (x - y)),"
-        " 0.0D, (acc, v) -> acc + v)"
-    )
-    wassign = Window.partitionBy("vec_id").orderBy(
-        F.col("d2").asc(), F.col("cell")
-    )
-    assigned = (
-        e.crossJoin(F.broadcast(centers))
-        .withColumn("d2", adist2)
-        .withColumn("ar", F.row_number().over(wassign))
-        .filter(F.col("ar") <= IVF_NASSIGN)
-        .select("vec_id", F.col("embedding").alias("b"), "cell")
+    # The fitted centroids live on the driver (k ≈ √n of them) — embed
+    # them as ONE literal array of (cell, center) structs so nearest-cell
+    # selection is a pure codegen map: per row, score every centroid with
+    # a JVM fold, array_sort the (d2, cell) structs (field-order compare
+    # = our distance-then-cell tiebreak), slice the head, explode.
+    # vec_id is unique, so the previous window formulation was a full
+    # corpus shuffle that co-located nothing — this does the identical
+    # top-N with ZERO exchanges before the cell join. At extreme k the
+    # literal grows O(k·d); past ~10^4 cells a deployment would ship
+    # centers via a broadcast variable in a pandas_udf instead.
+    centers_arr = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("cell"),
+                F.array(*[F.lit(float(x)) for x in c]).alias("center"),
+            )
+            for i, c in enumerate(model.clusterCenters())
+        ]
     )
 
-    # nearest nprobe cells per query vector (unit-space distance to
-    # centroid, JVM fold — same space the quantizer was fit in)
-    q = e.filter(F.col("vec_id") < 10).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("embedding").alias("a"),
-        F.col("vn").alias("an"),
+    def _nearest_cells(unit_col: str, top: int):
+        scored = F.transform(
+            centers_arr,
+            lambda s: F.struct(
+                F.aggregate(
+                    F.zip_with(
+                        F.col(unit_col),
+                        s["center"],
+                        lambda x, y: (x - y) * (x - y),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, v: acc + v,
+                ).alias("d2"),
+                s["cell"].alias("cell"),
+            ),
+        )
+        return F.slice(F.array_sort(scored), 1, top)
+
+    # multi-assignment: each corpus vector enters the inverted lists of
+    # its IVF_NASSIGN nearest cells — embarrassingly parallel map pass
+    assigned = e.select(
+        "vec_id",
+        F.col("embedding").alias("b"),
+        F.explode(_nearest_cells("vn", IVF_NASSIGN)["cell"]).alias("cell"),
     )
-    dist2 = F.expr(
-        "aggregate(zip_with(an, center, (x, y) -> (x - y) * (x - y)),"
-        " 0.0D, (acc, v) -> acc + v)"
-    )
-    wcell = Window.partitionBy("query_id").orderBy(F.col("d2").asc(), F.col("cell"))
+
+    # nearest nprobe cells per query vector, same unit-space kernel
     probes = (
-        q.crossJoin(F.broadcast(centers))
-        .withColumn("d2", dist2)
-        .withColumn("cr", F.row_number().over(wcell))
-        .filter(F.col("cr") <= nprobe)
-        .select("query_id", "a", "cell")
+        e.filter(F.col("vec_id") < 10)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("a"),
+            F.explode(_nearest_cells("vn", nprobe)["cell"]).alias("cell"),
+        )
     )
     cos = _cos_expr()
     wtop = Window.partitionBy("query_id").orderBy(
@@ -316,7 +329,11 @@ def sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumnRenamed("vec_id", "neighbor_id")
         # a candidate sharing ≥2 probed cells with the query arrives
         # once per shared cell — dedup before ranking so row_number
-        # never double-counts a neighbor
+        # never double-counts a neighbor. One explicit hash on
+        # query_id serves BOTH the pair-dedup (hash(query_id)
+        # satisfies clustering on the superset key) and the top-k
+        # window — without it Catalyst exchanges twice.
+        .repartition("query_id")
         .dropDuplicates(["query_id", "neighbor_id"])
         .withColumn("cos_raw", cos)
         .withColumn("rn", F.row_number().over(wtop).cast("int"))

@@ -146,12 +146,14 @@ def test_array_higher_order_lambdas(spark, tmp_path_factory):
     got = {r["p_partkey"]: r for r in
            QS["fn_array_higher_order"](spark, out).collect()}
     r1 = got[1]
-    assert r1["long_words"] == ["widget"]
-    assert r1["upper_words"] == ["SHINY", "WIDGET"]
+    # array outputs project as '|'-joined strings (driver-canonicalizer
+    # contract — raw list cells crash its sort; see agg_collect)
+    assert r1["long_words"] == "widget"
+    assert r1["upper_words"] == "SHINY|WIDGET"
     assert r1["total_chars"] == 11
     assert r1["is_mechanical"] is True
     r2 = got[2]
-    assert r2["long_words"] == []
+    assert r2["long_words"] == ""
     assert r2["total_chars"] == 8
     assert r2["is_mechanical"] is False
 

@@ -532,8 +532,9 @@ def test_array_setops_sorted_distinct_form(spark, crafted):
     row = {
         r["doc_id"]: r for r in QS["fn_array_setops"](spark, crafted).collect()
     }[1]  # text "a b c d"; probe {the, a, data, join, spark}
-    assert row["inter"] == ["a"]
-    assert row["except_probe"] == ["b", "c", "d"]
+    # '|'-joined string projection (driver-canonicalizer contract)
+    assert row["inter"] == "a"
+    assert row["except_probe"] == "b|c|d"
     assert row["n_union"] == 8  # 4 tokens + 5 probe words - 1 overlap
 
 
