@@ -446,13 +446,18 @@ def embedding_centroid_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     rate falling means labels and geometry are diverging).
 
     Scale design: centroids are one posexplode + two aggregates
-    (state = n_labels × dims, independent of corpus size) and
-    BROADCAST back; assignment is a row-local fold over n_labels
-    candidates — no shuffle beyond the tiny centroid aggregate and
-    the per-vector window that picks the argmax (which AQE keeps
-    co-partitioned with the scan). Centroid components are rounded to
-    4 dp on BOTH engines before scoring so cross-partition summation
-    order cannot leak into the argmax; ties break on label order."""
+    (state = n_labels × dims, independent of corpus size), collapsed
+    to a SINGLE-ROW candidate array and broadcast back; the argmax is
+    then a row-local ``array_min`` over (-sim, cand) structs computed
+    entirely inside codegen — ZERO shuffles touch the corpus. (The
+    previous formulation windowed over vec_id, a unique key, which
+    hash-exchanged every corpus row × n_labels candidates just to
+    pick a per-row max — the round-6 degenerate-window audit removed
+    that class everywhere.) Centroid components are rounded to 4 dp
+    on BOTH engines before scoring so cross-partition summation
+    order cannot leak into the argmax; ties break on label order
+    (struct compare: -sim ascending = sim descending, then cand
+    ascending)."""
     e = table(spark, sf_dir, "embeddings").select(
         "vec_id",
         "label",
@@ -468,21 +473,47 @@ def embedding_centroid_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.array_sort(F.collect_list(F.struct("pos", "c"))).alias("pc"))
         .select("cand", F.expr("transform(pc, r -> r.c)").alias("cvec"))
     )
-    sim = F.expr(_CDOT) / (
-        F.expr(_CNORM.format(v="v")) * F.expr(_CNORM.format(v="cvec"))
+    cent_arr = cent.agg(
+        F.collect_list(F.struct("cand", "cvec")).alias("cands")
     )
-    w = Window.partitionBy("vec_id").orderBy(F.desc("sim"), F.asc("cand"))
+
+    def _sim(s):
+        dot = F.aggregate(
+            F.zip_with(F.col("v"), s["cvec"], lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, u: acc + u,
+        )
+        nv = F.sqrt(
+            F.aggregate(
+                F.transform(F.col("v"), lambda x: x * x),
+                F.lit(0.0),
+                lambda acc, u: acc + u,
+            )
+        )
+        nc = F.sqrt(
+            F.aggregate(
+                F.transform(s["cvec"], lambda x: x * x),
+                F.lit(0.0),
+                lambda acc, u: acc + u,
+            )
+        )
+        return dot / (nv * nc)
+
+    scored = F.transform(
+        F.col("cands"),
+        lambda s: F.struct(
+            (-_sim(s)).alias("negsim"), s["cand"].alias("cand")
+        ),
+    )
     return (
-        e.crossJoin(F.broadcast(cent))
-        .withColumn("sim", sim)
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
+        e.crossJoin(F.broadcast(cent_arr))
+        .withColumn("best", F.array_min(scored))
         .select(
             "vec_id",
             "label",
-            F.col("cand").alias("assigned_label"),
-            (F.col("label") == F.col("cand")).alias("is_match"),
-            round4(F.col("sim")).alias("cos_sim"),
+            F.col("best.cand").alias("assigned_label"),
+            (F.col("label") == F.col("best.cand")).alias("is_match"),
+            round4(-F.col("best.negsim")).alias("cos_sim"),
         )
     )
 
@@ -729,12 +760,37 @@ def ml_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def assign(cents: DataFrame) -> DataFrame:
-        d = e.crossJoin(F.broadcast(cents)).withColumn(
-            "dist", round4(F.expr(_SQDIST))
+        # collapse the ≤4 centroids to a single-row candidate array and
+        # broadcast it; the per-point argmin is then a row-local
+        # array_min over (dist, cid) structs inside codegen — no
+        # window on the unique vec_id, so ZERO corpus shuffles (the
+        # round-6 degenerate-window audit). struct compare = the same
+        # (dist ASC, cid ASC) tiebreak the previous row_number used,
+        # on the same 4-dp-rounded distance.
+        carr = cents.agg(F.collect_list(F.struct("cid", "cvec")).alias("cands"))
+        scored = F.transform(
+            F.col("cands"),
+            lambda s: F.struct(
+                round4(
+                    F.aggregate(
+                        F.zip_with(
+                            F.col("v"), s["cvec"], lambda x, y: (x - y) * (x - y)
+                        ),
+                        F.lit(0.0),
+                        lambda acc, u: acc + u,
+                    )
+                ).alias("dist"),
+                s["cid"].alias("cid"),
+            ),
         )
-        w = Window.partitionBy("vec_id").orderBy("dist", "cid")
-        return d.withColumn("rn", F.row_number().over(w)).filter(
-            F.col("rn") == 1
+        return (
+            e.crossJoin(F.broadcast(carr))
+            .withColumn("best", F.array_min(scored))
+            .select(
+                "vec_id",
+                F.col("best.cid").alias("cid"),
+                F.col("best.dist").alias("dist"),
+            )
         )
 
     a1 = assign(seeds).select("vec_id", F.col("cid").alias("c1"))

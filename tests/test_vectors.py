@@ -3,7 +3,7 @@
 from __future__ import annotations
 
 from movierecommender_sentimentanalysissytem_spark import registry
-from tests.conftest import SF_SMALL
+from tests.conftest import SF_ORACLE, SF_SMALL
 
 QS = registry.queries()
 
@@ -22,15 +22,21 @@ def test_lsh_recall_against_brute_force(spark):
         assert recall >= 0.9, f"LSH recall {recall:.2f} < 0.9"
 
 
-def test_ivf_topk_overlaps_brute_force(spark):
+import pytest
+
+
+@pytest.mark.parametrize("sf_dir", [SF_SMALL, SF_ORACLE])
+def test_ivf_topk_overlaps_brute_force(spark, sf_dir):
     """recall@3 of the IVF path vs the exact brute-force top-3.
 
     IVF sizes itself k ≈ sqrt(n) cells, probing IVF_PROBE_FRAC of
     them (round-6 recall audit: measured 0.93-0.97 at sf0.001 AND
-    sf0.1); the floor pins ≥ 0.9 so a quantizer/probe regression (or
-    a silent KMeans seed change) fails loudly."""
-    exact = QS["sim_topk_neighbors"](spark, SF_SMALL).collect()
-    ivf = QS["sim_topk_ivf"](spark, SF_SMALL).collect()
+    sf0.1); the floor pins ≥ 0.9 AT TWO CORPUS SIZES so a
+    quantizer/probe regression — including the scale-decay class
+    round 6 caught (0.97 at sf0.001 silently became 0.77 at sf0.1
+    under a fixed k=8 shape) — fails loudly."""
+    exact = QS["sim_topk_neighbors"](spark, sf_dir).collect()
+    ivf = QS["sim_topk_ivf"](spark, sf_dir).collect()
     exact_top = {(r.query_id, r.neighbor_id) for r in exact}
     ivf_top = {(r.query_id, r.neighbor_id) for r in ivf}
     recall = len(exact_top & ivf_top) / len(exact_top)
