@@ -13,13 +13,18 @@ def _pairs(df, ca, cb):
 
 
 def test_lsh_recall_against_brute_force(spark):
-    exact = _pairs(QS["sim_threshold_join"](spark, SF_SMALL), "vec_a", "vec_b")
-    approx = _pairs(
-        QS["sim_threshold_join_lsh"](spark, SF_SMALL), "vec_a", "vec_b"
-    )
-    if exact:
-        recall = len(exact & approx) / len(exact)
-        assert recall >= 0.9, f"LSH recall {recall:.2f} < 0.9"
+    """Floor at two corpus sizes (round-6 lesson: single-SF recall
+    floors miss scale decay; measured 0.985 at sf0.1)."""
+    for sf_dir in (SF_SMALL, SF_ORACLE):
+        exact = _pairs(
+            QS["sim_threshold_join"](spark, sf_dir), "vec_a", "vec_b"
+        )
+        approx = _pairs(
+            QS["sim_threshold_join_lsh"](spark, sf_dir), "vec_a", "vec_b"
+        )
+        if exact:
+            recall = len(exact & approx) / len(exact)
+            assert recall >= 0.9, f"LSH recall {recall:.2f} < 0.9 @ {sf_dir}"
 
 
 import pytest
@@ -58,3 +63,23 @@ def test_cosine_kernel_self_similarity(spark):
     ).select(_cos_expr().alias("c"))
     for r in df.collect():
         assert abs(r.c - 1.0) < 1e-12
+
+
+def test_ivf_shape_scaling():
+    """k ≈ √n bounded below at 8; nprobe = ceil(0.375·k) bounded below
+    at 4 and above at k — the adaptive sizing that holds the recall
+    floor across corpus sizes (a fixed shape decays, round-6 audit)."""
+    from movierecommender_sentimentanalysissytem_spark.functions.vector import (
+        _ivf_shape,
+    )
+
+    assert _ivf_shape(0) == (8, 4)
+    assert _ivf_shape(1) == (8, 4)
+    assert _ivf_shape(100) == (10, 4)
+    k, npr = _ivf_shape(2000)
+    assert k == 44 and npr == 17
+    k, npr = _ivf_shape(10**9)
+    assert k == 31622 and npr == 11859
+    for n in (0, 5, 63, 64, 65, 10**6):
+        k, npr = _ivf_shape(n)
+        assert 4 <= npr <= k
