@@ -174,13 +174,20 @@ def test_no_array_or_map_outputs_on_oracle_keys(spark):
     """Class guard for the r5 driver-red: the driver's pandas
     canonicalizer sorts result cells and crashes on list-typed values
     (``TypeError: unhashable type: 'list'`` — fn_array_setops,
-    CORRECTNESS_r05.json). Any oracle-bearing key must therefore
-    project arrays/maps as scalar encodings (the agg_collect
-    ``concat_ws('|', sort_array(...))`` idiom), never raw. Building
+    CORRECTNESS_r05.json). Struct cells (Row objects) and raw binary
+    break the same sort, so the guard covers every non-atomic type.
+    Any oracle-bearing key must therefore project composites as
+    scalar encodings (the agg_collect ``concat_ws('|',
+    sort_array(...))`` idiom), never raw. Building
     the DataFrame is lazy — no job runs — so this sweeps all ~324
     oracle keys in seconds and turns the whole driver-crash class
     into a pre-commit failure."""
-    from pyspark.sql.types import ArrayType, MapType
+    from pyspark.sql.types import (
+        ArrayType,
+        BinaryType,
+        MapType,
+        StructType,
+    )
 
     qs = entrymod.queries()
     offenders = []
@@ -189,11 +196,13 @@ def test_no_array_or_map_outputs_on_oracle_keys(spark):
         bad = [
             f.name
             for f in schema.fields
-            if isinstance(f.dataType, (ArrayType, MapType))
+            if isinstance(
+                f.dataType, (ArrayType, MapType, StructType, BinaryType)
+            )
         ]
         if bad:
             offenders.append((key, bad))
     assert not offenders, (
-        "oracle-bearing keys with raw array/map output columns "
+        "oracle-bearing keys with non-atomic output columns "
         f"(driver canonicalizer crashes on these): {offenders}"
     )
