@@ -245,8 +245,14 @@ def sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         "sqrt(aggregate(embedding, 0.0D,"
         " (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))"
     )
+    # zero vectors (norm 0 — the poison quality_embedding_audit flags)
+    # must not become NaN arrays: x/0 would propagate NaN into the
+    # KMeans fit and every centroid. They keep their raw (all-zero)
+    # coordinates instead and quantize like any other point.
     unit = F.expr(
-        "transform(embedding, x -> CAST(x AS DOUBLE) / nrm)"
+        "CASE WHEN nrm > 0.0D"
+        " THEN transform(embedding, x -> CAST(x AS DOUBLE) / nrm)"
+        " ELSE transform(embedding, x -> CAST(x AS DOUBLE)) END"
     )
     e = (
         table(spark, sf_dir, "embeddings")
@@ -319,7 +325,16 @@ def sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.explode(_nearest_cells("vn", nprobe)["cell"]).alias("cell"),
         )
     )
-    cos = _cos_expr()
+    # dirty-data tolerance on the scale path: a zero-norm side makes
+    # the denominator 0, which ANSI mode turns into a job-killing
+    # DIVIDE_BY_ZERO — nullif degrades those pairs to NULL cosine
+    # (they rank last under DESC NULLS LAST). The brute-force
+    # SQL-checked baselines keep the exact kernel; zero vectors are
+    # quality_embedding_audit's job to flag upstream.
+    cos = F.expr(_DOT) / F.nullif(
+        F.expr(_NORM.format(v="a")) * F.expr(_NORM.format(v="b")),
+        F.lit(0.0),
+    )
     wtop = Window.partitionBy("query_id").orderBy(
         F.col("cos_raw").desc(), F.col("neighbor_id").asc()
     )

@@ -83,3 +83,33 @@ def test_ivf_shape_scaling():
     for n in (0, 5, 63, 64, 65, 10**6):
         k, npr = _ivf_shape(n)
         assert 4 <= npr <= k
+
+
+def test_ivf_survives_zero_vectors(spark, tmp_path_factory):
+    """A zero vector (norm 0) must not NaN-poison the spherical
+    quantizer: it keeps raw coordinates instead of dividing by zero,
+    and every non-zero vector still gets ranked neighbors."""
+    import pyspark.sql.functions as F
+
+    out = str(tmp_path_factory.mktemp("ivf_zero"))
+    rows = []
+    for vid in range(20):
+        if vid == 3:
+            vec = [0.0] * 64  # the poison row
+        else:
+            vec = [0.0] * 64
+            vec[vid % 8] = 1.0
+            vec[(vid + 1) % 8] = 0.5
+        rows.append((vid, [float(x) for x in vec], vid % 2))
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{out}/embeddings.parquet")
+
+    got = QS["sim_topk_ivf"](spark, out).collect()
+    assert got, "IVF returned nothing on a corpus containing a zero vector"
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r.query_id, []).append(r)
+        assert r.cos_sim == r.cos_sim or r.query_id == 3  # no NaN except vs zero
+    # every non-zero query (vec_id < 10) has neighbors
+    assert set(by_q) >= {0, 1, 2, 4, 5}
