@@ -239,7 +239,7 @@ def sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     normalization only steers the quantizer.
     """
     from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector, vector_to_array
+    from pyspark.ml.functions import array_to_vector
 
     norm = F.expr(
         "sqrt(aggregate(embedding, 0.0D,"
