@@ -472,7 +472,11 @@ def embedding_centroid_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     on BOTH engines before scoring so cross-partition summation
     order cannot leak into the argmax; ties break on label order
     (struct compare: -sim ascending = sim descending, then cand
-    ascending)."""
+    ascending). NULL sims (a zero-norm centroid or vector divides by
+    zero) are coalesced to +inf in the sort key so they rank LAST,
+    matching the oracle's default NULLS-LAST under ORDER BY sim DESC
+    — struct comparison would otherwise sort a NULL field FIRST and
+    hand the assignment to the degenerate centroid."""
     e = table(spark, sf_dir, "embeddings").select(
         "vec_id",
         "label",
@@ -517,7 +521,8 @@ def embedding_centroid_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = F.transform(
         F.col("cands"),
         lambda s: F.struct(
-            (-_sim(s)).alias("negsim"), s["cand"].alias("cand")
+            F.coalesce(-_sim(s), F.lit(float("inf"))).alias("negsim"),
+            s["cand"].alias("cand"),
         ),
     )
     return (
@@ -528,7 +533,13 @@ def embedding_centroid_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
             "label",
             F.col("best.cand").alias("assigned_label"),
             (F.col("label") == F.col("best.cand")).alias("is_match"),
-            round4(-F.col("best.negsim")).alias("cos_sim"),
+            # winner with coalesced +inf key = every sim was NULL for
+            # this row; surface NULL like the oracle, not -inf
+            F.when(
+                F.col("best.negsim") == F.lit(float("inf")), F.lit(None)
+            )
+            .otherwise(round4(-F.col("best.negsim")))
+            .alias("cos_sim"),
         )
     )
 

@@ -219,8 +219,36 @@ _R5_DRIVER_CHECKED = frozenset(
     """.split()
 )
 
-# Every key with a non-red driver row (r1 + r2 + r3 + r4 + r5). Note the
-# two ML keys inside _R2_DRIVER_CHECKED, sim_threshold_join_lsh in
+# Keys the driver's round-6 sweep confirmed (CORRECTNESS_r06.json): all
+# 50 rows hash-green — the first all-green round, including the two
+# former array-output keys (``fn_array_setops``, the r5 driver-red, and
+# ``fn_array_higher_order``) re-verified at sweep positions 1–2.
+_R6_DRIVER_CHECKED = frozenset(
+    """
+    fn_array_setops fn_array_higher_order
+    dedup_keep_best text_word_entropy text_bigram_lm
+    multimodal_decode_audio multimodal_decode_image
+    quality_duplicate_rate_by_source udf_pandas_iter
+    join_fuzzy_levenshtein geo_grid_proximity_join join_hint_shuffle_hash
+    join_full_outer_using join_asof_tolerance agg_share_of_parent
+    win_topk_with_ties sample_weighted_bernoulli sort_null_ordering
+    set_except_distinct subq_relational_division sql_view_masked
+    sql_parameterized rec_eval_precision_at_k rec_multihop_expansion
+    rec_association_rules rec_diversity_coverage rec_popularity_time_decay
+    rec_cold_start_backfill maintenance_snapshot_diff
+    join_dynamic_partition_pruning scan_ignore_corrupt_files
+    scan_csv_dropmalformed scan_json_permissive_corrupt
+    tpch_shipping_delay_profile tpch_abc_classification
+    tpch_yoy_customer_growth quality_expectation_suite stats_subsample_ci
+    profile_join_skew quality_key_candidates quality_order_reconcile
+    quality_control_chart quality_fk_matrix stats_mann_whitney
+    stats_spearman_by_group stats_wilson_ci stats_kaplan_meier
+    stats_anova_oneway stats_theil_index events_dau_rolling
+    """.split()
+)
+
+# Every key with a non-red driver row (r1 + r2 + r3 + r4 + r5 + r6). Note
+# the two ML keys inside _R2_DRIVER_CHECKED, sim_threshold_join_lsh in
 # _R4_DRIVER_CHECKED and sim_topk_ivf in _R5_DRIVER_CHECKED are
 # rows-only records, not hash-greens — rows-only is the strongest check
 # available for oracle-less keys, so they are deprioritized the same way.
@@ -230,17 +258,17 @@ _DRIVER_CHECKED = (
     | _R3_DRIVER_CHECKED
     | _R4_DRIVER_CHECKED
     | _R5_DRIVER_CHECKED
+    | _R6_DRIVER_CHECKED
 )
 
 # Front of the current round's sweep queue: keys that MUST be checked
-# first regardless of grouping. Round 6: (1) fn_array_setops driver-red'd
-# in r5 (raw array outputs crashed the driver canonicalizer) — its
-# projection is now '|'-joined strings and needs the green row; (2)
-# fn_array_higher_order is the ONLY other oracle-bearing key whose output
-# schema contained arrays (confirmed by the r5 judge's 328-key schema
-# scan) — fixed the same way pre-emptively, pinned here so its debut
-# check happens this round rather than crashing a later sweep.
-_PRIORITY: tuple[str, ...] = ("fn_array_setops", "fn_array_higher_order")
+# first regardless of grouping. Round 7: keys REWRITTEN since their last
+# driver row — (1) embedding_centroid_assign (last row r4; argmax rewrote
+# from window to array_min struct-compare in r6, NULLS-LAST coalesce fix
+# in r7); (2) sim_topk_ivf (rows-only r5; IVF multi-assignment +
+# √n-adaptive sizing rewrite in r6). Their fresh rows land this round so
+# the rewrites don't sit unverified behind the 35-key unchecked head.
+_PRIORITY: tuple[str, ...] = ("embedding_centroid_assign", "sim_topk_ivf")
 
 # SURVEY.md §2 inventory — the judge's coverage checklist. These outrank
 # extra keys in sweep priority.
@@ -374,19 +402,19 @@ _NEW_R5B = frozenset(
 def _sweep_order(keys: list[str]) -> list[str]:
     """Order keys so a budget-limited driver sweep (50 keys/round, dict
     order) maximizes NEW verification signal each round:
-    (0) the explicit priority keys (driver-red, oracles fixed), in
-    that exact order; (1) §2 keys with no driver row yet; (2) extra
-    keys with no driver row; (3) keys already checked in r1–r4. Within
-    groups 1–2: longest-waiting first (pre-existing keys before keys
-    added in the latest round), cheap before expensive, then
-    registration order (stable, deterministic). Within group 3:
-    STALEST driver record first (r1-checked before r5-checked) — once
+    (0) the explicit priority keys (rewritten since their last driver
+    row), in that exact order; (1) §2 keys with no driver row yet;
+    (2) extra keys with no driver row; (3) keys already checked in
+    r1–r6. Within groups 1–2: longest-waiting first (pre-existing keys
+    before keys added in the latest round), cheap before expensive,
+    then registration order (stable, deterministic). Within group 3:
+    STALEST driver record first (r1-checked before r6-checked) — once
     every key has a row, the budget left after the unchecked head
     re-verifies the keys whose last driver check is oldest, so
     regressions surface instead of the same recent keys being
-    re-confirmed. With 84 extras still unchecked after r5 and a
-    50-key budget, rounds 6-7 are verification rounds: the surface is
-    frozen at 328 keys until every key has a driver row."""
+    re-confirmed. Round 7 math: 2 priority + 35 never-checked extras
+    + 13 stalest r1 re-checks = the 50-key budget, closing cumulative
+    driver coverage at 328/328."""
 
     prio = {k: i for i, k in enumerate(_PRIORITY)}
     last_checked = {}
@@ -397,6 +425,7 @@ def _sweep_order(keys: list[str]) -> list[str]:
             _R3_DRIVER_CHECKED,
             _R4_DRIVER_CHECKED,
             _R5_DRIVER_CHECKED,
+            _R6_DRIVER_CHECKED,
         ),
         start=1,
     ):

@@ -118,13 +118,17 @@ def test_checked_tail_is_staleness_ordered():
     """Once every key has a driver row, the budget left after the
     unchecked head should re-verify the STALEST records first: within
     the already-checked tail, a key last checked in round i must never
-    appear after a key last checked in round j > i."""
+    appear after a key last checked in round j > i. _PRIORITY keys
+    jump to the very front by design (rewritten since their last row),
+    so they are exempt."""
     from movierecommender_sentimentanalysissytem_spark.registry import (
+        _PRIORITY,
         _R1_DRIVER_CHECKED,
         _R2_DRIVER_CHECKED,
         _R3_DRIVER_CHECKED,
         _R4_DRIVER_CHECKED,
         _R5_DRIVER_CHECKED,
+        _R6_DRIVER_CHECKED,
         queries,
     )
 
@@ -132,12 +136,12 @@ def test_checked_tail_is_staleness_ordered():
     for rnd, checked in enumerate(
         (_R1_DRIVER_CHECKED, _R2_DRIVER_CHECKED,
          _R3_DRIVER_CHECKED, _R4_DRIVER_CHECKED,
-         _R5_DRIVER_CHECKED),
+         _R5_DRIVER_CHECKED, _R6_DRIVER_CHECKED),
         start=1,
     ):
         for k in checked:
             last[k] = rnd
-    seq = [last[k] for k in queries() if k in last]
+    seq = [last[k] for k in queries() if k in last and k not in _PRIORITY]
     assert seq == sorted(seq), "checked tail not staleness-ordered"
 
 
@@ -178,10 +182,12 @@ def test_no_array_or_map_outputs_on_oracle_keys(spark):
     break the same sort, so the guard covers every non-atomic type.
     Any oracle-bearing key must therefore project composites as
     scalar encodings (the agg_collect ``concat_ws('|',
-    sort_array(...))`` idiom), never raw. Building
-    the DataFrame is lazy — no job runs — so this sweeps all ~324
-    oracle keys in seconds and turns the whole driver-crash class
-    into a pre-commit failure."""
+    sort_array(...))`` idiom), never raw. Most builders are lazy
+    (schema only, no job), but a handful run eager actions during
+    construction (e.g. dedup_clusters' connected-components loop
+    counts and checkpoints), so the full ~324-key sweep costs ~100 s
+    at sf0.001 — the price of covering the whole driver-crash class
+    with zero exemptions."""
     from pyspark.sql.types import (
         ArrayType,
         BinaryType,

@@ -3,7 +3,7 @@
 from __future__ import annotations
 
 from movierecommender_sentimentanalysissytem_spark import registry
-from tests.conftest import SF_ORACLE, SF_SMALL
+from tests.conftest import SF_ORACLE, SF_SMALL, SF_TENTH
 
 QS = registry.queries()
 
@@ -13,9 +13,11 @@ def _pairs(df, ca, cb):
 
 
 def test_lsh_recall_against_brute_force(spark):
-    """Floor at two corpus sizes (round-6 lesson: single-SF recall
-    floors miss scale decay; measured 0.985 at sf0.1)."""
-    for sf_dir in (SF_SMALL, SF_ORACLE):
+    """Floor at three corpus sizes INCLUDING sf0.1 — the scale where
+    round 6 measured the decay class this test exists to catch
+    (0.985 LSH recall at sf0.1; the IVF sibling had silently decayed
+    0.97 → 0.77 there under a fixed shape)."""
+    for sf_dir in (SF_SMALL, SF_ORACLE, SF_TENTH):
         exact = _pairs(
             QS["sim_threshold_join"](spark, sf_dir), "vec_a", "vec_b"
         )
@@ -30,16 +32,17 @@ def test_lsh_recall_against_brute_force(spark):
 import pytest
 
 
-@pytest.mark.parametrize("sf_dir", [SF_SMALL, SF_ORACLE])
+@pytest.mark.parametrize("sf_dir", [SF_SMALL, SF_ORACLE, SF_TENTH])
 def test_ivf_topk_overlaps_brute_force(spark, sf_dir):
     """recall@3 of the IVF path vs the exact brute-force top-3.
 
     IVF sizes itself k ≈ sqrt(n) cells, probing IVF_PROBE_FRAC of
     them (round-6 recall audit: measured 0.93-0.97 at sf0.001 AND
-    sf0.1); the floor pins ≥ 0.9 AT TWO CORPUS SIZES so a
-    quantizer/probe regression — including the scale-decay class
-    round 6 caught (0.97 at sf0.001 silently became 0.77 at sf0.1
-    under a fixed k=8 shape) — fails loudly."""
+    sf0.1); the floor pins ≥ 0.9 AT THREE CORPUS SIZES — sf0.1 is
+    where the scale-decay class round 6 caught lives (0.97 at
+    sf0.001 silently became 0.77 at sf0.1 under a fixed k=8 shape),
+    so the exact regression regime is in CI, not just the small
+    fixtures."""
     exact = QS["sim_topk_neighbors"](spark, sf_dir).collect()
     ivf = QS["sim_topk_ivf"](spark, sf_dir).collect()
     exact_top = {(r.query_id, r.neighbor_id) for r in exact}
