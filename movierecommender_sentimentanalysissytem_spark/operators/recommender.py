@@ -474,6 +474,186 @@ def rec_item_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# DIMSUM sampling budget: sqrt(gamma) = 100.0, i.e. an entry of item i
+# survives with probability min(1, 100/‖c_i‖) — expressed in integer
+# basis points so membership never sits on a float boundary. At the
+# test SFs most column norms are below 100 (thr = 10000, no sampling,
+# estimator exact); the heaviest items sample, exercising the unbiasing
+# path. At 100 TB norms grow with row count and the sampling is what
+# keeps the pair shuffle sub-quadratic in item popularity.
+_DIMSUM_SQRT_GAMMA = 100.0
+
+
+@query(
+    "rec_item_similarity_dimsum",
+    oracle="""
+    WITH ratings_all AS (
+        SELECT o_custkey AS u, l_partkey AS item,
+               CAST(SUM(l_quantity) AS BIGINT) AS r
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY o_custkey, l_partkey
+    ),
+    ratings AS (
+        SELECT u, item, r FROM (
+            SELECT u, item, r,
+                   ROW_NUMBER() OVER (PARTITION BY u
+                                      ORDER BY r DESC, item) AS rn
+            FROM ratings_all
+        ) WHERE rn <= 1000
+    ),
+    probs AS (
+        SELECT item, SQRT(CAST(SUM(r * r) AS BIGINT)) AS nrm,
+               LEAST(10000,
+                     CAST(FLOOR(10000 * 100.0
+                                / SQRT(CAST(SUM(r * r) AS BIGINT)))
+                          AS BIGINT)) AS thr
+        FROM ratings GROUP BY item
+    ),
+    kept AS (
+        SELECT ratings.u, ratings.item, ratings.r
+        FROM ratings JOIN probs ON ratings.item = probs.item
+        WHERE CAST('0x' || substr(md5(concat('dimsum', ':',
+                       CAST(u AS VARCHAR), ':',
+                       CAST(ratings.item AS VARCHAR))), 1, 15) AS BIGINT)
+              % 10000 < probs.thr
+    ),
+    pairs AS (
+        SELECT a.item AS item_a, b.item AS item_b,
+               CAST(SUM(a.r * b.r) AS BIGINT) AS sdot,
+               COUNT(*) AS n_users_sampled
+        FROM kept a JOIN kept b
+          ON a.u = b.u AND a.item < b.item
+        GROUP BY a.item, b.item
+        HAVING COUNT(*) >= 3
+    )
+    SELECT item_a, item_b, n_users_sampled,
+           FLOOR(sdot / ((pa.thr / 10000.0) * (pb.thr / 10000.0))
+                 / (pa.nrm * pb.nrm) * 10000 + 0.5) / 10000 AS cos_est
+    FROM pairs
+    JOIN probs pa ON pa.item = item_a
+    JOIN probs pb ON pb.item = item_b
+    WHERE sdot / ((pa.thr / 10000.0) * (pb.thr / 10000.0))
+          / (pa.nrm * pb.nrm) >= 0.2
+    """,
+)
+def rec_item_similarity_dimsum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DIMSUM-sampled item-item cosine — rec_item_similarity's explicit
+    100 TB path (Zadeh & Carlson, "Dimension Independent Matrix Square
+    using MapReduce"; the algorithm behind Spark MLlib's
+    ``columnSimilarities(threshold)``). The exact form's pair shuffle
+    grows with the square of item popularity; DIMSUM keeps each
+    (user, item) entry with probability min(1, √γ/‖c_item‖) and
+    unbiases the sampled dot product by the pair's keep probability,
+    so popular columns contribute O(γ) pairs instead of O(‖c‖²) and
+    the estimator's error concentrates on exactly the high-norm pairs
+    that need it least (their cosines are estimated from many
+    surviving co-ratings).
+
+    Hash-exact despite being a sampling algorithm: the keep decision
+    is the portable 60-bit md5 hash of (u, item) against an INTEGER
+    basis-point threshold derived from the exact-integer column norm
+    (the sample_weighted_bernoulli determinism contract), so both
+    engines keep the identical entry set and the unbiased estimate
+    FLOOR-rounds identically. Entries with thr = 10000 are kept with
+    certainty — where no sampling happens the estimator degrades to
+    the exact cosine.
+
+    Scale shape: identical single-exchange lineage as the exact form
+    (one repartition on the user key serves grouping, cap window and
+    self-join); the probs side is an item-sized aggregate broadcast
+    into the keep-filter, and the keep-filter runs map-side BEFORE
+    the quadratic pair generation — the whole point. The capped
+    ratings and the item-probability table are scoped-persisted:
+    ratings feeds both pair sides plus the norm/threshold aggregate,
+    and probs is referenced three times (keep-filter, both unbias
+    joins) — without the persist Catalyst re-derives the full
+    join+window lineage five times."""
+    from movierecommender_sentimentanalysissytem_spark.functions.dedup import (
+        _spark_h,
+    )
+    from movierecommender_sentimentanalysissytem_spark.functions.rounding import round4
+    from movierecommender_sentimentanalysissytem_spark.plans.caching import (
+        scoped_persist,
+    )
+
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    ratings_all = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(
+            F.col("o_custkey").alias("u"),
+            F.col("l_partkey").alias("item"),
+            "l_quantity",
+        )
+        .repartition("u")
+        .groupBy("u", "item")
+        .agg(F.sum("l_quantity").cast("bigint").alias("r"))
+    )
+    w_u = Window.partitionBy("u").orderBy(F.desc("r"), F.asc("item"))
+    ratings = scoped_persist(
+        ratings_all.withColumn("rn", F.row_number().over(w_u))
+        .filter(F.col("rn") <= _BASKET_CAP)
+        .drop("rn")
+    )
+    probs = scoped_persist(ratings.groupBy("item").agg(
+        F.sqrt(F.sum(F.col("r") * F.col("r")).cast("bigint")).alias("nrm"),
+        F.least(
+            F.lit(10000).cast("bigint"),
+            F.floor(
+                10000
+                * _DIMSUM_SQRT_GAMMA
+                / F.sqrt(F.sum(F.col("r") * F.col("r")).cast("bigint"))
+            ).cast("bigint"),
+        ).alias("thr"),
+    ))
+    keep_bucket = F.expr(
+        _spark_h("dimsum", "concat(CAST(u AS STRING), ':', CAST(item AS STRING))")
+    ) % 10000
+    kept = (
+        ratings.join(F.broadcast(probs.select("item", "thr")), "item")
+        .filter(keep_bucket < F.col("thr"))
+        .select("u", "item", "r")
+    )
+    a = kept.select("u", F.col("item").alias("item_a"), F.col("r").alias("ra"))
+    b = kept.select("u", F.col("item").alias("item_b"), F.col("r").alias("rb"))
+    pairs = (
+        a.join(b, "u")
+        .filter(F.col("item_a") < F.col("item_b"))
+        .groupBy("item_a", "item_b")
+        .agg(
+            F.sum(F.col("ra") * F.col("rb")).cast("bigint").alias("sdot"),
+            F.count(F.lit(1)).alias("n_users_sampled"),
+        )
+        .filter(F.col("n_users_sampled") >= 3)
+    )
+    pa = probs.select(
+        F.col("item").alias("item_a"),
+        F.col("nrm").alias("nrm_a"),
+        F.col("thr").alias("thr_a"),
+    )
+    pb = probs.select(
+        F.col("item").alias("item_b"),
+        F.col("nrm").alias("nrm_b"),
+        F.col("thr").alias("thr_b"),
+    )
+    est = (
+        F.col("sdot")
+        / ((F.col("thr_a") / 10000.0) * (F.col("thr_b") / 10000.0))
+        / (F.col("nrm_a") * F.col("nrm_b"))
+    )
+    return (
+        pairs.join(pa, "item_a")
+        .join(pb, "item_b")
+        .filter(est >= 0.2)
+        .select(
+            "item_a",
+            "item_b",
+            "n_users_sampled",
+            round4(est).alias("cos_est"),
+        )
+    )
+
+
 @query(
     "rec_eval_precision_at_k",
     oracle="""

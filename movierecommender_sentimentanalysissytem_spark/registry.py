@@ -399,6 +399,20 @@ _NEW_R5B = frozenset(
 )
 
 
+# Keys first registered in round 7 — the two extras the round-6 review
+# named as the natural next additions once 328/328 closes: DIMSUM as
+# rec_item_similarity's sampled 100 TB path, and the streaming observer
+# sibling of observe_metrics. Same contract as the earlier tiers: they
+# sort AFTER every longer-waiting unchecked key, so the round-7 sweep
+# head (2 rewritten-priority + 35 never-checked) is undisturbed and
+# these debut in the same 50-key budget right behind it.
+_NEW_R7 = frozenset(
+    """
+    rec_item_similarity_dimsum stream_observe_rate
+    """.split()
+)
+
+
 def _sweep_order(keys: list[str]) -> list[str]:
     """Order keys so a budget-limited driver sweep (50 keys/round, dict
     order) maximizes NEW verification signal each round:
@@ -413,8 +427,8 @@ def _sweep_order(keys: list[str]) -> list[str]:
     re-verifies the keys whose last driver check is oldest, so
     regressions surface instead of the same recent keys being
     re-confirmed. Round 7 math: 2 priority + 35 never-checked extras
-    + 13 stalest r1 re-checks = the 50-key budget, closing cumulative
-    driver coverage at 328/328."""
+    + 2 round-7 debuts + 11 stalest r1 re-checks = the 50-key budget,
+    closing cumulative driver coverage at 330/330."""
 
     prio = {k: i for i, k in enumerate(_PRIORITY)}
     last_checked = {}
@@ -447,9 +461,13 @@ def _sweep_order(keys: list[str]) -> list[str]:
             prio.get(k, 0),
             last_checked.get(k, 0),
             # debut round: longer-waiting keys before newer additions
-            3
-            if k in _NEW_R5B
-            else (2 if k in _NEW_R5 else (1 if k in _NEW_R4 else 0)),
+            4
+            if k in _NEW_R7
+            else (
+                3
+                if k in _NEW_R5B
+                else (2 if k in _NEW_R5 else (1 if k in _NEW_R4 else 0))
+            ),
             k in _EXPENSIVE,
             indexed[k],
         ),

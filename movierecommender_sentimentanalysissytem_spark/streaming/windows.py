@@ -684,3 +684,106 @@ def stream_windowed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rnk",
         )
     )
+
+
+@query(
+    "stream_observe_rate",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(CASE WHEN event_type = 'view' THEN 1 END)
+                AS BIGINT) AS n_views,
+           CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT)
+               AS value_cents,
+           strftime(MIN(date_trunc('second', ts)),
+                    '%Y-%m-%d %H:%M:%S') AS min_ts,
+           strftime(MAX(date_trunc('second', ts)),
+                    '%Y-%m-%d %H:%M:%S') AS max_ts,
+           FLOOR(COUNT(*) / GREATEST(1.0,
+                     EPOCH(MAX(date_trunc('second', ts)))
+                     - EPOCH(MIN(date_trunc('second', ts))))
+                 * 10000 + 0.5) / 10000 AS rows_per_event_sec
+    FROM events
+    """,
+)
+def stream_observe_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming rate/health observer: ``observe()`` metrics attached
+    to a live readStream and harvested from StreamingQueryProgress —
+    the zero-extra-scan instrumentation a production pipeline alerts
+    on (batch observe_metrics' streaming sibling). Each micro-batch
+    reports its observed row count, per-type count, value total and
+    event-time bounds through ``progress.observedMetrics``; the
+    driver-side fold across progress events is how a monitor derives
+    ingest rate without a second aggregation query touching the
+    stream's state store.
+
+    Determinism contract: wall-clock rates (inputRowsPerSecond,
+    batchDuration) live in the same progress objects but vary per
+    run, so the key reports the DETERMINISTIC fold — total rows,
+    view-event rows, exact integer value cents, event-time bounds,
+    and throughput in EVENT-time (rows per observed event-second),
+    all invariant under micro-batch splits (sums of counts, min of
+    mins, max of maxes). Value totals sum as integer cents because a
+    cross-batch float fold would depend on batch boundaries.
+
+    Scale: observe() aggregates piggyback on the scan (partial maps
+    merged per batch), state O(metrics); the collected progress list
+    is O(batches) on the driver — the same bounded telemetry the
+    Spark UI itself holds."""
+    import datetime as _dt
+    import math
+
+    e = _events_stream(spark, sf_dir)
+    observed = e.observe(
+        "rate_obs",
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count(F.when(F.col("event_type") == "view", 1)).alias("n_views"),
+        F.sum(F.floor(F.col("value") * 100).cast("bigint")).alias(
+            "value_cents"
+        ),
+        F.min(F.unix_timestamp("ts_s")).alias("min_epoch"),
+        F.max(F.unix_timestamp("ts_s")).alias("max_epoch"),
+    )
+    name = "mrsas_stream_" + uuid.uuid4().hex[:8]
+    q = (
+        observed.writeStream.format("noop")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    n_rows = n_views = cents = 0
+    min_ep: int | None = None
+    max_ep: int | None = None
+    for p in q.recentProgress:
+        # StreamingQueryProgress.observedMetrics: dict name -> Row
+        m = (p.observedMetrics or {}).get("rate_obs")
+        if m is None or not m["n_rows"]:
+            continue  # empty batch observes nothing aggregatable
+        n_rows += m["n_rows"]
+        n_views += m["n_views"]
+        cents += m["value_cents"]
+        min_ep = m["min_epoch"] if min_ep is None else min(min_ep, m["min_epoch"])
+        max_ep = m["max_epoch"] if max_ep is None else max(max_ep, m["max_epoch"])
+    if min_ep is None:
+        return spark.createDataFrame(
+            [],
+            "n_rows bigint, n_views bigint, value_cents bigint,"
+            " min_ts string, max_ts string, rows_per_event_sec double",
+        )
+    rate = n_rows / max(1.0, float(max_ep - min_ep))
+    fmt = "%Y-%m-%d %H:%M:%S"
+    return spark.createDataFrame(
+        [
+            (
+                n_rows,
+                n_views,
+                cents,
+                _dt.datetime.fromtimestamp(min_ep, _dt.timezone.utc).strftime(fmt),
+                _dt.datetime.fromtimestamp(max_ep, _dt.timezone.utc).strftime(fmt),
+                math.floor(rate * 10000 + 0.5) / 10000,
+            )
+        ],
+        "n_rows bigint, n_views bigint, value_cents bigint,"
+        " min_ts string, max_ts string, rows_per_event_sec double",
+    )

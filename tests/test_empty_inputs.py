@@ -173,6 +173,9 @@ REPRESENTATIVE = [
     # writes excluded above).
     "ml_feature_scaling",
     "ml_target_encoding",
+    # round-7 additions (stream_observe_rate excluded: streaming
+    # memory/noop-sink class, like the other stream_* keys).
+    "rec_item_similarity_dimsum",
     "events_stickiness",
     "scan_ignore_corrupt_files",
     # round-5 batch 12. events_ab_test_analysis excluded: a 1-row

@@ -44,3 +44,59 @@ def test_sentiment_pipeline_beats_chance(spark):
     # binary task on training data with TF-IDF features — should be
     # well above the majority-class floor
     assert acc > 0.6, acc
+
+
+def test_dimsum_estimator_recovers_structured_similarity(
+    spark, tmp_path_factory
+):
+    """DIMSUM estimator quality on a corpus with REAL similarity
+    structure (the shipped fixtures are near-random — their own exact
+    top pairs are 3-user coincidences, so they can't validate an
+    estimator). Two disjoint taste groups: every user rates every
+    item of their group, so within-group item columns share ~100
+    co-raters (exact cosine ≈ 0.97) and cross-group pairs share none.
+    Item norms land ≈ 150 > √γ = 100, so the DIMSUM keep-filter is
+    ACTIVE (p ≈ 0.67) — this exercises the sampled+unbiased path, not
+    the thr=10000 exact degeneration.
+
+    Asserts: (1) the sampled estimator finds every within-group pair
+    the exact form finds and nothing cross-group; (2) the unbiased
+    estimate tracks the exact cosine (deterministic md5 sampling —
+    measured mean error 0.082, worst single pair 0.306 across the 380
+    pairs, consistent with the ~0.11 per-pair sampling std at support
+    ≈ 44 · keep ≈ 0.44; floors allow mean 0.12 / worst 0.35)."""
+    from movierecommender_sentimentanalysissytem_spark import registry
+
+    qs = registry.queries()
+    rows_o, rows_l = [], []
+    for u in range(200):
+        rows_o.append((u, u))
+        for item in range(40):
+            if item % 2 == u % 2:
+                q = 10 + (u * 7 + item * 13) % 11
+                rows_l.append((u, item, q))
+    out = str(tmp_path_factory.mktemp("dimsum_structured"))
+    spark.createDataFrame(
+        rows_o, "o_orderkey long, o_custkey long"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{out}/orders.parquet")
+    spark.createDataFrame(
+        rows_l, "l_orderkey long, l_partkey long, l_quantity long"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{out}/lineitem.parquet")
+
+    exact = {
+        (r.item_a, r.item_b): r.cos_sim
+        for r in qs["rec_item_similarity"](spark, out).collect()
+    }
+    est = {
+        (r.item_a, r.item_b): r.cos_est
+        for r in qs["rec_item_similarity_dimsum"](spark, out).collect()
+    }
+    assert set(exact) == set(est), (
+        f"pair sets diverge: {len(exact)} exact vs {len(est)} sampled"
+    )
+    # every pair is within-group (same parity), never cross-group
+    assert all((a - b) % 2 == 0 for a, b in est)
+    errs = [abs(est[p] - exact[p]) for p in exact]
+    mean_err = sum(errs) / len(errs)
+    assert mean_err <= 0.12, f"mean estimator error {mean_err:.3f} > 0.12"
+    assert max(errs) <= 0.35, f"worst-pair error {max(errs):.3f} > 0.35"

@@ -146,14 +146,16 @@ def test_checked_tail_is_staleness_ordered():
 
 
 def test_continuation_keys_queue_behind_first_wave():
-    """Batches 6-11 (the round-5 continuation, _NEW_R5B) must not
-    displace longer-waiting unchecked keys from the 50-key driver
-    budget: as long as ≥50 non-R5B unchecked keys exist, the first 50
-    contain none of them (module import order would otherwise
-    interleave them in)."""
+    """Newer debut tiers (_NEW_R5B, then _NEW_R7) must not displace
+    longer-waiting unchecked keys from the 50-key driver budget: as
+    long as ≥50 older unchecked keys exist, the first 50 contain no
+    newer-tier keys (module import order would otherwise interleave
+    them in), and the unchecked block orders as
+    pre-R5B → R5B → R7."""
     from movierecommender_sentimentanalysissytem_spark.registry import (
         _DRIVER_CHECKED,
         _NEW_R5B,
+        _NEW_R7,
         _PRIORITY,
         queries,
     )
@@ -165,13 +167,18 @@ def test_continuation_keys_queue_behind_first_wave():
         for k in queries()
         if k not in _DRIVER_CHECKED and k not in _PRIORITY
     ]
-    older = [k for k in unchecked if k not in _NEW_R5B]
+    older = [k for k in unchecked if k not in _NEW_R5B and k not in _NEW_R7]
     if len(older) >= 50:
-        assert not [k for k in unchecked[:50] if k in _NEW_R5B]
-    # and every R5B key still sorts before nothing newer (suffix check:
-    # all R5B keys are contiguous at the tail of the unchecked block)
-    tail = unchecked[len(older):]
-    assert set(tail) <= _NEW_R5B
+        assert not [
+            k for k in unchecked[:50] if k in _NEW_R5B or k in _NEW_R7
+        ]
+    # tier ordering: the unchecked block is pre-R5B keys, then R5B,
+    # then R7 — each tier contiguous
+    tiers = [
+        0 if (k not in _NEW_R5B and k not in _NEW_R7) else (1 if k in _NEW_R5B else 2)
+        for k in unchecked
+    ]
+    assert tiers == sorted(tiers), "unchecked block not tier-ordered"
 
 
 def test_no_array_or_map_outputs_on_oracle_keys(spark):

@@ -157,3 +157,41 @@ def test_stream_stream_left_join_emission_rule(spark):
     assert stream == matched | expected_nulls
     # the withheld set is genuinely non-trivial on this fixture
     assert not {ve for (_, ve, c) in stream if c is None} & young_unmatched
+
+
+def test_observe_rate_matches_batch_aggregation(spark):
+    """stream_observe_rate's progress-harvested metrics must equal the
+    same aggregation computed relationally over the static table —
+    the observe() fold is sums/mins/maxes, so it is invariant to how
+    AvailableNow split the micro-batches."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from movierecommender_sentimentanalysissytem_spark.sources.tables import table
+
+    got = QS["stream_observe_rate"](spark, SF_SMALL).collect()
+    assert len(got) == 1
+    g = got[0]
+
+    e = table(spark, SF_SMALL, "events").withColumn(
+        "ts_s", F.date_trunc("second", F.col("ts"))
+    )
+    b = e.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count(F.when(F.col("event_type") == "view", 1)).alias("n_views"),
+        F.sum(F.floor(F.col("value") * 100).cast("bigint")).alias("cents"),
+        F.min(F.unix_timestamp("ts_s")).alias("min_ep"),
+        F.max(F.unix_timestamp("ts_s")).alias("max_ep"),
+        F.date_format(F.min("ts_s"), "yyyy-MM-dd HH:mm:ss").alias("min_ts"),
+        F.date_format(F.max("ts_s"), "yyyy-MM-dd HH:mm:ss").alias("max_ts"),
+    ).collect()[0]
+
+    assert (g.n_rows, g.n_views, g.value_cents) == (
+        b.n_rows,
+        b.n_views,
+        b.cents,
+    )
+    assert (g.min_ts, g.max_ts) == (b.min_ts, b.max_ts)
+    rate = b.n_rows / max(1.0, float(b.max_ep - b.min_ep))
+    assert g.rows_per_event_sec == math.floor(rate * 10000 + 0.5) / 10000

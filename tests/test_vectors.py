@@ -88,6 +88,47 @@ def test_ivf_shape_scaling():
         assert 4 <= npr <= k
 
 
+def test_ivf_recall_on_clustered_corpus(spark, tmp_path_factory):
+    """Recall floor in the CLUSTERED regime. The shipped fixtures are
+    near-isotropic (ANN's worst case — recall tracks probed fraction),
+    so every floor above exercises only that regime; a corpus of a few
+    tight clusters pins the complementary one, where the quantizer
+    should trivially co-locate true neighbors and recall should be
+    near-perfect. Future knob changes (e.g. shrinking nprobe because
+    isotropic recall allows it) must not silently break the easy
+    regime — this is the cheap insurance round 6's audit asked for.
+
+    Fixture: 400 unit vectors in 64-dim, 8 tight clusters (seeded
+    center + N(0, 0.08) noise, re-normalized); queries 0-9 span all 8
+    clusters, so each query's true top-3 live in its own cluster."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    centers = rng.normal(size=(8, 64))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    rows = []
+    for vid in range(400):
+        c = vid % 8
+        v = centers[c] + rng.normal(scale=0.08, size=64)
+        v /= np.linalg.norm(v)
+        rows.append((vid, [float(x) for x in v], c))
+    out = str(tmp_path_factory.mktemp("ivf_clustered"))
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{out}/embeddings.parquet")
+
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in QS["sim_topk_neighbors"](spark, out).collect()
+    }
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in QS["sim_topk_ivf"](spark, out).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.9, f"clustered-corpus IVF recall {recall:.2f} < 0.9"
+
+
 def test_ivf_survives_zero_vectors(spark, tmp_path_factory):
     """A zero vector (norm 0) must not NaN-poison the spherical
     quantizer: it keeps raw coordinates instead of dividing by zero,
