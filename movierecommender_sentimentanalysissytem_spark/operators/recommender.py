@@ -797,9 +797,16 @@ def rec_multihop_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
     basket-pair shape (distinct interactions, self-join on the user
     key, count-threshold); the seed (global MIN item) is a 1-row
     broadcast."""
+    from movierecommender_sentimentanalysissytem_spark.plans.caching import (
+        scoped_persist,
+    )
+
     li = table(spark, sf_dir, "lineitem")
     o = table(spark, sf_dir, "orders")
-    ratings = (
+    # Shared-lineage rule: ratings feeds both pair sides + the seed,
+    # edges_half both union directions, hop1 three consumers — persist
+    # each so the fact join and the pair self-join run once.
+    ratings = scoped_persist(
         li.join(o, li.l_orderkey == o.o_orderkey)
         .select(
             F.col("o_custkey").alias("u"), F.col("l_partkey").alias("item")
@@ -808,7 +815,7 @@ def rec_multihop_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     a = ratings.select("u", F.col("item").alias("ia"))
     b = ratings.select("u", F.col("item").alias("ib"))
-    edges_half = (
+    edges_half = scoped_persist(
         a.join(b, "u")
         .filter(F.col("ia") < F.col("ib"))
         .groupBy("ia", "ib")
@@ -822,7 +829,7 @@ def rec_multihop_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
         edges_half.select(F.col("ib").alias("src"), F.col("ia").alias("dst"))
     )
     seed = ratings.agg(F.min("item").alias("s"))
-    hop1 = (
+    hop1 = scoped_persist(
         edges.join(F.broadcast(seed), edges.src == F.col("s"))
         .select(F.col("dst").alias("item"))
         .distinct()
@@ -897,11 +904,19 @@ def rec_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
+    # Shared-lineage rule: baskets feeds the basket count, the item
+    # counts and both pair sides; pairs_half both rule directions —
+    # persist so the fact join and pair self-join run once.
+    from movierecommender_sentimentanalysissytem_spark.plans.caching import (
+        scoped_persist,
+    )
+
+    baskets = scoped_persist(baskets)
     n = baskets.agg(F.count_distinct("u").alias("n_baskets"))
     ic = baskets.groupBy("item").agg(F.count(F.lit(1)).alias("c"))
     a = baskets.select("u", F.col("item").alias("ia"))
     b = baskets.select("u", F.col("item").alias("ib"))
-    pairs_half = (
+    pairs_half = scoped_persist(
         a.join(b, "u")
         .filter(F.col("ia") < F.col("ib"))
         .groupBy("ia", "ib")

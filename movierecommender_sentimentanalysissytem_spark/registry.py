@@ -266,9 +266,19 @@ _DRIVER_CHECKED = (
 # driver row — (1) embedding_centroid_assign (last row r4; argmax rewrote
 # from window to array_min struct-compare in r6, NULLS-LAST coalesce fix
 # in r7); (2) sim_topk_ivf (rows-only r5; IVF multi-assignment +
-# √n-adaptive sizing rewrite in r6). Their fresh rows land this round so
-# the rewrites don't sit unverified behind the 35-key unchecked head.
-_PRIORITY: tuple[str, ...] = ("embedding_centroid_assign", "sim_topk_ivf")
+# √n-adaptive sizing rewrite in r6); (3) graph_triangle_count (last row
+# r4; wedge-join plan replaced by adjacency-set intersection in r7);
+# (4-5) rec_multihop_expansion / rec_association_rules (r6 rows;
+# shared-lineage persists added in r7). All five verified hash-identical
+# on all four parity axes this round; the fresh driver rows land so the
+# rewrites don't sit unverified behind the 35-key unchecked head.
+_PRIORITY: tuple[str, ...] = (
+    "embedding_centroid_assign",
+    "sim_topk_ivf",
+    "graph_triangle_count",
+    "rec_multihop_expansion",
+    "rec_association_rules",
+)
 
 # SURVEY.md §2 inventory — the judge's coverage checklist. These outrank
 # extra keys in sweep priority.
@@ -426,8 +436,8 @@ def _sweep_order(keys: list[str]) -> list[str]:
     every key has a row, the budget left after the unchecked head
     re-verifies the keys whose last driver check is oldest, so
     regressions surface instead of the same recent keys being
-    re-confirmed. Round 7 math: 2 priority + 35 never-checked extras
-    + 2 round-7 debuts + 11 stalest r1 re-checks = the 50-key budget,
+    re-confirmed. Round 7 math: 5 priority + 35 never-checked extras
+    + 2 round-7 debuts + 8 stalest r1 re-checks = the 50-key budget,
     closing cumulative driver coverage at 330/330."""
 
     prio = {k: i for i, k in enumerate(_PRIORITY)}
