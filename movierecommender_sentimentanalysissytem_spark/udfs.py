@@ -371,18 +371,29 @@ def udf_cogrouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     seconds, either side possibly absent) so the Python path still
     gets a full hash oracle. Scale shape: one co-partitioned shuffle
     of both inputs on the key, Arrow-batched transfer, per-key state
-    only — the cogroup twin of udaf_pandas_grouped's notes."""
+    only — the cogroup twin of udaf_pandas_grouped's notes.
+
+    The two sides are built from INDEPENDENT reads on purpose: when
+    both cogroup inputs derive from one shared parent DataFrame,
+    Spark's subplan reuse can serve BOTH Arrow streams from one
+    side's pruned projection, and the Python worker then receives a
+    group frame missing the non-key column (observed at sf0.1:
+    right frame with 18 rows and only ``user_id`` — a KeyError deep
+    in the merge). Separate scans make each side's projection its
+    own plan; the column-pruned double scan is cheaper than the bug
+    is subtle."""
     import pandas as pd
 
-    e = table(spark, sf_dir, "events").withColumn(
-        "sec", F.unix_timestamp(F.date_trunc("second", F.col("ts")))
-    )
-    clicks = e.filter(F.col("event_type") == "click").select(
-        "user_id", "sec"
-    )
-    purchases = e.filter(F.col("event_type") == "purchase").select(
-        "user_id", "sec"
-    )
+    def _side(event_type: str):
+        e = table(spark, sf_dir, "events").withColumn(
+            "sec", F.unix_timestamp(F.date_trunc("second", F.col("ts")))
+        )
+        return e.filter(F.col("event_type") == event_type).select(
+            "user_id", "sec"
+        )
+
+    clicks = _side("click")
+    purchases = _side("purchase")
 
     schema = T.StructType(
         [

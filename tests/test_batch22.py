@@ -234,6 +234,24 @@ def test_cogrouped_map_handles_one_sided_users(spark, tmp_path_factory):
     assert r3["last_click_sec"] is None
 
 
+def test_cogrouped_map_survives_subplan_reuse_at_scale(spark):
+    """Regression for the round-7 sf0.1 crash: with both cogroup
+    inputs derived from ONE shared parent DataFrame, Spark's subplan
+    reuse could serve both Arrow streams from a single pruned
+    projection, delivering group frames WITHOUT the non-key column
+    (KeyError 'sec' inside the merge). The key now builds each side
+    from an independent read; this runs the real fixture at sf0.1 —
+    the regime where the reuse kicked in (sf0.001/sf0.01 never
+    triggered it)."""
+    from tests.conftest import SF_TENTH
+
+    got = QS["udf_cogrouped_map"](spark, SF_TENTH)
+    n = got.count()
+    assert n > 0
+    one = got.limit(5).collect()
+    assert {"n_clicks", "n_purchases"} <= set(one[0].asDict())
+
+
 def test_control_chart_flags_shifted_day(spark, tmp_path_factory):
     out = str(tmp_path_factory.mktemp("pchart"))
     rows = []
