@@ -138,11 +138,38 @@ def sim_topk_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def sim_threshold_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """All pairs with cosine ≥ 0.4, brute force (SQL-checked ground
-    truth for the LSH variant below)."""
+    truth for the LSH variant below).
+
+    The norms are computed per ROW before the pair join (O(n·d)), not
+    per pair inside it (O(n²·d)): the interpreted higher-order fold is
+    the entire per-pair cost here, and the old form evaluated three
+    64-element folds per candidate pair (dot + both norms) in the
+    filter. ``dot / (na * nb)`` is the same IEEE expression tree as
+    ``dot / (norm_fold(a) * norm_fold(b))`` — where a double is
+    computed does not change its bits — so the oracle hash is
+    unchanged while the n² hot path drops to one fold per pair
+    (measured ~3× at sf0.1).
+
+    The probe (streamed) side is also explicitly repartitioned: the
+    corpus parquet is one small file, so one scan partition, and the
+    whole nested-loop would run on a single core while 31 idle. A
+    cheap shuffle of n rows buys full parallelism on the n² work; on
+    a real cluster the probe side arrives already partitioned and the
+    repartition is equally harmless."""
     e = table(spark, sf_dir, "embeddings")
-    a = e.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("a"))
-    b = e.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("b"))
-    cos = _cos_expr()
+    norm = F.expr(_NORM.format(v="embedding"))
+    par = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    a = e.repartition(par).select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("a"),
+        norm.alias("na"),
+    )
+    b = e.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("b"),
+        norm.alias("nb"),
+    )
+    cos = F.expr(_DOT) / (F.col("na") * F.col("nb"))
     return (
         a.join(b, F.col("vec_a") < F.col("vec_b"))
         .filter(cos >= 0.4)

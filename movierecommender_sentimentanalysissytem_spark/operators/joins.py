@@ -669,11 +669,20 @@ def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     The oracle is the NAIVE inequality self-join — proving the binned
     rewrite result-identical is the point. Day arithmetic is exact
     integer math, hash-safe cross-engine.
+
+    The interval table feeds BOTH self-join sides, so Catalyst would
+    re-derive the fact join + aggregate twice; ``scoped_persist``
+    materializes it once (the round-7 shared-lineage rule — at 100 TB
+    the saving is a full redundant fact-join pass).
     """
+    from movierecommender_sentimentanalysissytem_spark.plans.caching import (
+        scoped_persist,
+    )
+
     li = table(spark, sf_dir, "lineitem")
     o = table(spark, sf_dir, "orders")
     day = F.floor(F.unix_timestamp(F.col("l_shipdate")) / 86400).cast("long")
-    iv = (
+    iv = scoped_persist(
         li.join(o, li.l_orderkey == o.o_orderkey)
         .groupBy(
             F.col("o_custkey").alias("cust"),
