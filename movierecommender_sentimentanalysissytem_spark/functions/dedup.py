@@ -270,9 +270,17 @@ def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     One wide shuffle for bucket grouping, one narrow dedupe on the
     small pair set, two joins against the persisted hv (AQE turns
     them into broadcasts when the pair set is small).
+
+    The scan is round-robin repartitioned BEFORE the persisted
+    projection: the corpus is one parquet file → one partition, and
+    hv would otherwise be cached single-partition, serializing the
+    md5-shingle hashing and the 16 affine minhash folds (the two
+    heaviest per-row stages) on one core.
     """
+    par = int(spark.conf.get("spark.sql.shuffle.partitions"))
     d = (
         table(spark, sf_dir, "documents")
+        .repartition(par)
         .withColumn("w", F.split("text", " "))
         .filter(F.size("w") >= 3)
     )
@@ -412,9 +420,21 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     ±1 and each bin matches exactly once, so the pair set is identical
     to the naive inequality formulation — but the plan is a shuffled
     hash/sort-merge join whose work is Σ|block|², not a nested-loop
-    Σ|lang|² (quadratic in the corpus for low-cardinality lang)."""
+    Σ|lang|² (quadratic in the corpus for low-cardinality lang).
+
+    Per-pair cost: shingle arrays are DISTINCT sets, so
+    ``|A ∪ B| = |A| + |B| − |A ∩ B|`` exactly — the verifier
+    evaluates one ``array_intersect`` per candidate instead of
+    intersect + union (integer identity; the Jaccard double and the
+    oracle hash are unchanged). The set sizes are projected per ROW
+    before the join."""
+    par = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    # Round-robin the scan before shingling: the corpus is one parquet
+    # file → one partition, and the shingle transform would otherwise
+    # run on a single core below the join's exchange.
     d = (
         table(spark, sf_dir, "documents")
+        .repartition(par)
         .withColumn("w", F.split("text", " "))
         .filter(F.size("w") >= 3)
     )
@@ -430,6 +450,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("lang").alias("lang_a"),
         F.col("n_chars").alias("nc_a"),
         F.col("s").alias("s_a"),
+        F.size("s").alias("ns_a"),
         F.explode(
             F.array(F.col("bin") - 1, F.col("bin"), F.col("bin") + 1)
         ).alias("pbin"),
@@ -439,11 +460,18 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("lang").alias("lang_b"),
         F.col("n_chars").alias("nc_b"),
         F.col("s").alias("s_b"),
+        F.size("s").alias("ns_b"),
         F.col("bin").alias("pbin_b"),
     )
-    jacc = F.size(F.array_intersect("s_a", "s_b")).cast("double") / F.size(
-        F.array_union("s_a", "s_b")
-    )
+    inter = F.size(F.array_intersect("s_a", "s_b"))
+    jacc = inter.cast("double") / (F.col("ns_a") + F.col("ns_b") - inter)
+    # Explicit-N repartition on the join keys: the shingle tables are
+    # a few MB, so AQE's byte-based coalescing folds the join down to
+    # ONE task — but the work here is CPU per candidate pair, not
+    # bytes. REPARTITION_BY_NUM shuffles are exempt from coalescing,
+    # keeping the Σ|block|² verification spread across the cluster.
+    a = a.repartition(par, "pbin", "lang_a")
+    b = b.repartition(par, "pbin_b", "lang_b")
     return (
         a.join(
             b,
@@ -492,22 +520,36 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     At 100 TB the label-blocking becomes LSH bucketing
     (sim_threshold_join_lsh); the pairwise kernel is unchanged.
+
+    Norms are computed per ROW before the blocked join, not per pair
+    inside its filter: ``dot / (na * nb)`` is the identical IEEE
+    expression tree (hash unchanged), but the per-pair cost drops
+    from three interpreted 64-element folds to one — the same
+    rewrite as sim_threshold_join (vector.py).
+
+    The probe side is round-robin repartitioned for the same reason
+    as there: the corpus is one small parquet file, so the broadcast
+    hash join would stream a single partition on one core. Round-
+    robin (not by label) because the label blocks are few and would
+    cap parallelism at the block count.
     """
     e = table(spark, sf_dir, "embeddings")
-    a = e.select(
+    norm = F.expr(_NORM.format(v="embedding"))
+    par = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    a = e.repartition(par).select(
         F.col("vec_id").alias("vec_a"),
         F.col("label").alias("label"),
         F.col("embedding").alias("a"),
+        norm.alias("na"),
     )
     b = e.select(
         F.col("vec_id").alias("vec_b"),
         F.col("label").alias("label_b"),
         F.col("embedding").alias("b"),
+        norm.alias("nb"),
     )
     dot = F.expr(_DOT_64)
-    cos = dot / (
-        F.expr(_NORM.format(v="a")) * F.expr(_NORM.format(v="b"))
-    )
+    cos = dot / (F.col("na") * F.col("nb"))
     return (
         a.join(
             b,

@@ -137,12 +137,21 @@ def text_stopword_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
 def text_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bigram counts via a higher-order zip of adjacent tokens — stays
     entirely JVM-side (no NGram/Python round-trip) and mirrors DuckDB's
-    list_transform formulation index-for-index."""
-    d = table(spark, sf_dir, "documents")
+    list_transform formulation index-for-index.
+
+    The text is split ONCE into a row-level array before the zip — a
+    ``split`` inlined in the lambda is re-evaluated per element
+    (O(len²) per doc) — and the single-file scan is round-robin
+    repartitioned so the explode isn't pinned to one core."""
+    par = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    d = (
+        table(spark, sf_dir, "documents")
+        .repartition(par)
+        .withColumn("w", F.split("text", " "))
+    )
     bigrams = F.expr(
-        "transform(sequence(1, size(split(text, ' ')) - 1),"
-        " i -> concat(element_at(split(text, ' '), i), ' ',"
-        "             element_at(split(text, ' '), i + 1)))"
+        "transform(sequence(1, size(w) - 1),"
+        " i -> concat(element_at(w, i), ' ', element_at(w, i + 1)))"
     )
     return (
         d.select(F.explode(bigrams).alias("bigram"))

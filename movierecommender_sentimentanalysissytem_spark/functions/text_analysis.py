@@ -378,14 +378,27 @@ def text_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus pass) and joined back — vocabulary-sized, broadcastable.
     The probability divides exact integer counts (identical doubles
     cross-engine before the guard round); ranking ties break on the
-    continuation word, a total order."""
-    d = table(spark, sf_dir, "documents")
-    bigrams = F.expr(
-        "transform(sequence(1, size(split(text, ' ')) - 1),"
-        " i -> concat(element_at(split(text, ' '), i), ' ',"
-        "             element_at(split(text, ' '), i + 1)))"
+    continuation word, a total order.
+
+    Text is split once per row (an inlined ``split`` re-evaluates per
+    lambda element), the one-file scan is repartitioned off a single
+    core, and the bigram-count relation is scoped-persisted — it
+    feeds both the head-word totals and the ranked join."""
+    from movierecommender_sentimentanalysissytem_spark.plans.caching import (
+        scoped_persist,
     )
-    c12 = (
+
+    par = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    d = (
+        table(spark, sf_dir, "documents")
+        .repartition(par)
+        .withColumn("w", F.split("text", " "))
+    )
+    bigrams = F.expr(
+        "transform(sequence(1, size(w) - 1),"
+        " i -> concat(element_at(w, i), ' ', element_at(w, i + 1)))"
+    )
+    c12 = scoped_persist(
         d.select(F.explode(bigrams).alias("bg"))
         .select(
             F.substring_index("bg", " ", 1).alias("w1"),
@@ -669,14 +682,29 @@ def text_collocation_llr(spark: SparkSession, sf_dir: str) -> DataFrame:
     NULL/ln(0) leaks). Marginal relations are vocabulary-sized
     joins, the total a 1-row broadcast; ≥5-count support floor keeps
     the scored set dense (text_bigram_lm class). Ranking is on the
-    ROUNDED score with the bigram as total-order tie-break."""
-    d = table(spark, sf_dir, "documents")
-    bigrams = F.expr(
-        "transform(sequence(1, size(split(text, ' ')) - 1),"
-        " i -> concat(element_at(split(text, ' '), i), ' ',"
-        "             element_at(split(text, ' '), i + 1)))"
+    ROUNDED score with the bigram as total-order tie-break.
+
+    Text is split once per row (an inlined ``split`` re-evaluates per
+    lambda element), the one-file scan is repartitioned off a single
+    core, and the bigram-count relation is scoped-persisted — it
+    feeds FOUR consumers (both marginals, the total, the scored
+    cells), which Catalyst would otherwise re-derive from the corpus
+    four times."""
+    from movierecommender_sentimentanalysissytem_spark.plans.caching import (
+        scoped_persist,
     )
-    c12 = (
+
+    par = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    d = (
+        table(spark, sf_dir, "documents")
+        .repartition(par)
+        .withColumn("w", F.split("text", " "))
+    )
+    bigrams = F.expr(
+        "transform(sequence(1, size(w) - 1),"
+        " i -> concat(element_at(w, i), ' ', element_at(w, i + 1)))"
+    )
+    c12 = scoped_persist(
         d.select(F.explode(bigrams).alias("bg"))
         .select(
             F.substring_index("bg", " ", 1).alias("w1"),
