@@ -634,3 +634,67 @@ def curation_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("ct").cast("bigint").alias("chunk_tokens"),
         F.md5(F.array_join("ct", " ")).alias("chunk_hash"),
     )
+
+
+@query(
+    "curation_soft_dedup_weights",
+    oracle="""
+    WITH grp AS (
+        SELECT doc_id, source,
+               len(string_split(text, ' ')) AS toks,
+               COUNT(*) OVER (PARTITION BY md5(text)) AS group_n
+        FROM documents
+    )
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN group_n > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_in_dup_groups,
+           CAST(SUM(toks) AS BIGINT) AS raw_tokens,
+           FLOOR(SUM(CAST(toks AS DOUBLE) / group_n) * 10000 + 0.5)
+               / 10000 AS effective_tokens,
+           FLOOR((SUM(CAST(toks AS DOUBLE) / group_n) / SUM(toks))
+                 * 10000 + 0.5) / 10000 AS token_keep_ratio
+    FROM grp GROUP BY source
+    """,
+)
+def curation_soft_dedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Soft deduplication: instead of DROPPING duplicate documents
+    (dedup_exact), weight every copy by 1/|duplicate group| so each
+    distinct text contributes exactly one document's worth of tokens
+    to the training mix — the repetition-control strategy that keeps
+    boilerplate-heavy sources usable without hard cuts. Reports, per
+    source: document counts, how many docs sit in multi-copy groups,
+    raw vs effective (weight-summed) token budgets, and the keep
+    ratio a shard planner multiplies into its source quotas.
+
+    Group identity is md5(text) — the same fixed-width key
+    dedup_exact shuffles on, so groups SPAN sources (a copy in
+    source A discounts the copy in source B, which per-source dedup
+    would miss). Two shuffles total at any scale: the md5-keyed
+    window count, then the groupBy(source) rollup; token counts per
+    doc are computed once in the same pass. The per-group weights are
+    exact rationals toks/n; only the final per-source sum is float
+    (absorbed by the 4-dp round)."""
+    d = table(spark, sf_dir, "documents")
+    toks = F.size(F.split(F.col("text"), " "))
+    grp = d.select(
+        "source",
+        toks.alias("toks"),
+        F.count(F.lit(1))
+        .over(Window.partitionBy(F.md5("text")))
+        .alias("group_n"),
+    )
+    return grp.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.when(F.col("group_n") > 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_in_dup_groups"),
+        F.sum("toks").cast("bigint").alias("raw_tokens"),
+        round4(
+            F.sum(F.col("toks").cast("double") / F.col("group_n"))
+        ).alias("effective_tokens"),
+        round4(
+            F.sum(F.col("toks").cast("double") / F.col("group_n"))
+            / F.sum("toks")
+        ).alias("token_keep_ratio"),
+    )

@@ -80,6 +80,80 @@ def sim_cosine_pairwise(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_L2 = (
+    "sqrt(aggregate(zip_with(a, b,"
+    " (x, y) -> (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))"
+    " * (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))),"
+    " 0.0D, (acc, v) -> acc + v))"
+)
+_L1 = (
+    "aggregate(zip_with(a, b,"
+    " (x, y) -> abs(CAST(x AS DOUBLE) - CAST(y AS DOUBLE))),"
+    " 0.0D, (acc, v) -> acc + v)"
+)
+_LINF = (
+    "aggregate(zip_with(a, b,"
+    " (x, y) -> abs(CAST(x AS DOUBLE) - CAST(y AS DOUBLE))),"
+    " 0.0D, (acc, v) -> greatest(acc, v))"
+)
+_DL2 = (
+    "sqrt(list_reduce(list_transform(range(1, 65),"
+    " i -> (CAST(a.embedding[i] AS DOUBLE) - CAST(b.embedding[i] AS DOUBLE))"
+    " * (CAST(a.embedding[i] AS DOUBLE) - CAST(b.embedding[i] AS DOUBLE))),"
+    " (x, y) -> x + y))"
+)
+_DL1 = (
+    "list_reduce(list_transform(range(1, 65),"
+    " i -> abs(CAST(a.embedding[i] AS DOUBLE) - CAST(b.embedding[i] AS DOUBLE))),"
+    " (x, y) -> x + y)"
+)
+_DLINF = (
+    "list_reduce(list_prepend(0.0, list_transform(range(1, 65),"
+    " i -> abs(CAST(a.embedding[i] AS DOUBLE) - CAST(b.embedding[i] AS DOUBLE)))),"
+    " (x, y) -> greatest(x, y))"
+)
+
+
+@query(
+    "sim_distance_metrics",
+    oracle=f"""
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           FLOOR({_DCOS} * 10000 + 0.5) / 10000 AS cos_sim,
+           FLOOR({_DDOT} * 10000 + 0.5) / 10000 AS dot,
+           FLOOR({_DL2} * 10000 + 0.5) / 10000 AS l2,
+           FLOOR({_DL1} * 10000 + 0.5) / 10000 AS l1,
+           FLOOR({_DLINF} * 10000 + 0.5) / 10000 AS linf
+    FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1
+    """,
+)
+def sim_distance_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full distance-metric family (cosine, dot, Euclidean L2,
+    Manhattan L1, Chebyshev L∞) over consecutive vec_id pairs — the
+    kernels every similarity/dedup/ANN operator in this module swaps
+    between, SQL-checked bit-for-bit in one key. Cosine serves
+    normalized-text embeddings; L2 is what IVF/KMeans quantizers
+    minimize; L1/L∞ are the robust variants quality audits use.
+
+    All five are in-order JVM folds over ``zip_with`` (fp32→fp64 exact
+    widening), mirrored index-for-index by DuckDB ``list_reduce`` —
+    same discipline as sim_cosine_pairwise. Narrow map over one scan +
+    a 1-shift self-join on vec_id; no UDFs, no shuffle beyond the
+    equi-join, so the key doubles as a codegen check that the metric
+    expressions stay whole-stage-compiled at 100 TB."""
+    e = table(spark, sf_dir, "embeddings")
+    a = e.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("a"))
+    b = e.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("b"))
+    return a.join(b, F.col("vec_b") == F.col("vec_a") + 1).select(
+        "vec_a",
+        "vec_b",
+        round4(_cos_expr()).alias("cos_sim"),
+        round4(F.expr(_DOT)).alias("dot"),
+        round4(F.expr(_L2)).alias("l2"),
+        round4(F.expr(_L1)).alias("l1"),
+        round4(F.expr(_LINF)).alias("linf"),
+    )
+
+
 @query(
     "sim_topk_neighbors",
     oracle=f"""

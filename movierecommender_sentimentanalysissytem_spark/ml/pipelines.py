@@ -376,3 +376,190 @@ def ml_eval_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
             (2 * tp).cast("double") / F.nullif(2 * tp + fp + fn, F.lit(0))
         ).alias("f1"),
     )
+
+
+@query(
+    "ml_calibration_bins",
+    oracle="""
+    WITH scored AS (
+        SELECT LEAST(CAST(FLOOR(((CAST(l_quantity AS BIGINT) - 1) * 10)
+                                / 49.0) AS BIGINT), 9) AS bin,
+               CAST(l_quantity AS BIGINT) AS q,
+               CASE WHEN l_extendedprice > 30000 THEN 1 ELSE 0 END AS pos
+        FROM lineitem
+    )
+    SELECT bin, COUNT(*) AS n, CAST(SUM(pos) AS BIGINT) AS pos_cnt,
+           FLOOR((((CAST(SUM(q) AS DOUBLE) / COUNT(*)) - 1) / 49.0)
+                 * 10000 + 0.5) / 10000 AS mean_score,
+           FLOOR((CAST(SUM(pos) AS DOUBLE) / COUNT(*)) * 10000 + 0.5)
+               / 10000 AS pos_rate,
+           FLOOR(((CAST(SUM(pos) AS DOUBLE) / COUNT(*))
+                  - (((CAST(SUM(q) AS DOUBLE) / COUNT(*)) - 1) / 49.0))
+                 * 10000 + 0.5) / 10000 AS gap
+    FROM scored GROUP BY bin
+    """,
+)
+def ml_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-calibration audit (reliability-diagram bins): bucket a
+    [0,1] score into 10 equal-width bins and compare each bin's mean
+    predicted probability with its observed positive rate — the check
+    a scoring pipeline runs before trusting model probabilities for
+    thresholding or sampling. Score is the deterministic
+    quantity-derived probability (q-1)/49; label is
+    l_extendedprice > 30000, monotone-correlated with the score so the
+    diagram is non-degenerate.
+
+    Exactness design: the bin index is floor of an IEEE-exact integer
+    division ((q-1)*10/49.0), and BOTH per-bin means divide exact
+    BIGINT sums once — no double accumulation anywhere, so every
+    output is bit-identical cross-engine before the defensive 4-dp
+    round. One conditional-aggregate scan, map-side combinable: at
+    100 TB calibration costs a single pass and a 10-row result."""
+    li = table(spark, sf_dir, "lineitem")
+    q = F.col("l_quantity").cast("bigint")
+    scored = li.select(
+        F.least(
+            F.floor(((q - 1) * 10) / 49.0).cast("bigint"), F.lit(9)
+        ).alias("bin"),
+        q.alias("q"),
+        F.when(F.col("l_extendedprice") > 30000, 1).otherwise(0).alias("pos"),
+    )
+    g = scored.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("pos").cast("bigint").alias("pos_cnt"),
+        F.sum("q").alias("sq"),
+    )
+    mean_score = ((F.col("sq").cast("double") / F.col("n")) - 1) / 49.0
+    pos_rate = F.col("pos_cnt").cast("double") / F.col("n")
+    return g.select(
+        "bin",
+        "n",
+        "pos_cnt",
+        round4(mean_score).alias("mean_score"),
+        round4(pos_rate).alias("pos_rate"),
+        round4(pos_rate - mean_score).alias("gap"),
+    )
+
+
+@query(
+    "ml_learning_curve",
+    oracle="""
+    WITH base AS (
+        SELECT o_custkey AS u, l_partkey AS i,
+               o_orderkey % 4 AS fold,
+               CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sq,
+               COUNT(*) AS nl
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY u, i, fold
+    ),
+    test AS (
+        SELECT u, i, CAST(SUM(sq) AS DOUBLE) / SUM(nl) AS r
+        FROM base WHERE fold = 3 GROUP BY u, i
+    ),
+    fracs AS (SELECT UNNEST([1, 2, 3]) AS frac),
+    train AS (
+        SELECT f.frac, b.u, b.i,
+               CAST(SUM(b.sq) AS DOUBLE) / SUM(b.nl) AS r
+        FROM base b JOIN fracs f ON b.fold < f.frac
+        GROUP BY f.frac, b.u, b.i
+    ),
+    item_mean AS (
+        SELECT frac, i, SUM(r) / COUNT(*) AS pred FROM train
+        GROUP BY frac, i
+    ),
+    gtot AS (
+        SELECT frac, SUM(r) / COUNT(*) AS g, COUNT(*) AS n_train
+        FROM train GROUP BY frac
+    )
+    SELECT CAST(gl.frac AS BIGINT) AS frac, gl.n_train,
+           COUNT(*) AS n_test,
+           FLOOR(SQRT(AVG(POW(t.r - COALESCE(im.pred, gl.g), 2)))
+                 * 10000 + 0.5) / 10000 AS rmse
+    FROM gtot gl
+    CROSS JOIN test t
+    LEFT JOIN item_mean im ON im.frac = gl.frac AND im.i = t.i
+    GROUP BY gl.frac, gl.n_train
+    """,
+)
+def ml_learning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learning curve for the per-item-mean predictor: hold the test
+    fold fixed (o_orderkey % 4 = 3) and train on growing deterministic
+    slices of the remaining data (folds <1, <2, <3 = 25/50/75% of
+    orders), reporting test RMSE per training fraction — the
+    diminishing-returns measurement a data-curation pipeline runs to
+    decide whether the next 25 TB of corpus is worth ingesting.
+    Unseen test items fall back to the training global mean.
+
+    Scale design: the (u, i, fold)-level pre-aggregate is computed
+    ONCE and scoped-persisted — it is the smallest relation every
+    fraction derives from (3 train slices + the shared test fold read
+    it 4×; without the persist Catalyst re-derives the fact join per
+    branch). Each fraction is then one groupBy + one broadcast-able
+    item-mean probe; ratings are exact integer-sum ratios so only the
+    final RMSE mean carries float summation noise (absorbed by the
+    4-dp round)."""
+    from movierecommender_sentimentanalysissytem_spark.plans.caching import scoped_persist
+
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    base = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy(
+            F.col("o_custkey").alias("u"),
+            F.col("l_partkey").alias("i"),
+            (F.col("o_orderkey") % 4).alias("fold"),
+        )
+        .agg(
+            F.sum(F.col("l_quantity").cast("bigint")).alias("sq"),
+            F.count(F.lit(1)).alias("nl"),
+        )
+    )
+    base = scoped_persist(base)
+    test = (
+        base.filter(F.col("fold") == 3)
+        .groupBy("u", "i")
+        .agg(
+            (F.sum("sq").cast("double") / F.sum("nl")).alias("r"),
+        )
+    )
+    out = None
+    for frac in (1, 2, 3):
+        train = (
+            base.filter(F.col("fold") < frac)
+            .groupBy("u", "i")
+            .agg((F.sum("sq").cast("double") / F.sum("nl")).alias("r"))
+        )
+        item_mean = train.groupBy("i").agg(
+            (F.sum("r") / F.count(F.lit(1))).alias("pred")
+        )
+        glob = train.agg(
+            (F.sum("r") / F.count(F.lit(1))).alias("g"),
+            F.count(F.lit(1)).alias("n_train"),
+        )
+        ev = (
+            test.join(item_mean, "i", "left")
+            .crossJoin(F.broadcast(glob))
+            .agg(
+                F.first("n_train").alias("n_train"),
+                F.count(F.lit(1)).alias("n_test"),
+                round4(
+                    F.sqrt(
+                        F.avg(
+                            F.pow(
+                                F.col("r")
+                                - F.coalesce(F.col("pred"), F.col("g")),
+                                2,
+                            )
+                        )
+                    )
+                ).alias("rmse"),
+            )
+            .select(
+                F.lit(frac).cast("bigint").alias("frac"),
+                "n_train",
+                "n_test",
+                "rmse",
+            )
+        )
+        out = ev if out is None else out.unionByName(ev)
+    return out

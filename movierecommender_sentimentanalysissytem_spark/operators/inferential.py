@@ -1028,3 +1028,160 @@ def stats_theil_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             - F.log(F.col("sx") / F.col("n"))
         ).alias("theil_t"),
     )
+
+
+@query(
+    "stats_fdr_bh",
+    oracle="""
+    WITH s AS (
+        SELECT p_brand AS brand, l_quantity AS v,
+               CASE WHEN l_orderkey % 2 = 0 THEN 1 ELSE 0 END AS is_a
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+    ),
+    pts AS (
+        SELECT brand, v, SUM(is_a) AS ca, SUM(1 - is_a) AS cb
+        FROM s GROUP BY brand, v
+    ),
+    tot AS (
+        SELECT brand, CAST(SUM(is_a) AS BIGINT) AS n_a,
+               CAST(SUM(1 - is_a) AS BIGINT) AS n_b
+        FROM s GROUP BY brand
+        HAVING SUM(is_a) > 0 AND SUM(1 - is_a) > 0
+    ),
+    cdf AS (
+        SELECT brand,
+               SUM(ca) OVER (PARTITION BY brand ORDER BY v) AS ra,
+               SUM(cb) OVER (PARTITION BY brand ORDER BY v) AS rb
+        FROM pts
+    ),
+    ks AS (
+        SELECT brand,
+               MAX(ABS(CAST(ra AS DOUBLE) / n_a
+                       - CAST(rb AS DOUBLE) / n_b)) AS d,
+               ANY_VALUE(n_a) AS n_a, ANY_VALUE(n_b) AS n_b
+        FROM cdf JOIN tot USING (brand)
+        GROUP BY brand
+    ),
+    pv AS (
+        SELECT brand, d, n_a, n_b,
+               LEAST(1.0, 2 * EXP(-2 * d * d
+                   * (CAST(n_a AS DOUBLE) * n_b / (n_a + n_b)))) AS p
+        FROM ks
+    ),
+    ranked AS (
+        SELECT brand, d, n_a, n_b, p,
+               ROW_NUMBER() OVER (ORDER BY p ASC, brand ASC) AS rk,
+               COUNT(*) OVER () AS m
+        FROM pv
+    )
+    SELECT brand, n_a, n_b,
+           FLOOR(d * 10000 + 0.5) / 10000 AS d_stat,
+           FLOOR(p * 10000 + 0.5) / 10000 AS p_value,
+           rk,
+           FLOOR(LEAST(1.0, MIN(p * m / rk) OVER (
+                     ORDER BY rk DESC
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+                 * 10000 + 0.5) / 10000 AS p_adj,
+           LEAST(1.0, MIN(p * m / rk) OVER (
+               ORDER BY rk DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+               <= 0.1 AS reject
+    FROM ranked
+    """,
+)
+def stats_fdr_bh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benjamini–Hochberg false-discovery-rate control over a family
+    of per-brand two-sample tests — the multiple-comparisons step
+    every metrics platform needs once it runs one hypothesis test per
+    segment (25 brands here; thousands of segments in production,
+    where ~5% of null segments would cross α=0.05 by chance alone).
+
+    Per brand: the KS D statistic between the even- and odd-orderkey
+    halves of l_quantity (the stats_ks_two_sample ECDF machinery —
+    exact integer-count ratios), converted to a p-value with the
+    standard large-sample Smirnov asymptotic
+    p = min(1, 2·exp(−2·D²·n_a·n_b/(n_a+n_b))). Then the BH step-up:
+    rank p ascending (brand tie-break), adjusted
+    p_(i) = min_{j≥i} p_(j)·m/j as a reverse running MIN window,
+    clamped to 1; reject at q = 0.10.
+
+    Scale design: the heavy work (ECDF windows) partitions by brand
+    and parallelizes across segments; the BH pass itself runs on the
+    m-row test-summary relation — m = number of SEGMENTS, thousands
+    at most, so the two global rank windows are bounded and cheap no
+    matter the fact-table size. Doubles meet the engines only inside
+    exp(); ordering collisions would need two p-values within one
+    ulp, and exact ties (p clamped at 1.0) break on the brand key."""
+    li = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part")
+    s = li.join(p, li.l_partkey == p.p_partkey).select(
+        F.col("p_brand").alias("brand"),
+        F.col("l_quantity").alias("v"),
+        F.when(F.col("l_orderkey") % 2 == 0, 1).otherwise(0).alias("is_a"),
+    )
+    pts = s.groupBy("brand", "v").agg(
+        F.sum("is_a").alias("ca"), F.sum(1 - F.col("is_a")).alias("cb")
+    )
+    tot = (
+        s.groupBy("brand")
+        .agg(
+            F.sum("is_a").alias("n_a"), F.sum(1 - F.col("is_a")).alias("n_b")
+        )
+        .filter((F.col("n_a") > 0) & (F.col("n_b") > 0))
+    )
+    w = Window.partitionBy("brand").orderBy("v")
+    cdf = pts.select(
+        "brand",
+        F.sum("ca").over(w).alias("ra"),
+        F.sum("cb").over(w).alias("rb"),
+    )
+    ks = (
+        cdf.join(F.broadcast(tot), "brand")
+        .groupBy("brand")
+        .agg(
+            F.max(
+                F.abs(
+                    F.col("ra").cast("double") / F.col("n_a")
+                    - F.col("rb").cast("double") / F.col("n_b")
+                )
+            ).alias("d"),
+            F.first("n_a").alias("n_a"),
+            F.first("n_b").alias("n_b"),
+        )
+    )
+    n_eff = F.col("n_a").cast("double") * F.col("n_b") / (
+        F.col("n_a") + F.col("n_b")
+    )
+    pv = ks.withColumn(
+        "p", F.least(F.lit(1.0), 2 * F.exp(-2 * F.col("d") * F.col("d") * n_eff))
+    )
+    wrank = Window.orderBy(F.col("p").asc(), F.col("brand").asc())
+    ranked = pv.select(
+        "brand",
+        "d",
+        "n_a",
+        "n_b",
+        "p",
+        F.row_number().over(wrank).alias("rk"),
+        F.count(F.lit(1)).over(
+            Window.rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("m"),
+    )
+    wrev = Window.orderBy(F.col("rk").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    p_adj = F.least(
+        F.lit(1.0), F.min(F.col("p") * F.col("m") / F.col("rk")).over(wrev)
+    )
+    return ranked.select(
+        "brand",
+        "n_a",
+        "n_b",
+        round4(F.col("d")).alias("d_stat"),
+        round4(F.col("p")).alias("p_value"),
+        "rk",
+        round4(p_adj).alias("p_adj"),
+        (p_adj <= 0.1).alias("reject"),
+    )

@@ -752,6 +752,89 @@ def _ratings_with_order(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "rec_eval_ndcg_at_k",
+    oracle="""
+    WITH ratings AS (
+        SELECT o_custkey AS u, l_partkey AS item, o_orderkey AS ok
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    ),
+    top10 AS (
+        SELECT item, ROW_NUMBER() OVER (ORDER BY cnt DESC, item ASC) AS rk
+        FROM (
+            SELECT item, COUNT(*) AS cnt FROM ratings
+            WHERE ok % 4 != 0 GROUP BY item
+        ) ORDER BY cnt DESC, item ASC LIMIT 10
+    ),
+    test AS (
+        SELECT DISTINCT u, item FROM ratings WHERE ok % 4 = 0
+    ),
+    per_user AS (
+        SELECT t.u, COUNT(*) AS n_relevant,
+               CAST(COUNT(tp.item) AS BIGINT) AS hits,
+               COALESCE(SUM(1.0 / log2(tp.rk + 1)), 0.0) AS dcg
+        FROM test t LEFT JOIN top10 tp ON t.item = tp.item
+        GROUP BY t.u
+    )
+    SELECT u AS user, n_relevant, hits,
+           FLOOR((dcg / list_reduce(
+               list_prepend(0.0, list_transform(
+                   generate_series(1, LEAST(n_relevant, 10)),
+                   i -> 1.0 / log2(i + 1))),
+               (a, b) -> a + b)) * 10000 + 0.5) / 10000 AS ndcg_at_10
+    FROM per_user
+    """,
+)
+def rec_eval_ndcg_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NDCG@10 per user for the popularity baseline — the
+    position-weighted sibling of rec_eval_precision_at_k (same
+    deterministic o_orderkey % 4 holdout, same top-10 candidate
+    list). Precision treats rank 1 and rank 10 alike; NDCG discounts
+    each hit by 1/log2(rank+1) and normalizes by the ideal DCG for
+    min(n_relevant, k) hits, so it is the metric that actually moves
+    when a reranker improves ordering without changing the hit set.
+
+    Scale design: identical to the precision key — the only global
+    structure is the k-row ranked candidate list (broadcast), so the
+    evaluation is one distinct + one broadcast probe + one groupBy.
+    The ideal-DCG denominator is a bounded 10-term in-order fold
+    (``aggregate(sequence(...))`` / DuckDB ``list_reduce``), the same
+    cross-engine-exact discipline as the vector kernels; the per-user
+    DCG sums at most 10 terms, absorbed by the 4-dp round."""
+    r = _ratings_with_order(spark, sf_dir)
+    train = r.filter(F.col("ok") % 4 != 0)
+    test = r.filter(F.col("ok") % 4 == 0).select("u", "item").distinct()
+    wrk = Window.orderBy(F.col("cnt").desc(), F.col("item").asc())
+    top10 = (
+        train.groupBy("item")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("item").asc())
+        .limit(10)
+        .withColumn("rk", F.row_number().over(wrk))
+        .select(F.col("item").alias("top_item"), "rk")
+    )
+    hit = test.join(
+        F.broadcast(top10), test.item == F.col("top_item"), "left"
+    )
+    per_user = hit.groupBy("u").agg(
+        F.count(F.lit(1)).alias("n_relevant"),
+        F.count("top_item").alias("hits"),
+        F.coalesce(
+            F.sum(1.0 / F.log2(F.col("rk") + 1)), F.lit(0.0)
+        ).alias("dcg"),
+    )
+    idcg = F.expr(
+        "aggregate(sequence(1, least(n_relevant, 10)), 0.0D,"
+        " (acc, i) -> acc + 1.0 / log2(i + 1))"
+    )
+    return per_user.select(
+        F.col("u").alias("user"),
+        "n_relevant",
+        "hits",
+        round4(F.col("dcg") / idcg).alias("ndcg_at_10"),
+    )
+
+
+@query(
     "rec_multihop_expansion",
     oracle="""
     WITH ratings AS (

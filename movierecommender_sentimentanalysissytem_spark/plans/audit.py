@@ -101,6 +101,12 @@ NLJ_OK = {
     "events_conversion_latency_quantiles",  # cumulative window over the
                                             # O(distinct delay seconds)
                                             # rollup + 1-row n broadcast
+    "ml_learning_curve",   # 1-row global-mean/n_train broadcast cross
+                           # per training fraction (3 bounded crosses)
+    "stats_fdr_bh",        # BH rank + step-up windows over the O(tests)
+                           # summary relation: O(segments) rows (25
+                           # brands; thousands in production), never
+                           # O(fact rows)
 }
 
 

@@ -423,6 +423,22 @@ _NEW_R7 = frozenset(
 )
 
 
+# Keys registered late in round 7 (after the sweep-order freeze above):
+# evaluation/curation extras with exact oracles. They sort BEHIND the
+# rewritten-priority keys, all 35 never-checked extras, and the two
+# _NEW_R7 debuts, so the round-7 closure math is intact — these six
+# take sweep positions 43-48, displacing six of the eight stale-r1
+# re-check slots (new-key verification signal beats re-confirming
+# unchanged r1 scan keys). Cumulative coverage still closes at 100%:
+# 5 priority + 35 unchecked + 2 R7 + 6 R7B + 2 stale re-checks = 50.
+_NEW_R7B = frozenset(
+    """
+    rec_eval_ndcg_at_k stats_fdr_bh ml_calibration_bins
+    ml_learning_curve curation_soft_dedup_weights sim_distance_metrics
+    """.split()
+)
+
+
 def _sweep_order(keys: list[str]) -> list[str]:
     """Order keys so a budget-limited driver sweep (50 keys/round, dict
     order) maximizes NEW verification signal each round:
@@ -471,12 +487,16 @@ def _sweep_order(keys: list[str]) -> list[str]:
             prio.get(k, 0),
             last_checked.get(k, 0),
             # debut round: longer-waiting keys before newer additions
-            4
-            if k in _NEW_R7
+            5
+            if k in _NEW_R7B
             else (
-                3
-                if k in _NEW_R5B
-                else (2 if k in _NEW_R5 else (1 if k in _NEW_R4 else 0))
+                4
+                if k in _NEW_R7
+                else (
+                    3
+                    if k in _NEW_R5B
+                    else (2 if k in _NEW_R5 else (1 if k in _NEW_R4 else 0))
+                )
             ),
             k in _EXPENSIVE,
             indexed[k],

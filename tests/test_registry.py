@@ -146,16 +146,17 @@ def test_checked_tail_is_staleness_ordered():
 
 
 def test_continuation_keys_queue_behind_first_wave():
-    """Newer debut tiers (_NEW_R5B, then _NEW_R7) must not displace
-    longer-waiting unchecked keys from the 50-key driver budget: as
-    long as ≥50 older unchecked keys exist, the first 50 contain no
-    newer-tier keys (module import order would otherwise interleave
-    them in), and the unchecked block orders as
-    pre-R5B → R5B → R7."""
+    """Newer debut tiers (_NEW_R5B, then _NEW_R7, then _NEW_R7B) must
+    not displace longer-waiting unchecked keys from the 50-key driver
+    budget: as long as ≥50 older unchecked keys exist, the first 50
+    contain no newer-tier keys (module import order would otherwise
+    interleave them in), and the unchecked block orders as
+    pre-R5B → R5B → R7 → R7B."""
     from movierecommender_sentimentanalysissytem_spark.registry import (
         _DRIVER_CHECKED,
         _NEW_R5B,
         _NEW_R7,
+        _NEW_R7B,
         _PRIORITY,
         queries,
     )
@@ -167,17 +168,22 @@ def test_continuation_keys_queue_behind_first_wave():
         for k in queries()
         if k not in _DRIVER_CHECKED and k not in _PRIORITY
     ]
-    older = [k for k in unchecked if k not in _NEW_R5B and k not in _NEW_R7]
+    newer = _NEW_R5B | _NEW_R7 | _NEW_R7B
+    older = [k for k in unchecked if k not in newer]
     if len(older) >= 50:
-        assert not [
-            k for k in unchecked[:50] if k in _NEW_R5B or k in _NEW_R7
-        ]
+        assert not [k for k in unchecked[:50] if k in newer]
     # tier ordering: the unchecked block is pre-R5B keys, then R5B,
-    # then R7 — each tier contiguous
-    tiers = [
-        0 if (k not in _NEW_R5B and k not in _NEW_R7) else (1 if k in _NEW_R5B else 2)
-        for k in unchecked
-    ]
+    # then R7, then R7B — each tier contiguous
+    def tier(k):
+        if k in _NEW_R7B:
+            return 3
+        if k in _NEW_R7:
+            return 2
+        if k in _NEW_R5B:
+            return 1
+        return 0
+
+    tiers = [tier(k) for k in unchecked]
     assert tiers == sorted(tiers), "unchecked block not tier-ordered"
 
 
