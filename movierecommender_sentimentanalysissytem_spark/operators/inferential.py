@@ -1185,3 +1185,150 @@ def stats_fdr_bh(spark: SparkSession, sf_dir: str) -> DataFrame:
         round4(p_adj).alias("p_adj"),
         (p_adj <= 0.1).alias("reject"),
     )
+
+
+def _perm_hash_sql(engine: str) -> str:
+    """The cross-engine 60-bit md5 permutation gate (functions/dedup.py
+    hash family): group assignment for user ``user_id`` in permutation
+    ``b``."""
+    from movierecommender_sentimentanalysissytem_spark.functions.dedup import (
+        _duck_h,
+        _spark_h,
+    )
+
+    h = _spark_h if engine == "spark" else _duck_h
+    return (
+        h("perm", "concat(CAST(user_id AS STRING), ':', CAST(b AS STRING))")
+        + " % 2"
+    )
+
+
+@query(
+    "stats_permutation_test",
+    oracle=f"""
+    WITH user_sums AS (
+        SELECT user_id,
+               CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT)
+                   AS sv
+        FROM events GROUP BY user_id
+    ),
+    obs AS (
+        SELECT ABS(CAST(SUM(CASE WHEN user_id % 2 = 0 THEN sv END)
+                        AS DOUBLE)
+                   / COUNT(CASE WHEN user_id % 2 = 0 THEN 1 END)
+                 - CAST(SUM(CASE WHEN user_id % 2 = 1 THEN sv END)
+                        AS DOUBLE)
+                   / COUNT(CASE WHEN user_id % 2 = 1 THEN 1 END))
+                   AS stat_obs,
+               CAST(COUNT(*) AS BIGINT) AS n_users
+        FROM user_sums
+    ),
+    perms AS (
+        SELECT b.b, {_perm_hash_sql('duck')} AS g,
+               u.sv
+        FROM user_sums u
+        CROSS JOIN (SELECT UNNEST(range(1, 100)) AS b) b
+    ),
+    perm_stats AS (
+        SELECT b,
+               ABS(CAST(SUM(CASE WHEN g = 0 THEN sv END) AS DOUBLE)
+                   / COUNT(CASE WHEN g = 0 THEN 1 END)
+                 - CAST(SUM(CASE WHEN g = 1 THEN sv END) AS DOUBLE)
+                   / COUNT(CASE WHEN g = 1 THEN 1 END)) AS stat
+        FROM perms
+        GROUP BY b
+        HAVING COUNT(CASE WHEN g = 0 THEN 1 END) > 0
+           AND COUNT(CASE WHEN g = 1 THEN 1 END) > 0
+    )
+    SELECT o.n_users,
+           FLOOR(o.stat_obs * 10000 + 0.5) / 10000 AS stat_obs_cents,
+           CAST(COUNT(*) AS BIGINT) AS n_perm,
+           CAST(SUM(CASE WHEN p.stat >= o.stat_obs THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_ge,
+           FLOOR((CAST(1 + SUM(CASE WHEN p.stat >= o.stat_obs
+                                    THEN 1 ELSE 0 END) AS DOUBLE)
+                  / (1 + COUNT(*))) * 10000 + 0.5) / 10000 AS p_value
+    FROM perm_stats p CROSS JOIN obs o
+    GROUP BY o.n_users, o.stat_obs
+    """,
+)
+def stats_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Permutation test (exact resampling, no distributional
+    assumption): is the difference in mean per-user spend between the
+    even- and odd-user_id cohorts explainable by chance? The null
+    distribution comes from 99 DETERMINISTIC permutations — group
+    reassignment by the engine's portable md5 hash of (user_id, b) —
+    so the test is reproducible across reruns, partitionings, AND
+    engines: the same hash family that drives sampling and LSH makes a
+    Monte-Carlo procedure exactly SQL-checkable, which seeded RNG
+    never is. p = (1 + #{stat_b ≥ stat_obs}) / (1 + B), the standard
+    add-one estimate; degenerate permutations (a group emptied) are
+    excluded from B.
+
+    Exactness: per-user spend sums as integer CENTS (floor(value·100)
+    per row — doubles never accumulate), each permutation statistic is
+    |exact_sum/count − exact_sum/count|, so every stat_b ≥ stat_obs
+    comparison is over bit-identical doubles and the p-value is an
+    exact rational.
+
+    Scale design: the fact table reduces to O(users) rows FIRST (one
+    shuffle); the 99× fan-out explodes the compact user-sum relation,
+    not the events, and re-aggregates with map-side combine on the
+    99-group key. At 100 TB: events → user sums is the only wide pass;
+    the permutation stage is O(users · B) rows, embarrassingly
+    parallel, no state."""
+    ev = table(spark, sf_dir, "events")
+    cents = F.floor(F.col("value") * 100).cast("bigint")
+    user_sums = ev.groupBy("user_id").agg(F.sum(cents).alias("sv"))
+    from movierecommender_sentimentanalysissytem_spark.plans.caching import (
+        scoped_persist,
+    )
+
+    user_sums = scoped_persist(user_sums)
+
+    def _stat(g: F.Column) -> F.Column:
+        s0 = F.sum(F.when(g == 0, F.col("sv"))).cast("double")
+        c0 = F.count(F.when(g == 0, 1))
+        s1 = F.sum(F.when(g == 1, F.col("sv"))).cast("double")
+        c1 = F.count(F.when(g == 1, 1))
+        return F.abs(s0 / c0 - s1 / c1)
+
+    obs = user_sums.agg(
+        _stat(F.col("user_id") % 2).alias("stat_obs"),
+        F.count(F.lit(1)).alias("n_users"),
+    )
+    perms = user_sums.crossJoin(
+        F.broadcast(
+            spark.range(1, 100).select(F.col("id").cast("int").alias("b"))
+        )
+    ).withColumn("g", F.expr(_perm_hash_sql("spark")))
+    perm_stats = (
+        perms.groupBy("b")
+        .agg(
+            _stat(F.col("g")).alias("stat"),
+            F.count(F.when(F.col("g") == 0, 1)).alias("c0"),
+            F.count(F.when(F.col("g") == 1, 1)).alias("c1"),
+        )
+        .filter((F.col("c0") > 0) & (F.col("c1") > 0))
+    )
+    return (
+        perm_stats.crossJoin(F.broadcast(obs))
+        .groupBy("n_users", "stat_obs")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_perm"),
+            F.sum(
+                F.when(F.col("stat") >= F.col("stat_obs"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_ge"),
+        )
+        .select(
+            "n_users",
+            round4(F.col("stat_obs")).alias("stat_obs_cents"),
+            "n_perm",
+            "n_ge",
+            round4(
+                (1 + F.col("n_ge")).cast("double") / (1 + F.col("n_perm"))
+            ).alias("p_value"),
+        )
+    )

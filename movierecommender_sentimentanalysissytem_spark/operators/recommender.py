@@ -835,6 +835,92 @@ def rec_eval_ndcg_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "rec_eval_map_at_k",
+    oracle="""
+    WITH ratings AS (
+        SELECT o_custkey AS u, l_partkey AS item, o_orderkey AS ok
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    ),
+    top10 AS (
+        SELECT item, ROW_NUMBER() OVER (ORDER BY cnt DESC, item ASC) AS rk
+        FROM (
+            SELECT item, COUNT(*) AS cnt FROM ratings
+            WHERE ok % 4 != 0 GROUP BY item
+        ) ORDER BY cnt DESC, item ASC LIMIT 10
+    ),
+    test AS (
+        SELECT DISTINCT u, item FROM ratings WHERE ok % 4 = 0
+    ),
+    hits AS (
+        SELECT t.u, tp.rk,
+               ROW_NUMBER() OVER (PARTITION BY t.u ORDER BY tp.rk) AS j
+        FROM test t JOIN top10 tp ON t.item = tp.item
+    ),
+    ap AS (
+        SELECT u, SUM(CAST(j AS DOUBLE) / rk) AS ap_num,
+               CAST(COUNT(*) AS BIGINT) AS hits
+        FROM hits GROUP BY u
+    ),
+    nrel AS (SELECT u, COUNT(*) AS n_relevant FROM test GROUP BY u)
+    SELECT n.u AS user, n.n_relevant,
+           COALESCE(a.hits, 0) AS hits,
+           FLOOR(COALESCE(a.ap_num, 0.0) / LEAST(n.n_relevant, 10)
+                 * 10000 + 0.5) / 10000 AS ap_at_10
+    FROM nrel n LEFT JOIN ap a USING (u)
+    """,
+)
+def rec_eval_map_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Average precision @10 per user (whose mean over users is MAP@10)
+    for the popularity baseline — completes the ranking-metric family
+    next to rec_eval_precision_at_k (set quality) and
+    rec_eval_ndcg_at_k (graded position discount): AP is the
+    order-sensitive metric retrieval evaluation reports, crediting
+    each hit with the precision at its own rank,
+    AP = (1/min(n_rel,k)) · Σ_hits j/rank_j where j counts hits in
+    rank order. Same deterministic o_orderkey % 4 holdout and the
+    same broadcast top-10 candidate list.
+
+    Scale design: the per-user hit ranking is a window over HITS only
+    (≤ k rows per user by construction, since hits come from the
+    k-row candidate probe) — never over the full test set; everything
+    else is the precision key's plan (distinct + broadcast probe +
+    groupBy). The AP numerator sums at most k rational terms,
+    absorbed by the 4-dp round."""
+    r = _ratings_with_order(spark, sf_dir)
+    train = r.filter(F.col("ok") % 4 != 0)
+    test = r.filter(F.col("ok") % 4 == 0).select("u", "item").distinct()
+    wrk = Window.orderBy(F.col("cnt").desc(), F.col("item").asc())
+    top10 = (
+        train.groupBy("item")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("item").asc())
+        .limit(10)
+        .withColumn("rk", F.row_number().over(wrk))
+        .select(F.col("item").alias("top_item"), "rk")
+    )
+    hits = test.join(
+        F.broadcast(top10), test.item == F.col("top_item")
+    ).withColumn(
+        "j",
+        F.row_number().over(Window.partitionBy("u").orderBy("rk")),
+    )
+    ap = hits.groupBy("u").agg(
+        F.sum(F.col("j").cast("double") / F.col("rk")).alias("ap_num"),
+        F.count(F.lit(1)).alias("hits"),
+    )
+    nrel = test.groupBy("u").agg(F.count(F.lit(1)).alias("n_relevant"))
+    return nrel.join(ap, "u", "left").select(
+        F.col("u").alias("user"),
+        "n_relevant",
+        F.coalesce(F.col("hits"), F.lit(0).cast("bigint")).alias("hits"),
+        round4(
+            F.coalesce(F.col("ap_num"), F.lit(0.0))
+            / F.least(F.col("n_relevant"), F.lit(10))
+        ).alias("ap_at_10"),
+    )
+
+
+@query(
     "rec_multihop_expansion",
     oracle="""
     WITH ratings AS (

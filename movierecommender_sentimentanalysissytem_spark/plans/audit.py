@@ -107,6 +107,10 @@ NLJ_OK = {
                            # summary relation: O(segments) rows (25
                            # brands; thousands in production), never
                            # O(fact rows)
+    "stats_permutation_test",  # two bounded broadcasts: the 99-row
+                               # permutation index onto the O(users)
+                               # sum relation, and the 1-row observed
+                               # statistic onto the 99-row perm stats
 }
 
 

@@ -439,6 +439,18 @@ _NEW_R7B = frozenset(
 )
 
 
+# The final two round-7 additions, saturating the 50-key sweep budget
+# with first-time verification signal: 5 priority + 35 unchecked +
+# 2 R7 + 6 R7B + 2 R7C = 50, cumulative coverage closing at 100% with
+# zero stale re-check slots left (the displaced r1 scan keys are
+# unchanged since round 1; rewritten-key risk lives in _PRIORITY).
+_NEW_R7C = frozenset(
+    """
+    rec_eval_map_at_k stats_permutation_test
+    """.split()
+)
+
+
 def _sweep_order(keys: list[str]) -> list[str]:
     """Order keys so a budget-limited driver sweep (50 keys/round, dict
     order) maximizes NEW verification signal each round:
@@ -487,15 +499,23 @@ def _sweep_order(keys: list[str]) -> list[str]:
             prio.get(k, 0),
             last_checked.get(k, 0),
             # debut round: longer-waiting keys before newer additions
-            5
-            if k in _NEW_R7B
+            6
+            if k in _NEW_R7C
             else (
-                4
-                if k in _NEW_R7
+                5
+                if k in _NEW_R7B
                 else (
-                    3
-                    if k in _NEW_R5B
-                    else (2 if k in _NEW_R5 else (1 if k in _NEW_R4 else 0))
+                    4
+                    if k in _NEW_R7
+                    else (
+                        3
+                        if k in _NEW_R5B
+                        else (
+                            2
+                            if k in _NEW_R5
+                            else (1 if k in _NEW_R4 else 0)
+                        )
+                    )
                 )
             ),
             k in _EXPENSIVE,

@@ -212,3 +212,71 @@ def test_distance_metrics_exact(spark, tmp_path_factory):
     assert r["l2"] == 5.0       # 3-4-5 triangle
     assert r["l1"] == 7.0
     assert r["linf"] == 4.0
+
+
+def test_map_at_k_rank_sensitivity(spark, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("mapk"))
+    li = (
+        [_li(1, 1), _li(2, 1), _li(3, 1)]
+        + [_li(1, 2), _li(2, 2)]
+        + [_li(1, 3)]
+        + [_li(4, 1), _li(8, 3), _li(8, 4)]
+    )
+    orders = [
+        _order(1, 900),
+        _order(2, 900),
+        _order(3, 900),
+        _order(4, 100),
+        _order(8, 200),
+    ]
+    _write(spark, out, "lineitem", li, _LI_SCHEMA)
+    _write(spark, out, "orders", orders, _ORDERS_SCHEMA)
+    got = {r["user"]: r for r in QS["rec_eval_map_at_k"](spark, out).collect()}
+    # user 100: sole relevant item ranked 1 → AP = 1
+    assert got[100]["ap_at_10"] == 1.0
+    # user 200: first (only) hit at rank 3 → precision 1/3, divided by
+    # min(n_rel, 10) = 2 → AP = 1/6
+    assert got[200]["n_relevant"] == 2 and got[200]["hits"] == 1
+    assert got[200]["ap_at_10"] == _round4(1 / 6)
+
+
+_EV_SCHEMA = (
+    "event_id long, ts timestamp, user_id long, event_type string, "
+    "value double, props string"
+)
+
+_T0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+
+def test_permutation_test_null_is_insignificant(spark, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("permnull"))
+    # every user spends identically → stat_obs = 0 and every permuted
+    # statistic is also 0 ≥ 0, so p = (1+99)/(1+99) = 1 exactly,
+    # independent of the hash assignments
+    ev = [
+        (i, _T0, i % 20, "view", 10.0, "{}") for i in range(200)
+    ]
+    _write(spark, out, "events", ev, _EV_SCHEMA)
+    row = QS["stats_permutation_test"](spark, out).collect()[0]
+    assert row["n_users"] == 20
+    assert row["stat_obs_cents"] == 0.0
+    assert row["n_perm"] == 99
+    assert row["n_ge"] == 99
+    assert row["p_value"] == 1.0
+
+
+def test_permutation_test_detects_separation(spark, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("permsig"))
+    # even users spend 0.00, odd users 1000.00 — the observed split IS
+    # the maximal-statistic split, so only hash permutations that
+    # reproduce it (or its mirror) can tie; p lands at its floor
+    ev = [
+        (i, _T0, u, "buy", 0.0 if u % 2 == 0 else 1000.0, "{}")
+        for i, u in enumerate(range(30))
+    ]
+    _write(spark, out, "events", ev, _EV_SCHEMA)
+    row = QS["stats_permutation_test"](spark, out).collect()[0]
+    assert row["n_users"] == 30
+    assert row["stat_obs_cents"] == 100000.0  # 1000.00 in cents
+    assert row["n_perm"] == 99
+    assert row["p_value"] <= 0.05

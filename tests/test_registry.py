@@ -157,6 +157,7 @@ def test_continuation_keys_queue_behind_first_wave():
         _NEW_R5B,
         _NEW_R7,
         _NEW_R7B,
+        _NEW_R7C,
         _PRIORITY,
         queries,
     )
@@ -168,13 +169,15 @@ def test_continuation_keys_queue_behind_first_wave():
         for k in queries()
         if k not in _DRIVER_CHECKED and k not in _PRIORITY
     ]
-    newer = _NEW_R5B | _NEW_R7 | _NEW_R7B
+    newer = _NEW_R5B | _NEW_R7 | _NEW_R7B | _NEW_R7C
     older = [k for k in unchecked if k not in newer]
     if len(older) >= 50:
         assert not [k for k in unchecked[:50] if k in newer]
     # tier ordering: the unchecked block is pre-R5B keys, then R5B,
-    # then R7, then R7B — each tier contiguous
+    # then R7, then R7B, then R7C — each tier contiguous
     def tier(k):
+        if k in _NEW_R7C:
+            return 4
         if k in _NEW_R7B:
             return 3
         if k in _NEW_R7:
