@@ -368,7 +368,15 @@ def sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n = e.count()
     k, nprobe = _ivf_shape(n)
-    kmeans = KMeans(k=k, seed=42, featuresCol="v", predictionCol="cell")
+    # maxIter=10 (default 20): a coarse quantizer only needs rough
+    # Voronoi cells — multi-assignment + 37.5% probe fraction absorb
+    # boundary noise, and the recall floors (4 corpus regimes,
+    # tests/test_vectors.py) hold at 10 iterations while the fit —
+    # MLlib's per-iteration job overhead dominates at this scale —
+    # drops ~2x.
+    kmeans = KMeans(
+        k=k, seed=42, maxIter=10, featuresCol="v", predictionCol="cell"
+    )
     model = kmeans.fit(e)
 
     # The fitted centroids live on the driver (k ≈ √n of them) — embed

@@ -273,8 +273,15 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(lower_first, F.col("b")).otherwise(F.col("a")).alias("v"),
         )
     )
-    adj = oe.groupBy("u").agg(
-        F.sort_array(F.collect_list("v")).alias("nbrs")
+    # adj feeds BOTH sides of the counting join; without the persist
+    # Catalyst re-derives the collect_list aggregation (a full shuffle
+    # of oe into sorted arrays) once per side. Measured at sf0.1:
+    # 12-23 s warm → ~4 s with the persist. The adjacency sides stay
+    # shuffled joins (no broadcast hint): adj is O(m) and would OOM a
+    # driver at graph scale; AQE already converts the post-shuffle
+    # sides to broadcast at runtime when they measure small.
+    adj = scoped_persist(
+        oe.groupBy("u").agg(F.sort_array(F.collect_list("v")).alias("nbrs"))
     )
     au = adj.select(F.col("u").alias("ju"), F.col("nbrs").alias("nu"))
     av = adj.select(F.col("u").alias("jv"), F.col("nbrs").alias("nv"))
