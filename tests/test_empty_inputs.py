@@ -235,6 +235,16 @@ REPRESENTATIVE = [
     "sql_view_masked",
     "sql_parameterized",
     "stats_theil_index",
+    # round-7 evaluation/curation batch. ml_learning_curve excluded:
+    # its three per-fraction rows are global aggregates (grand-total
+    # class — NULL rmse, 0 counts on empty input, no crash).
+    "rec_eval_ndcg_at_k",
+    "rec_eval_map_at_k",
+    "stats_fdr_bh",
+    "ml_calibration_bins",
+    "curation_soft_dedup_weights",
+    "sim_distance_metrics",
+    "stats_permutation_test",
 ]
 
 
