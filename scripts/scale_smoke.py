@@ -38,11 +38,18 @@ SF_DIR = "/root/testdata/sf0.1"
 #   dedup_near_minhash    banded LSH — corpus x10, dup density constant
 #   graph_triangle_count  degree-oriented intersection — 10 disjoint graphs
 #   text_tfidf            explode + two aggregates — corpus x10
+#   sim_threshold_join_lsh  bucketed candidates — corpus x10, near-linear
+# The brute-force sibling (sim_threshold_join) is deliberately NOT in
+# the default list: its work is quadratic BY CONTRACT (the exact oracle
+# baseline), so at 10x it costs ~100x — run it explicitly
+# (`python scripts/scale_smoke.py 10 sim_threshold_join ...`) when you
+# want the brute-vs-LSH scale gap on the record.
 KEYS = (
     "rec_item_similarity",
     "dedup_near_minhash",
     "graph_triangle_count",
     "text_tfidf",
+    "sim_threshold_join_lsh",
 )
 
 # Key shifts chosen far above the sf0.1 id ranges (orderkey max 6e5,
@@ -51,12 +58,14 @@ ORDER_SHIFT = 10_000_000
 CUST_SHIFT = 1_000_000
 SUPP_SHIFT = 100_000
 DOC_SHIFT = 1_000_000
+VEC_SHIFT = 1_000_000
 
 
 def _replicate(spark: SparkSession, out: str, replicas: int) -> None:
     li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
     o = spark.read.parquet(f"{SF_DIR}/orders.parquet")
     d = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
 
     def shifted(df, i):
         out_df = df
@@ -69,6 +78,24 @@ def _replicate(spark: SparkSession, out: str, replicas: int) -> None:
             out_df = (
                 out_df.withColumn("o_orderkey", F.col("o_orderkey") + i * ORDER_SHIFT)
                 .withColumn("o_custkey", F.col("o_custkey") + i * CUST_SHIFT)
+            )
+        if "vec_id" in df.columns:
+            # per-replica component ROTATION: preserves norms and all
+            # in-replica geometry exactly, while cross-replica cosines
+            # decorrelate to ~N(0, 1/64) on this near-isotropic corpus
+            # (essentially never >= the 0.4 join threshold) — so the
+            # similarity workload is ~10 disjoint copies of 1x
+            roll = (i * 7) % 64
+            if roll:
+                out_df = out_df.withColumn(
+                    "embedding",
+                    F.concat(
+                        F.slice(F.col("embedding"), roll + 1, 64 - roll),
+                        F.slice(F.col("embedding"), 1, roll),
+                    ),
+                )
+            out_df = out_df.withColumn(
+                "vec_id", F.col("vec_id") + i * VEC_SHIFT
             )
         if "doc_id" in df.columns:
             # per-word replica prefix: replicas share NO shingles, so
@@ -88,7 +115,12 @@ def _replicate(spark: SparkSession, out: str, replicas: int) -> None:
             )
         return out_df
 
-    for name, base in (("lineitem", li), ("orders", o), ("documents", d)):
+    for name, base in (
+        ("lineitem", li),
+        ("orders", o),
+        ("documents", d),
+        ("embeddings", emb),
+    ):
         parts = [shifted(base, i) for i in range(replicas)]
         df = parts[0]
         for p in parts[1:]:
@@ -98,9 +130,7 @@ def _replicate(spark: SparkSession, out: str, replicas: int) -> None:
         )
     # the remaining tables are read by some keys' lineage but not
     # scaled by these plans — symlink-equivalent copies
-    for name in (
-        "region nation customer supplier part events embeddings".split()
-    ):
+    for name in "region nation customer supplier part events".split():
         spark.read.parquet(f"{SF_DIR}/{name}.parquet").write.mode(
             "overwrite"
         ).parquet(f"{out}/{name}.parquet")
@@ -108,6 +138,7 @@ def _replicate(spark: SparkSession, out: str, replicas: int) -> None:
 
 def main() -> None:
     replicas = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    keys = tuple(sys.argv[2:]) or KEYS
     out = f"/tmp/scale_smoke_{replicas}x"
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     spark = (
@@ -141,7 +172,7 @@ def main() -> None:
     # disk, not the plan (observed 3-4x inflation on the first 10x
     # run). Run each (key, size) twice, keep the second.
     print(f"{'key':28s} {'1x':>8s} {f'{replicas}x':>8s} {'blowup':>7s}")
-    for key in KEYS:
+    for key in keys:
         run(key, SF_DIR)
         t1 = run(key, SF_DIR)
         run(key, out)
