@@ -66,6 +66,7 @@ def _replicate(spark: SparkSession, out: str, replicas: int) -> None:
     o = spark.read.parquet(f"{SF_DIR}/orders.parquet")
     d = spark.read.parquet(f"{SF_DIR}/documents.parquet")
     emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
 
     def shifted(df, i):
         out_df = df
@@ -79,6 +80,11 @@ def _replicate(spark: SparkSession, out: str, replicas: int) -> None:
                 out_df.withColumn("o_orderkey", F.col("o_orderkey") + i * ORDER_SHIFT)
                 .withColumn("o_custkey", F.col("o_custkey") + i * CUST_SHIFT)
             )
+        if "event_id" in df.columns:
+            # user base x10, per-user event streams preserved exactly
+            out_df = out_df.withColumn(
+                "event_id", F.col("event_id") + i * ORDER_SHIFT
+            ).withColumn("user_id", F.col("user_id") + i * CUST_SHIFT)
         if "vec_id" in df.columns:
             # per-replica component ROTATION: preserves norms and all
             # in-replica geometry exactly, while cross-replica cosines
@@ -120,6 +126,7 @@ def _replicate(spark: SparkSession, out: str, replicas: int) -> None:
         ("orders", o),
         ("documents", d),
         ("embeddings", emb),
+        ("events", ev),
     ):
         parts = [shifted(base, i) for i in range(replicas)]
         df = parts[0]
@@ -130,7 +137,7 @@ def _replicate(spark: SparkSession, out: str, replicas: int) -> None:
         )
     # the remaining tables are read by some keys' lineage but not
     # scaled by these plans — symlink-equivalent copies
-    for name in "region nation customer supplier part events".split():
+    for name in "region nation customer supplier part".split():
         spark.read.parquet(f"{SF_DIR}/{name}.parquet").write.mode(
             "overwrite"
         ).parquet(f"{out}/{name}.parquet")
