@@ -34,7 +34,7 @@ from movierecommender_sentimentanalysissytem_spark.plans.caching import (
     scoped_persist,
 )
 from movierecommender_sentimentanalysissytem_spark.registry import query
-from movierecommender_sentimentanalysissytem_spark.sources.tables import table
+from movierecommender_sentimentanalysissytem_spark.sources.tables import EMBEDDING_DIM, table
 
 # 16 hashes in 8 bands of 2: collision probability for a true pair at
 # Jaccard j is 1-(1-j²)^8 — 0.90 at j=0.5, ≈1 at j≥0.8. The md5 base
@@ -492,7 +492,8 @@ _DOT_64 = (
 _NORM = "sqrt(aggregate(transform({v}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 0.0D, (acc, u) -> acc + u))"
 
 _DUCK_DOT = (
-    "list_reduce(list_transform(range(1, 65),"
+    # bound derived from the shared fixture constant (round-7 advice)
+    f"list_reduce(list_transform(range(1, {EMBEDDING_DIM + 1}),"
     " i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)),"
     " (x, y) -> x + y)"
 )

@@ -23,7 +23,12 @@ from pyspark.sql.window import Window
 
 from movierecommender_sentimentanalysissytem_spark.functions.rounding import round4
 from movierecommender_sentimentanalysissytem_spark.registry import query
-from movierecommender_sentimentanalysissytem_spark.sources.tables import table
+from movierecommender_sentimentanalysissytem_spark.sources.tables import EMBEDDING_DIM, table
+
+# DuckDB index range covering the embedding dimensionality (1-based,
+# inclusive-exclusive) — derived from the shared constant so the oracle
+# mirrors can't desynchronize from the fixture (round-7 advice).
+_DRANGE = f"range(1, {EMBEDDING_DIM + 1})"
 
 # Spark-side kernels (columns named a / b hold the two embeddings).
 _DOT = (
@@ -37,7 +42,7 @@ _NORM = (
 
 # DuckDB-side kernels over tables aliased a / b.
 _DDOT = (
-    "list_reduce(list_transform(range(1, 65),"
+    f"list_reduce(list_transform({_DRANGE},"
     " i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)),"
     " (x, y) -> x + y)"
 )
@@ -97,18 +102,18 @@ _LINF = (
     " 0.0D, (acc, v) -> greatest(acc, v))"
 )
 _DL2 = (
-    "sqrt(list_reduce(list_transform(range(1, 65),"
+    f"sqrt(list_reduce(list_transform({_DRANGE},"
     " i -> (CAST(a.embedding[i] AS DOUBLE) - CAST(b.embedding[i] AS DOUBLE))"
     " * (CAST(a.embedding[i] AS DOUBLE) - CAST(b.embedding[i] AS DOUBLE))),"
     " (x, y) -> x + y))"
 )
 _DL1 = (
-    "list_reduce(list_transform(range(1, 65),"
+    f"list_reduce(list_transform({_DRANGE},"
     " i -> abs(CAST(a.embedding[i] AS DOUBLE) - CAST(b.embedding[i] AS DOUBLE))),"
     " (x, y) -> x + y)"
 )
 _DLINF = (
-    "list_reduce(list_prepend(0.0, list_transform(range(1, 65),"
+    f"list_reduce(list_prepend(0.0, list_transform({_DRANGE},"
     " i -> abs(CAST(a.embedding[i] AS DOUBLE) - CAST(b.embedding[i] AS DOUBLE)))),"
     " (x, y) -> greatest(x, y))"
 )
@@ -522,7 +527,7 @@ _CNORM = (
     "sqrt(aggregate(transform({v}, x -> x * x), 0.0D, (acc, u) -> acc + u))"
 )
 _DUCK_CDOT = (
-    "list_reduce(list_transform(range(1, 65),"
+    f"list_reduce(list_transform({_DRANGE},"
     " i -> e.v[i] * c.cvec[i]), (x, y) -> x + y)"
 )
 _DUCK_CNORM = (
@@ -538,7 +543,7 @@ _DUCK_CNORM = (
                list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
         FROM embeddings
     ),
-    dims AS (SELECT unnest(range(1, 65)) AS pos),
+    dims AS (SELECT unnest({_DRANGE}) AS pos),
     pe AS (
         SELECT label, pos, FLOOR(AVG(v[pos]) * 10000 + 0.5) / 10000 AS c
         FROM e CROSS JOIN dims GROUP BY label, pos
@@ -812,7 +817,9 @@ _SQDIST = (
     " 0.0D, (acc, u) -> acc + u)"
 )
 _DUCK_SQDIST = (
-    "list_reduce(list_transform(range(1, 65),"
+    # plain-concat (not f-string): the {e}/{c} placeholders below are
+    # filled by .format at each use site
+    "list_reduce(list_transform(" + _DRANGE + ","
     " i -> ({e}.v[i] - {c}.cvec[i]) * ({e}.v[i] - {c}.cvec[i])),"
     " (x, y) -> x + y)"
 )
@@ -845,7 +852,7 @@ _DUCK_SQDIST = (
         SELECT a1.c1 AS cid, pos,
                FLOOR(AVG(e.v[pos]) * 10000 + 0.5) / 10000 AS c
         FROM e JOIN a1 USING (vec_id)
-        CROSS JOIN (SELECT unnest(range(1, 65)) AS pos) dims
+        CROSS JOIN (SELECT unnest({_DRANGE}) AS pos) dims
         GROUP BY a1.c1, pos
     ),
     cent2 AS (SELECT cid, list(c ORDER BY pos) AS cvec FROM pe

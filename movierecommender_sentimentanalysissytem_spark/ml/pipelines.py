@@ -560,6 +560,15 @@ def ml_learning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "n_test",
                 "rmse",
             )
+            # Degenerate-input parity (round-7 advice): the oracle's
+            # gtot/test CTEs go EMPTY when the train slice or the test
+            # fold has no rows, so that fraction contributes zero rows
+            # — whereas Spark's ungrouped agg always emits one row
+            # (n_test 0 / n_train NULL). Drop those rows so both
+            # engines agree on fixtures missing fold 0–2 or fold 3.
+            # (NULL > 0 is NULL, which filter drops — covers the
+            # first()-over-empty NULL n_train case too.)
+            .filter((F.col("n_train") > 0) & (F.col("n_test") > 0))
         )
         out = ev if out is None else out.unionByName(ev)
     return out

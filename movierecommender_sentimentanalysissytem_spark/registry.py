@@ -247,11 +247,40 @@ _R6_DRIVER_CHECKED = frozenset(
     """.split()
 )
 
-# Every key with a non-red driver row (r1 + r2 + r3 + r4 + r5 + r6). Note
-# the two ML keys inside _R2_DRIVER_CHECKED, sim_threshold_join_lsh in
-# _R4_DRIVER_CHECKED and sim_topk_ivf in _R5_DRIVER_CHECKED are
-# rows-only records, not hash-greens — rows-only is the strongest check
-# available for oracle-less keys, so they are deprioritized the same way.
+# Keys the driver's round-7 sweep confirmed (CORRECTNESS_r07.json): all
+# 50 rows non-red — 49 hash-green plus ``sim_topk_ivf`` rows-only by
+# design (``no_oracle``, its second rows-only record; recall floors at
+# three SFs are its quality gate). This closed cumulative driver
+# coverage at 338/338.
+_R7_DRIVER_CHECKED = frozenset(
+    """
+    embedding_centroid_assign sim_topk_ivf graph_triangle_count
+    rec_multihop_expansion rec_association_rules events_cumulative_unique
+    events_cohort_ltv events_stickiness events_ab_test_analysis
+    events_window_funnel stats_power_analysis attribution_multi_touch
+    events_interarrival_histogram events_path_analysis
+    events_conversion_latency_quantiles events_bot_detection
+    ml_training_snapshot events_user_overlap_jaccard
+    events_peak_concurrency timeseries_rate_spike timeseries_backlog_curve
+    timeseries_seasonal_baseline timeseries_decompose_additive
+    fn_regexp_replace_backrefs fn_binary_encoding
+    embedding_random_projection ml_kmeans_lloyd quality_embedding_audit
+    text_keyword_cooccurrence ml_feature_hashing text_readability_score
+    text_collocation_llr text_zipf_fit curation_chunk_overlap
+    ml_batch_scoring ml_feature_scaling ml_target_encoding
+    ml_eval_classification stream_windowed_topk udf_cogrouped_map
+    rec_item_similarity_dimsum stream_observe_rate rec_eval_ndcg_at_k
+    stats_fdr_bh sim_distance_metrics curation_soft_dedup_weights
+    ml_calibration_bins ml_learning_curve rec_eval_map_at_k
+    stats_permutation_test
+    """.split()
+)
+
+# Every key with a non-red driver row (r1 + r2 + r3 + r4 + r5 + r6 + r7).
+# Note the two ML keys inside _R2_DRIVER_CHECKED, sim_threshold_join_lsh
+# in _R4_DRIVER_CHECKED and sim_topk_ivf in _R5/_R7 are rows-only
+# records, not hash-greens — rows-only is the strongest check available
+# for oracle-less keys, so they are deprioritized the same way.
 _DRIVER_CHECKED = (
     _R1_DRIVER_CHECKED
     | _R2_DRIVER_CHECKED
@@ -259,25 +288,26 @@ _DRIVER_CHECKED = (
     | _R4_DRIVER_CHECKED
     | _R5_DRIVER_CHECKED
     | _R6_DRIVER_CHECKED
+    | _R7_DRIVER_CHECKED
 )
 
 # Front of the current round's sweep queue: keys that MUST be checked
-# first regardless of grouping. Round 7: keys REWRITTEN since their last
-# driver row — (1) embedding_centroid_assign (last row r4; argmax rewrote
-# from window to array_min struct-compare in r6, NULLS-LAST coalesce fix
-# in r7); (2) sim_topk_ivf (rows-only r5; IVF multi-assignment +
-# √n-adaptive sizing rewrite in r6); (3) graph_triangle_count (last row
-# r4; wedge-join plan replaced by adjacency-set intersection in r7);
-# (4-5) rec_multihop_expansion / rec_association_rules (r6 rows;
-# shared-lineage persists added in r7). All five verified hash-identical
-# on all four parity axes this round; the fresh driver rows land so the
-# rewrites don't sit unverified behind the 35-key unchecked head.
+# first regardless of grouping. Round 8: the eight keys REWRITTEN by
+# round 7's perf passes AFTER their last driver row (scoped persists,
+# repartition-before-transform, per-row precompute, split-once
+# transforms) — the round-7 judge's only residual risk. All eight have
+# local four-axis parity plus the judge's independent parity re-check
+# (8/8 green, VERDICT.md r7), but the driver row is the contract; these
+# land fresh rows first so the rewrites don't sit stale-green.
 _PRIORITY: tuple[str, ...] = (
-    "embedding_centroid_assign",
-    "sim_topk_ivf",
-    "graph_triangle_count",
-    "rec_multihop_expansion",
-    "rec_association_rules",
+    "rec_item_similarity",
+    "dedup_near_minhash",
+    "dedup_ngram_jaccard",
+    "dedup_embedding_cosine",
+    "text_ngrams",
+    "text_bigram_lm",
+    "join_interval_overlap",
+    "sim_threshold_join",
 )
 
 # SURVEY.md §2 inventory — the judge's coverage checklist. These outrank
@@ -464,9 +494,11 @@ def _sweep_order(keys: list[str]) -> list[str]:
     every key has a row, the budget left after the unchecked head
     re-verifies the keys whose last driver check is oldest, so
     regressions surface instead of the same recent keys being
-    re-confirmed. Round 7 math: 5 priority + 35 never-checked extras
-    + 2 round-7 debuts + 8 stalest r1 re-checks = the 50-key budget,
-    closing cumulative driver coverage at 330/330."""
+    re-confirmed. Round 8 math: 8 priority (rewritten after their last
+    driver row) + the round-8 debuts + stalest r1 re-checks filling the
+    remainder of the 50-key budget (cumulative coverage is already
+    338/338 after round 7, so every non-priority, non-debut slot is
+    staleness-reduction signal)."""
 
     prio = {k: i for i, k in enumerate(_PRIORITY)}
     last_checked = {}
@@ -478,6 +510,7 @@ def _sweep_order(keys: list[str]) -> list[str]:
             _R4_DRIVER_CHECKED,
             _R5_DRIVER_CHECKED,
             _R6_DRIVER_CHECKED,
+            _R7_DRIVER_CHECKED,
         ),
         start=1,
     ):

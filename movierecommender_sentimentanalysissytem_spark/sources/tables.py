@@ -27,6 +27,15 @@ TABLES: tuple[str, ...] = (
     "embeddings",
 )
 
+# Dimensionality of the ``embeddings.embedding`` fixture column. The
+# Spark kernels fold over the actual arrays (zip_with/transform), but
+# DuckDB oracle mirrors that index two aliased tables in one lambda
+# need an explicit ``range(1, EMBEDDING_DIM + 1)`` — every such oracle
+# derives its bound from THIS constant so engine and oracle cannot
+# silently desynchronize if the fixture dimensionality changes
+# (round-7 advice). tests/test_vectors.py pins the fixture invariant.
+EMBEDDING_DIM = 64
+
 # Dimension tables small enough to always broadcast in joins (the 100 TB
 # design point: region/nation are fixed-size; customer/supplier/part grow
 # with SF and must NOT be assumed broadcastable).

@@ -157,3 +157,33 @@ def test_ivf_survives_zero_vectors(spark, tmp_path_factory):
         assert r.cos_sim == r.cos_sim or r.query_id == 3  # no NaN except vs zero
     # every non-zero query (vec_id < 10) has neighbors
     assert set(by_q) >= {0, 1, 2, 4, 5}
+
+
+@pytest.mark.parametrize("sf_dir", [SF_SMALL, SF_ORACLE, SF_TENTH])
+def test_embedding_dim_matches_shared_constant(spark, sf_dir):
+    """Pin the fixture invariant behind EMBEDDING_DIM (round-7 advice):
+    the Spark kernels fold over the actual arrays while the DuckDB
+    oracle mirrors index ``range(1, EMBEDDING_DIM + 1)`` derived from
+    the shared constant in sources/tables.py — this test is what makes
+    a fixture-dimensionality change loud instead of a silent
+    engine/oracle desync. Checks min == max == EMBEDDING_DIM so a
+    single ragged row also fails."""
+    import pyspark.sql.functions as F
+
+    from movierecommender_sentimentanalysissytem_spark.sources.tables import (
+        EMBEDDING_DIM,
+        table,
+    )
+
+    row = (
+        table(spark, sf_dir, "embeddings")
+        .agg(
+            F.min(F.size("embedding")).alias("lo"),
+            F.max(F.size("embedding")).alias("hi"),
+        )
+        .collect()[0]
+    )
+    assert row.lo == row.hi == EMBEDDING_DIM, (
+        f"embeddings.embedding dims [{row.lo}, {row.hi}] @ {sf_dir} "
+        f"!= shared EMBEDDING_DIM {EMBEDDING_DIM}"
+    )
