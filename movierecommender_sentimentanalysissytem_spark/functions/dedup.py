@@ -485,6 +485,102 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "dedup_ngram_containment",
+    oracle=f"""
+    WITH words AS (
+        SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        WHERE len(string_split(text, ' ')) >= 3
+    ),
+    sh AS (
+        SELECT doc_id, {_DUCK_SHINGLES_W} AS s FROM words
+    ),
+    ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+    freq AS (SELECT g FROM ex GROUP BY g HAVING COUNT(*) <= 20),
+    kept AS (SELECT ex.doc_id, ex.g FROM ex JOIN freq USING (g)),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM kept a JOIN kept b ON a.g = b.g AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           FLOOR(CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+                 / LEAST(len(sa.s), len(sb.s)) * 10000 + 0.5) / 10000
+               AS containment
+    FROM cand
+    JOIN sh sa ON sa.doc_id = doc_a
+    JOIN sh sb ON sb.doc_id = doc_b
+    WHERE CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+          / LEAST(len(sa.s), len(sb.s)) >= 0.6
+    """,
+)
+def dedup_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Containment near-dup detection: |A∩B| / min(|A|, |B|) ≥ 0.6 over
+    distinct 3-gram shingle sets — the asymmetric sibling of
+    dedup_ngram_jaccard for the SUBSUMPTION case (a short doc quoted
+    wholesale inside a longer one scores high containment but low
+    Jaccard, so a length band would block exactly the pairs this
+    operator exists to find). Candidates therefore come from an
+    INVERTED-INDEX equi-join on shared shingles instead: explode each
+    doc's shingle set, drop stop-shingles (appearing in > 20 docs — the
+    same bucket-size cap idiom as the MinHash bands; boilerplate
+    shingles would otherwise contribute |docs|² candidate pairs each),
+    pair-distinct, then exact containment verifies on candidates only.
+
+    Scale design: candidate volume is Σ_shingle |docs(g)|² bounded by
+    the 20-doc cap — O(#shingles · 400) worst case, linear in corpus
+    size for fixed cap; the distinct collapses multi-shared pairs
+    before the array-heavy verify join, and the per-row set sizes ride
+    along so min(|A|,|B|) costs nothing per pair. No length prefilter
+    by design (see above). At 100 TB the explode and the cap filter
+    are map-side over input splits; only the candidate pairs shuffle."""
+    par = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    d = (
+        table(spark, sf_dir, "documents")
+        .repartition(par)
+        .withColumn("w", F.split("text", " "))
+        .filter(F.size("w") >= 3)
+    )
+    sh = scoped_persist(
+        d.select("doc_id", F.expr(_SPARK_SHINGLES_W).alias("s"))
+    )
+    ex = sh.select("doc_id", F.explode("s").alias("g"))
+    freq = (
+        ex.groupBy("g")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") <= 20)
+        .select("g")
+    )
+    kept = ex.join(freq, "g")
+    cand = (
+        kept.select(F.col("doc_id").alias("doc_a"), "g")
+        .join(
+            kept.select(F.col("doc_id").alias("doc_b"), "g"),
+            "g",
+        )
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    a = sh.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("s").alias("s_a"),
+        F.size("s").alias("ns_a"),
+    )
+    b = sh.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("s").alias("s_b"),
+        F.size("s").alias("ns_b"),
+    )
+    inter = F.size(F.array_intersect("s_a", "s_b"))
+    cont = inter.cast("double") / F.least(F.col("ns_a"), F.col("ns_b"))
+    return (
+        cand.join(a, "doc_a")
+        .join(b, "doc_b")
+        .filter(cont >= 0.6)
+        .select("doc_a", "doc_b", round4(cont).alias("containment"))
+    )
+
+
 _DOT_64 = (
     "aggregate(zip_with(a, b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),"
     " 0.0D, (acc, v) -> acc + v)"

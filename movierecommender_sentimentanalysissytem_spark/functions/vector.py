@@ -344,6 +344,17 @@ def sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     before ranking. The final exact cosine uses the raw arrays —
     normalization only steers the quantizer.
     """
+    e, assigned, nearest_cells, nprobe = _ivf_index(spark, sf_dir)
+    candidates = _ivf_candidates(e, assigned, nearest_cells, nprobe)
+    return _ivf_topk3(candidates)
+
+
+def _ivf_index(spark: SparkSession, sf_dir: str):
+    """Build the IVF index once: normalized corpus, fitted coarse
+    quantizer, and the multi-assigned inverted lists. Shared by
+    sim_topk_ivf (default probe width) and sim_topk_ivf_probe_sweep
+    (several widths over ONE fitted index). Returns
+    ``(e, assigned, nearest_cells, default_nprobe)``."""
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
@@ -404,7 +415,7 @@ def sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
 
-    def _nearest_cells(unit_col: str, top: int):
+    def nearest_cells(unit_col: str, top: int):
         scored = F.transform(
             centers_arr,
             lambda s: F.struct(
@@ -427,18 +438,41 @@ def sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     assigned = e.select(
         "vec_id",
         F.col("embedding").alias("b"),
-        F.explode(_nearest_cells("vn", IVF_NASSIGN)["cell"]).alias("cell"),
+        F.explode(nearest_cells("vn", IVF_NASSIGN)["cell"]).alias("cell"),
     )
+    return e, assigned, nearest_cells, nprobe
 
+
+def _ivf_candidates(e, assigned, nearest_cells, nprobe: int) -> DataFrame:
+    """Deduped (query, candidate) pairs reached through ``nprobe``
+    probed cells — the relation whose size is the cost side of the
+    recall/cost dial the probe sweep measures."""
     # nearest nprobe cells per query vector, same unit-space kernel
     probes = (
         e.filter(F.col("vec_id") < 10)
         .select(
             F.col("vec_id").alias("query_id"),
             F.col("embedding").alias("a"),
-            F.explode(_nearest_cells("vn", nprobe)["cell"]).alias("cell"),
+            F.explode(nearest_cells("vn", nprobe)["cell"]).alias("cell"),
         )
     )
+    return (
+        probes.join(assigned, "cell")
+        .filter(F.col("query_id") != F.col("vec_id"))
+        .withColumnRenamed("vec_id", "neighbor_id")
+        # a candidate sharing ≥2 probed cells with the query arrives
+        # once per shared cell — dedup before ranking so row_number
+        # never double-counts a neighbor. One explicit hash on
+        # query_id serves BOTH the pair-dedup (hash(query_id)
+        # satisfies clustering on the superset key) and the top-k
+        # window — without it Catalyst exchanges twice.
+        .repartition("query_id")
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+
+
+def _ivf_topk3(candidates: DataFrame) -> DataFrame:
+    """Exact cosine top-3 within the candidate set."""
     # dirty-data tolerance on the scale path: a zero-norm side makes
     # the denominator 0, which ANSI mode turns into a job-killing
     # DIVIDE_BY_ZERO — nullif degrades those pairs to NULL cosine
@@ -453,18 +487,7 @@ def sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cos_raw").desc(), F.col("neighbor_id").asc()
     )
     return (
-        probes.join(assigned, "cell")
-        .filter(F.col("query_id") != F.col("vec_id"))
-        .withColumnRenamed("vec_id", "neighbor_id")
-        # a candidate sharing ≥2 probed cells with the query arrives
-        # once per shared cell — dedup before ranking so row_number
-        # never double-counts a neighbor. One explicit hash on
-        # query_id serves BOTH the pair-dedup (hash(query_id)
-        # satisfies clustering on the superset key) and the top-k
-        # window — without it Catalyst exchanges twice.
-        .repartition("query_id")
-        .dropDuplicates(["query_id", "neighbor_id"])
-        .withColumn("cos_raw", cos)
+        candidates.withColumn("cos_raw", cos)
         .withColumn("rn", F.row_number().over(wtop).cast("int"))
         .filter(F.col("rn") <= 3)
         .select(
@@ -474,6 +497,89 @@ def sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rn",
         )
     )
+
+
+@query("sim_topk_ivf_probe_sweep")
+def sim_topk_ivf_probe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The IVF recall/cost tuning curve: fit the coarse quantizer ONCE,
+    then evaluate the probe widths {1, 2, 4, default} against the
+    exact brute-force top-3, reporting per width the candidate volume
+    (the cost) and recall@3 (the quality) — the sweep an ANN
+    deployment runs before fixing its probe knob, and the measurement
+    that justifies IVF_PROBE_FRAC's value in this module. rows-only
+    by nature (cell membership is quantizer-internal); the quality
+    gate is tests/test_vectors.py: recall non-decreasing in probe
+    width and the default width meeting the ≥ 0.9 floor.
+
+    Scale design: the index (KMeans fit + multi-assigned inverted
+    lists) is built once and the assigned/corpus relations are
+    scoped-persisted across the four evaluations — only the probe
+    explode and the candidate join re-run per width, which is exactly
+    the marginal cost the curve is measuring. The exact baseline is
+    the same bounded 10-query brute-force block as
+    sim_topk_neighbors; every per-width row reduces to three 1-row
+    aggregates joined by literal width."""
+    from movierecommender_sentimentanalysissytem_spark.plans.caching import (
+        scoped_persist,
+    )
+
+    e, assigned, nearest_cells, default_nprobe = _ivf_index(spark, sf_dir)
+    e = scoped_persist(e)
+    assigned = scoped_persist(assigned)
+
+    # exact brute-force top-3 over the same 10-query block (the
+    # recall denominator), computed once
+    qblock = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("a")
+    )
+    corpus = e.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("b")
+    )
+    cos = F.expr(_DOT) / F.nullif(
+        F.expr(_NORM.format(v="a")) * F.expr(_NORM.format(v="b")),
+        F.lit(0.0),
+    )
+    wtop = Window.partitionBy("query_id").orderBy(
+        F.col("cos_raw").desc(), F.col("neighbor_id").asc()
+    )
+    exact3 = scoped_persist(
+        qblock.join(corpus, F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cos_raw", cos)
+        .withColumn("rn", F.row_number().over(wtop))
+        .filter(F.col("rn") <= 3)
+        .select("query_id", "neighbor_id")
+    )
+
+    widths = sorted({1, 2, 4, default_nprobe})
+    out = None
+    for nprobe in widths:
+        cand = _ivf_candidates(e, assigned, nearest_cells, nprobe)
+        ivf3 = _ivf_topk3(cand).select("query_id", "neighbor_id")
+        n_cand = cand.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_candidates")
+        )
+        hits = ivf3.join(
+            exact3, ["query_id", "neighbor_id"], "left_semi"
+        ).agg(F.count(F.lit(1)).cast("bigint").alias("n_hits"))
+        n_exact = exact3.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_exact")
+        )
+        row = (
+            n_cand.crossJoin(F.broadcast(hits))
+            .crossJoin(F.broadcast(n_exact))
+            .select(
+                F.lit(nprobe).cast("int").alias("nprobe"),
+                F.lit(nprobe == default_nprobe).alias("is_default"),
+                "n_candidates",
+                "n_hits",
+                "n_exact",
+                round4(
+                    F.col("n_hits").cast("double") / F.col("n_exact")
+                ).alias("recall_at_3"),
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
 
 
 @query(

@@ -1332,3 +1332,135 @@ def stats_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("p_value"),
         )
     )
+
+
+def _pair_sign_sql(engine: str) -> str:
+    """±1 sign for user ``user_id`` in paired permutation ``b`` — the
+    same cross-engine 60-bit md5 gate as the unpaired test, under its
+    own seed so the two tests' null draws are decorrelated."""
+    from movierecommender_sentimentanalysissytem_spark.functions.dedup import (
+        _duck_h,
+        _spark_h,
+    )
+
+    h = _spark_h if engine == "spark" else _duck_h
+    return (
+        "(1 - 2 * ("
+        + h("pairperm", "concat(CAST(user_id AS STRING), ':', CAST(b AS STRING))")
+        + " % 2))"
+    )
+
+
+@query(
+    "stats_permutation_test_paired",
+    oracle=f"""
+    WITH user_diffs AS (
+        SELECT user_id,
+               CAST(SUM(CASE WHEN EXTRACT(DAY FROM ts) % 2 = 0
+                             THEN CAST(FLOOR(value * 100) AS BIGINT)
+                             ELSE -CAST(FLOOR(value * 100) AS BIGINT)
+                        END) AS BIGINT) AS d
+        FROM events GROUP BY user_id
+    ),
+    obs AS (
+        SELECT ABS(CAST(SUM(d) AS DOUBLE) / COUNT(*)) AS stat_obs,
+               CAST(COUNT(*) AS BIGINT) AS n_users
+        FROM user_diffs
+    ),
+    perms AS (
+        SELECT b.b, u.d, {_pair_sign_sql('duck')} AS sgn
+        FROM user_diffs u
+        CROSS JOIN (SELECT UNNEST(range(1, 100)) AS b) b
+    ),
+    perm_stats AS (
+        SELECT b, ABS(CAST(SUM(d * sgn) AS DOUBLE) / COUNT(*)) AS stat
+        FROM perms GROUP BY b
+    )
+    SELECT o.n_users,
+           FLOOR(o.stat_obs * 10000 + 0.5) / 10000 AS stat_obs_cents,
+           CAST(COUNT(*) AS BIGINT) AS n_perm,
+           CAST(SUM(CASE WHEN p.stat >= o.stat_obs THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_ge,
+           FLOOR((CAST(1 + SUM(CASE WHEN p.stat >= o.stat_obs
+                                    THEN 1 ELSE 0 END) AS DOUBLE)
+                  / (1 + COUNT(*))) * 10000 + 0.5) / 10000 AS p_value
+    FROM perm_stats p CROSS JOIN obs o
+    GROUP BY o.n_users, o.stat_obs
+    """,
+)
+def stats_permutation_test_paired(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Paired (sign-flip) permutation test — the within-subject sibling
+    of stats_permutation_test: is each user's spend on even days of
+    the month different from their spend on odd days? The paired
+    design removes between-user variance entirely (every user is
+    their own control), so the statistic is the mean of per-user
+    DIFFERENCES and the null is generated by randomly flipping each
+    difference's SIGN — the exchangeability assumption is within-user,
+    which survives arbitrarily skewed user populations that would
+    need huge B under the unpaired test. Signs come from the portable
+    md5 hash of (user_id, b) under a dedicated seed, so all 99
+    permutations are deterministic and the whole Monte-Carlo
+    procedure is hash-exact cross-engine. No degenerate-permutation
+    filter is needed: a sign flip never empties a group, so B is
+    always exactly 99 (one structural difference from the unpaired
+    key, where a permutation can empty a cohort).
+
+    Exactness: per-user diffs are exact integer CENTS (each row
+    enters as ±floor(value·100)); every permutation statistic is
+    |exact_sum / n| — one double division per statistic, bit-identical
+    both engines; p = (1 + #{stat_b ≥ stat_obs}) / (1 + B) exact.
+
+    Scale design: identical to the unpaired key — events reduce to
+    O(users) rows first (the only wide shuffle), the 99× fan-out
+    explodes the compact diff relation with map-side combine on b. At
+    100 TB the permutation stage is O(users · B) rows, stateless."""
+    from movierecommender_sentimentanalysissytem_spark.plans.caching import (
+        scoped_persist,
+    )
+
+    ev = table(spark, sf_dir, "events")
+    cents = F.floor(F.col("value") * 100).cast("bigint")
+    signed = F.when(F.dayofmonth("ts") % 2 == 0, cents).otherwise(-cents)
+    user_diffs = scoped_persist(
+        ev.groupBy("user_id").agg(F.sum(signed).alias("d"))
+    )
+    obs = user_diffs.agg(
+        F.abs(F.sum("d").cast("double") / F.count(F.lit(1))).alias(
+            "stat_obs"
+        ),
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+    )
+    perms = user_diffs.crossJoin(
+        F.broadcast(
+            spark.range(1, 100).select(F.col("id").cast("int").alias("b"))
+        )
+    ).withColumn("sgn", F.expr(_pair_sign_sql("spark")))
+    perm_stats = perms.groupBy("b").agg(
+        F.abs(
+            F.sum(F.col("d") * F.col("sgn")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("stat")
+    )
+    return (
+        perm_stats.crossJoin(F.broadcast(obs))
+        .groupBy("n_users", "stat_obs")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_perm"),
+            F.sum(
+                F.when(F.col("stat") >= F.col("stat_obs"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_ge"),
+        )
+        .select(
+            "n_users",
+            round4(F.col("stat_obs")).alias("stat_obs_cents"),
+            "n_perm",
+            "n_ge",
+            round4(
+                (1 + F.col("n_ge")).cast("double") / (1 + F.col("n_perm"))
+            ).alias("p_value"),
+        )
+    )

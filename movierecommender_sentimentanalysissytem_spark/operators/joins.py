@@ -1138,3 +1138,147 @@ def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o.join(best, o.o_orderkey == best.bk, "left").select(
         "o_orderkey", "event_id", "gap_s"
     )
+
+
+# Shared polygon constants for geo_point_in_polygon: integer-valued
+# vertices (exact double literals on both engines). One Python source
+# generates BOTH the Spark literal array and the DuckDB struct-list SQL
+# so the two sides cannot desynchronize. Shapes chosen to exercise the
+# ray-cast parity logic: a triangle, an axis-aligned rectangle, and a
+# NON-convex chevron (whose notch is exactly what bounding-box tests
+# get wrong and ray casting gets right).
+_PIP_POLYGONS: list[tuple[int, list[tuple[float, float]]]] = [
+    (1, [(10.0, 10.0), (40.0, 10.0), (25.0, 35.0)]),
+    (2, [(50.0, 50.0), (90.0, 50.0), (90.0, 80.0), (50.0, 80.0)]),
+    (3, [(10.0, 60.0), (25.0, 75.0), (40.0, 60.0), (40.0, 90.0), (10.0, 90.0)]),
+]
+
+
+def _pip_bbox(verts: list[tuple[float, float]]) -> tuple[float, float, float, float]:
+    xs = [v[0] for v in verts]
+    ys = [v[1] for v in verts]
+    return min(xs), max(xs), min(ys), max(ys)
+
+
+def _pip_duck_polys() -> str:
+    """DuckDB constant relation: polygon_id, vs (list of {px, py}), bbox."""
+    rows = []
+    for pid, verts in _PIP_POLYGONS:
+        lst = ", ".join(
+            "{'px': %.1f, 'py': %.1f}" % (px, py) for px, py in verts
+        )
+        x0, x1, y0, y1 = _pip_bbox(verts)
+        rows.append(
+            f"SELECT {pid} AS polygon_id, [{lst}] AS vs, "
+            f"{x0:.1f} AS bx0, {x1:.1f} AS bx1, "
+            f"{y0:.1f} AS by0, {y1:.1f} AS by1"
+        )
+    return " UNION ALL ".join(rows)
+
+
+# Ray cast: count edges whose half-open y-span covers the point's y and
+# whose x-intercept at that y lies strictly right of the point; odd
+# count = inside. The division is reached ONLY inside the outer CASE
+# branch (where vi.py != vj.py is guaranteed by the span test) — an
+# AND-form would evaluate both conjuncts and die on DIVIDE_BY_ZERO
+# under ANSI mode for horizontal edges. 1-based indexing on both
+# engines; vj wraps via (i % n) + 1.
+_PIP_SPARK_INSIDE = """
+aggregate(sequence(1, size(vs)), 0, (acc, i) -> acc +
+  CASE WHEN (element_at(vs, i).py > y)
+            != (element_at(vs, (i % size(vs)) + 1).py > y)
+       THEN CASE WHEN x < element_at(vs, i).px
+                 + (element_at(vs, (i % size(vs)) + 1).px
+                    - element_at(vs, i).px)
+                 * (y - element_at(vs, i).py)
+                 / (element_at(vs, (i % size(vs)) + 1).py
+                    - element_at(vs, i).py)
+                 THEN 1 ELSE 0 END
+       ELSE 0 END) % 2 = 1
+"""
+
+_PIP_DUCK_INSIDE = """
+list_reduce(list_prepend(0, list_transform(range(1, len(vs) + 1), i ->
+  CASE WHEN (vs[i].py > y) != (vs[(i % len(vs)) + 1].py > y)
+       THEN CASE WHEN x < vs[i].px
+                 + (vs[(i % len(vs)) + 1].px - vs[i].px)
+                 * (y - vs[i].py)
+                 / (vs[(i % len(vs)) + 1].py - vs[i].py)
+                 THEN 1 ELSE 0 END
+       ELSE 0 END)), (a, b) -> a + b) % 2 = 1
+"""
+
+
+@query(
+    "geo_point_in_polygon",
+    oracle=f"""
+    WITH pts AS (
+        SELECT c_custkey,
+               ((c_custkey * 131) % 1000) / 10.0 AS x,
+               ((c_custkey * 197) % 1000) / 10.0 AS y
+        FROM customer
+    ),
+    polys AS ({_pip_duck_polys()})
+    SELECT c_custkey, polygon_id,
+           FLOOR(x * 10000 + 0.5) / 10000 AS x,
+           FLOOR(y * 10000 + 0.5) / 10000 AS y
+    FROM pts JOIN polys
+      ON x >= bx0 AND x <= bx1 AND y >= by0 AND y <= by1
+    WHERE {_PIP_DUCK_INSIDE}
+    """,
+)
+def geo_point_in_polygon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-polygon join via ray casting, entirely in codegen-able
+    higher-order functions: which customers (synthetic key-derived
+    coordinates on the same 100×100 field as geo_grid_proximity_join)
+    fall inside each of three constant polygons — the geofencing /
+    region-tagging primitive (triangle, rectangle, and a NON-convex
+    chevron whose notch defeats bbox-only classification). The edge-
+    crossing count is an in-order integer fold over the vertex array
+    (Spark ``aggregate(sequence(...))`` mirrored by DuckDB
+    ``list_reduce``), with the x-intercept division guarded by nested
+    CASE so ANSI mode never sees a horizontal edge's zero denominator.
+    All vertex literals are integer-valued doubles from ONE shared
+    Python constant, and the point coordinates are exact small-integer
+    arithmetic — every crossing comparison is over bit-identical
+    doubles cross-engine.
+
+    Scale design: the polygon relation is a tiny broadcast (the
+    standard spatial-join asymmetry: billions of points, thousands of
+    fence polygons); each point tests only polygons whose bounding box
+    it enters (the join condition — a band join Catalyst executes as
+    BroadcastNestedLoop over 3 rows), and the O(vertices) exact test
+    runs only on bbox survivors. No shuffle at all on the point side:
+    at 100 TB this is a pure map with a broadcast probe."""
+    c = table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        (((F.col("c_custkey") * 131) % 1000) / 10.0).alias("x"),
+        (((F.col("c_custkey") * 197) % 1000) / 10.0).alias("y"),
+    )
+    poly_rows = []
+    for pid, verts in _PIP_POLYGONS:
+        x0, x1, y0, y1 = _pip_bbox(verts)
+        poly_rows.append(
+            (pid, [{"px": px, "py": py} for px, py in verts], x0, x1, y0, y1)
+        )
+    polys = spark.createDataFrame(
+        poly_rows,
+        "polygon_id int, vs array<struct<px: double, py: double>>, "
+        "bx0 double, bx1 double, by0 double, by1 double",
+    )
+    return (
+        c.join(
+            F.broadcast(polys),
+            (F.col("x") >= F.col("bx0"))
+            & (F.col("x") <= F.col("bx1"))
+            & (F.col("y") >= F.col("by0"))
+            & (F.col("y") <= F.col("by1")),
+        )
+        .filter(F.expr(_PIP_SPARK_INSIDE))
+        .select(
+            "c_custkey",
+            "polygon_id",
+            round4(F.col("x")).alias("x"),
+            round4(F.col("y")).alias("y"),
+        )
+    )

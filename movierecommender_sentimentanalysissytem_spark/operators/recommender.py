@@ -921,6 +921,135 @@ def rec_eval_map_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "rec_eval_coverage_at_k",
+    oracle="""
+    WITH ratings AS (
+        SELECT o_custkey AS u, l_partkey AS item, o_orderkey AS ok
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    ),
+    top10 AS (
+        SELECT item, ROW_NUMBER() OVER (ORDER BY cnt DESC, item ASC) AS rk
+        FROM (
+            SELECT item, COUNT(*) AS cnt FROM ratings
+            WHERE ok % 4 != 0 GROUP BY item
+        ) ORDER BY cnt DESC, item ASC LIMIT 10
+    ),
+    test AS (
+        SELECT DISTINCT u, item FROM ratings WHERE ok % 4 = 0
+    ),
+    user_min AS (
+        SELECT t.u, MIN(tp.rk) AS minrk
+        FROM test t LEFT JOIN top10 tp ON t.item = tp.item
+        GROUP BY t.u
+    ),
+    item_min AS (
+        SELECT t.item, MIN(tp.rk) AS minrk
+        FROM (SELECT DISTINCT item FROM test) t
+        LEFT JOIN top10 tp ON t.item = tp.item
+        GROUP BY t.item
+    ),
+    ks AS (SELECT UNNEST([1, 3, 5, 10]) AS k),
+    u_agg AS (
+        SELECT k, CAST(COUNT(*) AS BIGINT) AS n_users,
+               CAST(SUM(CASE WHEN minrk <= k THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_users_hit
+        FROM user_min CROSS JOIN ks GROUP BY k
+    ),
+    i_agg AS (
+        SELECT k, CAST(COUNT(*) AS BIGINT) AS n_test_items,
+               CAST(SUM(CASE WHEN minrk <= k THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_test_items_covered
+        FROM item_min CROSS JOIN ks GROUP BY k
+    )
+    SELECT CAST(u.k AS BIGINT) AS k, u.n_users, u.n_users_hit,
+           FLOOR(CAST(u.n_users_hit AS DOUBLE) / u.n_users
+                 * 10000 + 0.5) / 10000 AS hit_rate,
+           i.n_test_items, i.n_test_items_covered,
+           FLOOR(CAST(i.n_test_items_covered AS DOUBLE) / i.n_test_items
+                 * 10000 + 0.5) / 10000 AS item_coverage
+    FROM u_agg u JOIN i_agg i USING (k)
+    """,
+)
+def rec_eval_coverage_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Coverage curve for the ranked candidate list: hit-rate@k (the
+    fraction of test users with at least one held-out item inside the
+    top-k) and test-item coverage@k (the fraction of distinct held-out
+    items the top-k list can ever retrieve), swept over
+    k ∈ {1, 3, 5, 10} — the truncation-depth tuning curve that sits
+    beside precision/NDCG/MAP in this family (same deterministic
+    o_orderkey % 4 holdout, same ranked top-10 candidate list). It
+    answers the question the point metrics can't: how much of the
+    eval population is REACHABLE at each display depth, which is what
+    a UI team actually trades off when picking carousel length.
+
+    Scale design: each side reduces to a per-user / per-item MIN rank
+    over the broadcast k-row probe (one shuffle each, map-side
+    combinable); the k sweep then fans out the REDUCED relations — a
+    4× explode of O(users)+O(items) rows, never the interaction table.
+    All counts are exact integers; the two ratios divide once, under
+    the stable 4-dp round."""
+    r = _ratings_with_order(spark, sf_dir)
+    train = r.filter(F.col("ok") % 4 != 0)
+    test = r.filter(F.col("ok") % 4 == 0).select("u", "item").distinct()
+    wrk = Window.orderBy(F.col("cnt").desc(), F.col("item").asc())
+    top10 = (
+        train.groupBy("item")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("item").asc())
+        .limit(10)
+        .withColumn("rk", F.row_number().over(wrk))
+        .select(F.col("item").alias("top_item"), "rk")
+    )
+    ks = F.broadcast(
+        spark.range(0, 4).select(
+            F.element_at(
+                F.array(F.lit(1), F.lit(3), F.lit(5), F.lit(10)),
+                (F.col("id") + 1).cast("int"),
+            )
+            .cast("bigint")
+            .alias("k")
+        )
+    )
+    user_min = (
+        test.join(F.broadcast(top10), test.item == F.col("top_item"), "left")
+        .groupBy("u")
+        .agg(F.min("rk").alias("minrk"))
+    )
+    item_min = (
+        test.select("item")
+        .distinct()
+        .join(F.broadcast(top10), F.col("item") == F.col("top_item"), "left")
+        .groupBy("item")
+        .agg(F.min("rk").alias("minrk"))
+    )
+    hit = F.sum(
+        F.when(F.col("minrk") <= F.col("k"), 1).otherwise(0)
+    ).cast("bigint")
+    u_agg = user_min.crossJoin(ks).groupBy("k").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        hit.alias("n_users_hit"),
+    )
+    i_agg = item_min.crossJoin(ks).groupBy("k").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_test_items"),
+        hit.alias("n_test_items_covered"),
+    )
+    return u_agg.join(i_agg, "k").select(
+        "k",
+        "n_users",
+        "n_users_hit",
+        round4(
+            F.col("n_users_hit").cast("double") / F.col("n_users")
+        ).alias("hit_rate"),
+        "n_test_items",
+        "n_test_items_covered",
+        round4(
+            F.col("n_test_items_covered").cast("double")
+            / F.col("n_test_items")
+        ).alias("item_coverage"),
+    )
+
+
+@query(
     "rec_multihop_expansion",
     oracle="""
     WITH ratings AS (

@@ -1173,3 +1173,73 @@ def quality_fk_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.unionByName(row)
     return out
+
+
+@query(
+    "quality_seq_gap_audit",
+    oracle="""
+    WITH gaps AS (
+        SELECT event_type, event_id,
+               event_id - LAG(event_id) OVER (
+                   PARTITION BY event_type ORDER BY event_id) AS gap
+        FROM events
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(MIN(event_id) AS BIGINT) AS min_id,
+           CAST(MAX(event_id) AS BIGINT) AS max_id,
+           CAST(MAX(event_id) - MIN(event_id) + 1 - COUNT(*) AS BIGINT)
+               AS missing,
+           FLOOR(CAST(COUNT(*) AS DOUBLE)
+                 / (MAX(event_id) - MIN(event_id) + 1) * 10000 + 0.5)
+               / 10000 AS density,
+           CAST(MAX(gap) AS BIGINT) AS max_adjacent_gap,
+           CAST(COUNT(*) - COUNT(DISTINCT event_id) AS BIGINT)
+               AS n_duplicate_ids
+    FROM gaps
+    GROUP BY event_type
+    """,
+)
+def quality_seq_gap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-gap audit over a monotonically-assigned id column: per
+    event_type, how much of the id range [min, max] is actually
+    present (missing count + density), the largest adjacent gap, and
+    duplicate-id count — the "did my ingest drop or replay rows" check
+    a pipeline runs on every partition of a sequenced feed before
+    trusting downstream counts. event_id is a global dense sequence,
+    so per-type streams are naturally gapped and the audit is
+    non-degenerate: each type's density ≈ its share of traffic, and a
+    max_adjacent_gap far above 1/density flags a type-specific outage
+    window rather than random thinning.
+
+    Scale design: one window (partition by type, ordered by id — the
+    partition-local sort a real sequenced feed is usually already
+    clustered by) feeding one map-side-combinable aggregate; the
+    COUNT DISTINCT rides the same shuffle key. No joins, no driver
+    state; output is O(#types) rows. All columns are exact integers
+    except density, one division under the stable 4-dp round."""
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("event_id")
+    gaps = ev.select(
+        "event_type",
+        "event_id",
+        (F.col("event_id") - F.lag("event_id").over(w)).alias("gap"),
+    )
+    return gaps.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.min("event_id").cast("bigint").alias("min_id"),
+        F.max("event_id").cast("bigint").alias("max_id"),
+        (
+            F.max("event_id") - F.min("event_id") + 1 - F.count(F.lit(1))
+        )
+        .cast("bigint")
+        .alias("missing"),
+        round4(
+            F.count(F.lit(1)).cast("double")
+            / (F.max("event_id") - F.min("event_id") + 1)
+        ).alias("density"),
+        F.max("gap").cast("bigint").alias("max_adjacent_gap"),
+        (F.count(F.lit(1)) - F.countDistinct("event_id"))
+        .cast("bigint")
+        .alias("n_duplicate_ids"),
+    )

@@ -111,6 +111,18 @@ NLJ_OK = {
                                # permutation index onto the O(users)
                                # sum relation, and the 1-row observed
                                # statistic onto the 99-row perm stats
+    "stats_permutation_test_paired",  # same class: 99-row sign-flip
+                                      # index onto the O(users) diff
+                                      # relation + 1-row observed stat
+    "geo_point_in_polygon",  # 3-row polygon-fence broadcast with bbox
+                             # band predicates — the spatial-join
+                             # asymmetry (billions of points, a tiny
+                             # fence relation) is the operator's point
+    "rec_eval_coverage_at_k",  # 4-row literal k-sweep broadcast onto
+                               # the O(users)/O(items) min-rank rollups
+    "sim_topk_ivf_probe_sweep",  # three 1-row count aggregates crossed
+                                 # per probe width (bounded 4-width
+                                 # sweep over one fitted index)
 }
 
 

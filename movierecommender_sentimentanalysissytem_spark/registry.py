@@ -481,6 +481,21 @@ _NEW_R7C = frozenset(
 )
 
 
+# Keys first registered in round 8 (the staged list from the round-7
+# handoff). They sort BEHIND the 8 rewritten-priority keys and, being
+# the only unchecked keys at the start of round 8 (cumulative coverage
+# closed at 338/338 in r7), they take the sweep positions right after
+# the priority head; the remaining budget re-checks the stalest r1
+# rows.
+_NEW_R8 = frozenset(
+    """
+    rec_eval_coverage_at_k dedup_ngram_containment
+    stats_permutation_test_paired quality_seq_gap_audit
+    geo_point_in_polygon sim_topk_ivf_probe_sweep
+    """.split()
+)
+
+
 def _sweep_order(keys: list[str]) -> list[str]:
     """Order keys so a budget-limited driver sweep (50 keys/round, dict
     order) maximizes NEW verification signal each round:
@@ -532,7 +547,9 @@ def _sweep_order(keys: list[str]) -> list[str]:
             prio.get(k, 0),
             last_checked.get(k, 0),
             # debut round: longer-waiting keys before newer additions
-            6
+            7
+            if k in _NEW_R8
+            else 6
             if k in _NEW_R7C
             else (
                 5

@@ -129,6 +129,7 @@ def test_checked_tail_is_staleness_ordered():
         _R4_DRIVER_CHECKED,
         _R5_DRIVER_CHECKED,
         _R6_DRIVER_CHECKED,
+        _R7_DRIVER_CHECKED,
         queries,
     )
 
@@ -136,7 +137,8 @@ def test_checked_tail_is_staleness_ordered():
     for rnd, checked in enumerate(
         (_R1_DRIVER_CHECKED, _R2_DRIVER_CHECKED,
          _R3_DRIVER_CHECKED, _R4_DRIVER_CHECKED,
-         _R5_DRIVER_CHECKED, _R6_DRIVER_CHECKED),
+         _R5_DRIVER_CHECKED, _R6_DRIVER_CHECKED,
+         _R7_DRIVER_CHECKED),
         start=1,
     ):
         for k in checked:

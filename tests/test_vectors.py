@@ -187,3 +187,22 @@ def test_embedding_dim_matches_shared_constant(spark, sf_dir):
         f"embeddings.embedding dims [{row.lo}, {row.hi}] @ {sf_dir} "
         f"!= shared EMBEDDING_DIM {EMBEDDING_DIM}"
     )
+
+
+def test_ivf_probe_sweep_curve(spark):
+    """The probe sweep must behave like a tuning curve: candidate
+    volume strictly grows with probe width, recall is non-decreasing,
+    and the default width (flagged is_default) meets the same ≥ 0.9
+    floor sim_topk_ivf is held to. This is the quality gate for the
+    rows-only sweep key."""
+    rows = sorted(
+        QS["sim_topk_ivf_probe_sweep"](spark, SF_ORACLE).collect(),
+        key=lambda r: r.nprobe,
+    )
+    assert len(rows) >= 3
+    cands = [r.n_candidates for r in rows]
+    recalls = [r.recall_at_3 for r in rows]
+    assert cands == sorted(cands) and cands[0] < cands[-1]
+    assert all(b >= a - 1e-9 for a, b in zip(recalls, recalls[1:])), recalls
+    default = [r for r in rows if r.is_default]
+    assert len(default) == 1 and default[0].recall_at_3 >= 0.9
