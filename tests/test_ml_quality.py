@@ -100,3 +100,55 @@ def test_dimsum_estimator_recovers_structured_similarity(
     mean_err = sum(errs) / len(errs)
     assert mean_err <= 0.12, f"mean estimator error {mean_err:.3f} > 0.12"
     assert max(errs) <= 0.35, f"worst-pair error {max(errs):.3f} > 0.35"
+
+
+def test_dimsum_live_fixture_drift_pins(spark):
+    """Live-fixture pins so future γ/support knob changes can't
+    SILENTLY change the DIMSUM survivor set (round-7 verdict item 5).
+
+    Round-8 measurement corrected a round-7 premise: on the live
+    fixtures sampling is active on essentially every item column
+    (norms average ≈160 vs √γ = 100; only 3/2000 items unsampled at
+    sf0.01), so the survivor set is a genuinely sampled estimate and
+    pair-set IDENTITY with the exact form does NOT hold (sf0.01:
+    275 exact vs 1676 sampled, 45 common; sf0.1: 10 vs 217). What IS
+    invariant, and what this test pins at both SFs:
+
+    1. determinism — the md5-gated sampling makes the survivor map a
+       pure function of (data, knobs): two runs must agree exactly;
+    2. estimator error on the common pairs — measured mean 0.187 /
+       max 0.450 at sf0.01 and 0.075 / 0.080 at sf0.1; floors allow
+       0.25/0.55 and 0.15/0.20;
+    3. survivor-set density — the sampled set sits within a wide but
+       bounded band of the exact count (measured 6.1× and 21.7×); a
+       γ slip (e.g. √γ 100 → 10 starves support; → 10000 degenerates
+       to exact) exits the band at once.
+    """
+    from tests.conftest import SF_ORACLE, SF_TENTH
+
+    bounds = {
+        SF_ORACLE: dict(mean=0.25, mx=0.55, lo=1.0, hi=40.0),
+        SF_TENTH: dict(mean=0.15, mx=0.20, lo=1.0, hi=40.0),
+    }
+    for sf, b in bounds.items():
+        exact = {
+            (r.item_a, r.item_b): r.cos_sim
+            for r in QS["rec_item_similarity"](spark, sf).collect()
+        }
+        est = {
+            (r.item_a, r.item_b): r.cos_est
+            for r in QS["rec_item_similarity_dimsum"](spark, sf).collect()
+        }
+        est2 = {
+            (r.item_a, r.item_b): r.cos_est
+            for r in QS["rec_item_similarity_dimsum"](spark, sf).collect()
+        }
+        assert est == est2, f"sampled survivor set not deterministic @ {sf}"
+        common = set(exact) & set(est)
+        assert common, f"no common pairs @ {sf}"
+        errs = [abs(est[p] - exact[p]) for p in common]
+        mean_err = sum(errs) / len(errs)
+        assert mean_err <= b["mean"], (sf, mean_err)
+        assert max(errs) <= b["mx"], (sf, max(errs))
+        ratio = len(est) / len(exact)
+        assert b["lo"] <= ratio <= b["hi"], (sf, len(exact), len(est))
