@@ -409,18 +409,30 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Blocked n-gram Jaccard as a true EQUI-join: candidates must share
-    a language and sit within a ±30-char length band, then exact 3-gram
-    Jaccard ≥ 0.3 verifies.
+    """Blocked n-gram Jaccard: candidates must share a language, sit
+    within a ±30-char length band, AND share at least one 3-gram
+    shingle (an inverted-index equi-join on the shingle), then exact
+    Jaccard ≥ 0.3 verifies. The shingle-sharing requirement is implied
+    by the threshold — j ≥ 0.3 > 0 forces a non-empty intersection —
+    so candidate generation through the inverted index produces the
+    IDENTICAL result set as the declarative formulation (the oracle is
+    unchanged); it is purely a plan refinement.
 
-    The length band is binned (the join_range_binned idiom): bin width
-    equals the band width, the probe side explodes each doc into its
-    three neighboring bins, and the join becomes a hash equi-join on
-    (lang, bin). |Δn_chars| ≤ 30 guarantees the partner's bin is within
-    ±1 and each bin matches exactly once, so the pair set is identical
-    to the naive inequality formulation — but the plan is a shuffled
-    hash/sort-merge join whose work is Σ|block|², not a nested-loop
-    Σ|lang|² (quadratic in the corpus for low-cardinality lang).
+    Why not the (lang, length-bin) band join alone (the round-2..7
+    plan): that blocking key does not get finer as the corpus grows —
+    at 10x data every (lang, bin) block holds 10x the docs and the
+    verifier pays Σ|block|² ≈ 100x (measured 17.8x wall at 10x in
+    SCALE.md addendum 5 before this rewrite). The shingle join's block
+    key is the shingle itself, whose posting lists grow only with
+    genuine text duplication, not with corpus size: measured candidate
+    volume falls 250k → 41k at sf0.1 and the 10x smoke drops to the
+    linear regime (addendum 5). Degenerate risk: a boilerplate shingle
+    shared by millions of docs makes one posting list quadratic — the
+    capped-frequency variant that bounds this (dropping stop-shingles
+    > 20 docs, mirrored in its oracle) is dedup_ngram_containment's
+    blocking; this key keeps the UNCAPPED exact semantics as the
+    oracle baseline, band-join pre-filters keep the join narrow, and
+    a real corpus at 100 TB would flip to the capped or MinHash path.
 
     Per-pair cost: shingle arrays are DISTINCT sets, so
     ``|A ∪ B| = |A| + |B| − |A ∩ B|`` exactly — the verifier
@@ -438,48 +450,61 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("w", F.split("text", " "))
         .filter(F.size("w") >= 3)
     )
-    sh = d.select(
-        "doc_id",
-        "lang",
-        "n_chars",
-        F.expr(_SPARK_SHINGLES_W).alias("s"),
-        F.floor(F.col("n_chars") / F.lit(30)).alias("bin"),
+    # the shingle relation feeds the inverted index AND both verify
+    # sides — persist so the split+shingle pass runs once
+    sh = scoped_persist(
+        d.select(
+            "doc_id",
+            "lang",
+            "n_chars",
+            F.expr(_SPARK_SHINGLES_W).alias("s"),
+        )
+    )
+    ex = sh.select("doc_id", "lang", "n_chars", F.explode("s").alias("g"))
+    cand = (
+        ex.select(
+            F.col("doc_id").alias("doc_a"),
+            F.col("lang").alias("lang_a"),
+            F.col("n_chars").alias("nc_a"),
+            "g",
+        )
+        .join(
+            ex.select(
+                F.col("doc_id").alias("doc_b"),
+                F.col("lang").alias("lang_b"),
+                F.col("n_chars").alias("nc_b"),
+                "g",
+            ),
+            "g",
+        )
+        .filter(
+            (F.col("lang_a") == F.col("lang_b"))
+            & (F.col("doc_a") < F.col("doc_b"))
+            & (F.abs(F.col("nc_a") - F.col("nc_b")) <= 30)
+        )
+        .select("doc_a", "doc_b")
+        .distinct()
     )
     a = sh.select(
         F.col("doc_id").alias("doc_a"),
-        F.col("lang").alias("lang_a"),
-        F.col("n_chars").alias("nc_a"),
         F.col("s").alias("s_a"),
         F.size("s").alias("ns_a"),
-        F.explode(
-            F.array(F.col("bin") - 1, F.col("bin"), F.col("bin") + 1)
-        ).alias("pbin"),
     )
     b = sh.select(
         F.col("doc_id").alias("doc_b"),
-        F.col("lang").alias("lang_b"),
-        F.col("n_chars").alias("nc_b"),
         F.col("s").alias("s_b"),
         F.size("s").alias("ns_b"),
-        F.col("bin").alias("pbin_b"),
     )
     inter = F.size(F.array_intersect("s_a", "s_b"))
     jacc = inter.cast("double") / (F.col("ns_a") + F.col("ns_b") - inter)
-    # Explicit-N repartition on the join keys: the shingle tables are
-    # a few MB, so AQE's byte-based coalescing folds the join down to
-    # ONE task — but the work here is CPU per candidate pair, not
-    # bytes. REPARTITION_BY_NUM shuffles are exempt from coalescing,
-    # keeping the Σ|block|² verification spread across the cluster.
-    a = a.repartition(par, "pbin", "lang_a")
-    b = b.repartition(par, "pbin_b", "lang_b")
+    # Explicit-N repartition before the verify join: the candidate
+    # relation is a few MB, so AQE's byte-based coalescing would fold
+    # the CPU-heavy array_intersect stage into one task —
+    # REPARTITION_BY_NUM shuffles are exempt from coalescing.
     return (
-        a.join(
-            b,
-            (F.col("pbin") == F.col("pbin_b"))
-            & (F.col("lang_a") == F.col("lang_b"))
-            & (F.col("doc_a") < F.col("doc_b"))
-            & (F.abs(F.col("nc_a") - F.col("nc_b")) <= 30),
-        )
+        cand.repartition(par, "doc_a")
+        .join(a, "doc_a")
+        .join(b, "doc_b")
         .filter(jacc >= 0.3)
         .select("doc_a", "doc_b", round4(jacc).alias("jaccard"))
     )
