@@ -349,7 +349,7 @@ _EXPENSIVE = frozenset(
     ml_sentiment_pipeline ml_als_recommend
     stream_watermark_late stream_dedup stream_stateful_counter
     stream_stream_join stream_stream_left_join
-    sim_threshold_join sim_topk_ivf
+    sim_threshold_join sim_topk_ivf sim_topk_ivf_probe_sweep
     dedup_clusters rec_item_similarity
     scan_python_datasource sink_python_datasource
     """.split()

@@ -50,6 +50,11 @@ KEYS = (
     "graph_triangle_count",
     "text_tfidf",
     "sim_threshold_join_lsh",
+    # round 8: the exact n-gram pair — jaccard's inverted-index rewrite
+    # (addendum 5) must STAY sub-linear; containment is the capped
+    # control
+    "dedup_ngram_jaccard",
+    "dedup_ngram_containment",
 )
 
 # Key shifts chosen far above the sf0.1 id ranges (orderkey max 6e5,
