@@ -33,6 +33,10 @@ def main() -> None:
         .config("spark.sql.shuffle.partitions", cpus)
         .config("spark.driver.memory", "16g")
         .config("spark.sql.adaptive.enabled", "true")
+        # align with bench.py (round 8): without the small split size
+        # the single-file fixtures scan in 1-2 tasks and scan-bound
+        # keys rank ~2-3x worse here than under the bench config
+        .config("spark.sql.files.maxPartitionBytes", "16m")
         .appName("timing_audit")
         .getOrCreate()
     )
