@@ -245,6 +245,14 @@ REPRESENTATIVE = [
     "curation_soft_dedup_weights",
     "sim_distance_metrics",
     "stats_permutation_test",
+    # round-8 staged batch. sim_topk_ivf_probe_sweep excluded: the
+    # KMeans fit on an empty corpus is a documented MLlib error (the
+    # sim_topk_ivf exclusion class).
+    "rec_eval_coverage_at_k",
+    "dedup_ngram_containment",
+    "stats_permutation_test_paired",
+    "quality_seq_gap_audit",
+    "geo_point_in_polygon",
 ]
 
 
