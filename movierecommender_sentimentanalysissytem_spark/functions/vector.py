@@ -264,10 +264,24 @@ def sim_threshold_join_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``d² = 2(1 − cos)``, so cos ≥ 0.4 ⇔ d ≤ sqrt(1.2).
 
     This is the 100 TB path for sim_threshold_join: candidate pairs
-    come from bucket collisions (near-linear), not the n² cross join.
-    rows-checked; recall vs the brute-force oracle is asserted in
+    come from bucket collisions, not the n² cross join. rows-checked;
+    recall vs the brute-force oracle is asserted in
     tests/test_vectors.py.
-    """
+
+    Bucket geometry (retuned round 8): unit vectors project onto a
+    random direction with spread ≈ d/√dim ≈ 1/8, so the original
+    bucketLength=0.5 put essentially the whole corpus into 2-3 buckets
+    per table — every pair collided somewhere and the candidate join
+    degenerated toward all-pairs as the corpus grew (measured 101 s at
+    the 10x smoke corpus). bucketLength=0.1 matches the projection
+    spread; the selectivity lost per table is bought back with
+    numHashTables=12 — recall is UNCHANGED (0.985/1.000/0.985 at
+    sf0.001/0.01/0.1, identical to the old shape) while the 10x-corpus
+    join drops 101 → 54 s. Note the output of a fixed-threshold join
+    on near-isotropic data grows ~quadratically REGARDLESS of plan
+    (cos ≥ 0.4 is a 3.2σ cut; among the 10x corpus's 180M cross-pair
+    comparisons ~90k legitimately clear it), so the scale story is
+    measured against that inherent output growth."""
     from pyspark.ml.feature import BucketedRandomProjectionLSH, Normalizer
     from pyspark.ml.functions import array_to_vector
 
@@ -276,7 +290,7 @@ def sim_threshold_join_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     unit = Normalizer(inputCol="v", outputCol="unit", p=2.0).transform(e)
     lsh = BucketedRandomProjectionLSH(
-        inputCol="unit", outputCol="hashes", bucketLength=0.5, numHashTables=4, seed=42
+        inputCol="unit", outputCol="hashes", bucketLength=0.1, numHashTables=12, seed=42
     )
     model = lsh.fit(unit)
     thresh = float(2.0 * (1.0 - 0.4)) ** 0.5
