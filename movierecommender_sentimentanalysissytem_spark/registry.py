@@ -298,7 +298,14 @@ _DRIVER_CHECKED = (
 # transforms) — the round-7 judge's only residual risk. All eight have
 # local four-axis parity plus the judge's independent parity re-check
 # (8/8 green, VERDICT.md r7), but the driver row is the contract; these
-# land fresh rows first so the rewrites don't sit stale-green.
+# land fresh rows first so the rewrites don't sit stale-green. Three
+# more join them for the ROUND-8 changes made after their own last
+# rows: graph_pagerank (iteration-invariant edges persist),
+# sim_threshold_join_lsh (bucket geometry retune — rows-only key, new
+# knob set changes the emitted pair set), ml_learning_curve
+# (degenerate-input fix; live-fixture output identical, re-checked
+# anyway). dedup_ngram_jaccard's round-8 inverted-index rewrite is
+# covered by its existing slot.
 _PRIORITY: tuple[str, ...] = (
     "rec_item_similarity",
     "dedup_near_minhash",
@@ -308,6 +315,9 @@ _PRIORITY: tuple[str, ...] = (
     "text_bigram_lm",
     "join_interval_overlap",
     "sim_threshold_join",
+    "graph_pagerank",
+    "sim_threshold_join_lsh",
+    "ml_learning_curve",
 )
 
 # SURVEY.md §2 inventory — the judge's coverage checklist. These outrank
