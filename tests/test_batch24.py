@@ -205,3 +205,23 @@ def test_point_in_polygon_matches_reference_ray_cast(spark):
     }
     assert got == expected
     assert {pid for _, pid in got} == {1, 2, 3}
+
+
+def test_containment_dominates_jaccard_on_shared_pairs(spark):
+    """Metamorphic cross-key invariant: for any doc pair,
+    containment = |A∩B| / min(|A|,|B|) ≥ |A∩B| / |A∪B| = jaccard
+    (min ≤ union always). Checked on the live sf0.01 fixture over the
+    pairs both keys emit — a shared-shingle-pipeline regression in
+    either key that skews one ratio breaks the dominance."""
+    jac = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in QS["dedup_ngram_jaccard"](spark, SF_ORACLE).collect()
+    }
+    con = {
+        (r.doc_a, r.doc_b): r.containment
+        for r in QS["dedup_ngram_containment"](spark, SF_ORACLE).collect()
+    }
+    shared = set(jac) & set(con)
+    assert shared, "expected at least one pair emitted by both keys"
+    for p in shared:
+        assert con[p] >= jac[p] - 1e-9, (p, con[p], jac[p])
