@@ -256,6 +256,19 @@ def sim_threshold_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Bucket geometry for the LSH threshold join (retuned round 8, derived
+# from the dimensionality round 9): a unit vector's projection onto a
+# random direction has spread ≈ 1/√dim, so the bucket width must track
+# EMBEDDING_DIM — a hard-coded width silently degenerates to
+# near-all-pairs buckets if the dimensionality changes (the round-8
+# failure mode: 0.5 ≈ 4x the spread collapsed every hash table into 2-3
+# buckets). 0.8/√64 = 0.1 exactly, the round-8 A/B-tuned value
+# (SCALE.md addendum 5c). The candidate-volume regression test
+# (tests/test_vectors.py) goes red if this drifts back toward 0.5.
+LSH_BUCKET_LENGTH = 0.8 / EMBEDDING_DIM**0.5
+LSH_NUM_HASH_TABLES = 12
+
+
 @query("sim_threshold_join_lsh")
 def sim_threshold_join_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-pruned similarity join: normalize to unit vectors, bucket
@@ -290,7 +303,11 @@ def sim_threshold_join_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     unit = Normalizer(inputCol="v", outputCol="unit", p=2.0).transform(e)
     lsh = BucketedRandomProjectionLSH(
-        inputCol="unit", outputCol="hashes", bucketLength=0.1, numHashTables=12, seed=42
+        inputCol="unit",
+        outputCol="hashes",
+        bucketLength=LSH_BUCKET_LENGTH,
+        numHashTables=LSH_NUM_HASH_TABLES,
+        seed=42,
     )
     model = lsh.fit(unit)
     thresh = float(2.0 * (1.0 - 0.4)) ** 0.5
@@ -511,6 +528,59 @@ def _ivf_topk3(candidates: DataFrame) -> DataFrame:
             "rn",
         )
     )
+
+
+@query("sim_topk_ivf_partitioned")
+def sim_topk_ivf_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF with the inverted lists as a PARTITIONED TABLE — the storage
+    layout `sim_topk_ivf`'s docstring promises for 100 TB, demonstrated
+    in-plan instead of narrated: the multi-assigned corpus is written
+    ``partitionBy("cell")`` (one directory per coarse cell), and the
+    probe relation joins the read-back table on the partition column,
+    so Catalyst's dynamic partition pruning restricts the scan to the
+    probed cells' directories at runtime. The probe side is a tiny
+    filtered relation (2 query vectors x nprobe cells), broadcast so
+    the pruning subquery reuses the broadcast exchange — the scan's
+    PartitionFilters carry a dynamicpruning expression (pinned in
+    tests/test_plans.py), and the probed-cell count is strictly below
+    the cell count (pinned in tests/test_vectors.py), i.e. directories
+    are genuinely skipped.
+
+    At 100 TB this is the difference between touching ~nprobe/k of the
+    corpus bytes and touching all of them: the in-memory variant's
+    cell join still SCANS every inverted list before the hash join
+    discards them; here pruning stops the bytes at the source. The
+    query batch is 2 vectors (vs sim_topk_ivf's 10) so pruning is
+    observable at test scale — 10 queries x 37.5% probe width union to
+    ~all cells on a √n-cell index, which would demonstrate nothing.
+
+    rows-only by design like the other ANN keys (centroid assignment
+    is engine-specific); the correctness gate is IDENTITY with
+    sim_topk_ivf restricted to the same query batch (same fitted
+    index, same probe widths, same dedup → same candidates → same
+    exact top-3), asserted in tests/test_vectors.py."""
+    import os
+    import tempfile
+
+    e, assigned, nearest_cells, nprobe = _ivf_index(spark, sf_dir)
+    out = os.path.join(tempfile.mkdtemp(prefix="mrsas_ivf_"), "lists_by_cell")
+    assigned.write.mode("overwrite").partitionBy("cell").parquet(out)
+    lists = spark.read.parquet(out)
+    probes = e.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("a"),
+        F.explode(nearest_cells("vn", nprobe)["cell"]).alias("cell"),
+    )
+    candidates = (
+        lists.join(F.broadcast(probes), "cell")
+        .filter(F.col("query_id") != F.col("vec_id"))
+        .withColumnRenamed("vec_id", "neighbor_id")
+        # same dedup-then-rank contract as _ivf_candidates: a candidate
+        # sharing >=2 probed cells with the query arrives once per cell
+        .repartition("query_id")
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    return _ivf_topk3(candidates)
 
 
 @query("sim_topk_ivf_probe_sweep")

@@ -276,11 +276,36 @@ _R7_DRIVER_CHECKED = frozenset(
     """.split()
 )
 
-# Every key with a non-red driver row (r1 + r2 + r3 + r4 + r5 + r6 + r7).
+# Keys the driver's round-8 sweep confirmed (CORRECTNESS_r08.json): all
+# 50 rows non-red — 48 hash-green plus ``sim_threshold_join_lsh`` and
+# ``sim_topk_ivf_probe_sweep`` rows-only by design (recall floors /
+# probe-monotonicity pins are their quality gates). The head covered the
+# 11 round-8 _PRIORITY keys (rewritten after their last row) and the six
+# round-8 debuts; the tail re-verified 33 of the stalest r1 rows.
+_R8_DRIVER_CHECKED = frozenset(
+    """
+    rec_item_similarity dedup_near_minhash dedup_ngram_jaccard
+    dedup_embedding_cosine text_ngrams text_bigram_lm join_interval_overlap
+    sim_threshold_join graph_pagerank sim_threshold_join_lsh
+    ml_learning_curve geo_point_in_polygon rec_eval_coverage_at_k
+    quality_seq_gap_audit dedup_ngram_containment
+    stats_permutation_test_paired sim_topk_ivf_probe_sweep scan_parquet
+    scan_projection_pushdown scan_csv scan_json sink_parquet filter_simple
+    filter_compound project_expressions project_case cast_types scan_orc
+    join_inner_equi join_star_multiway join_broadcast join_left_outer
+    join_right_outer join_full_outer join_left_semi join_left_anti
+    join_cross join_theta_range join_asof join_self join_skew_salted
+    join_runtime_prefilter agg_global agg_groupby agg_having
+    agg_count_distinct agg_distinct agg_rollup agg_cube agg_grouping_sets
+    """.split()
+)
+
+# Every key with a non-red driver row (r1 + ... + r8).
 # Note the two ML keys inside _R2_DRIVER_CHECKED, sim_threshold_join_lsh
-# in _R4_DRIVER_CHECKED and sim_topk_ivf in _R5/_R7 are rows-only
-# records, not hash-greens — rows-only is the strongest check available
-# for oracle-less keys, so they are deprioritized the same way.
+# in _R4/_R8, sim_topk_ivf in _R5/_R7 and sim_topk_ivf_probe_sweep in
+# _R8 are rows-only records, not hash-greens — rows-only is the
+# strongest check available for oracle-less keys, so they are
+# deprioritized the same way.
 _DRIVER_CHECKED = (
     _R1_DRIVER_CHECKED
     | _R2_DRIVER_CHECKED
@@ -289,35 +314,23 @@ _DRIVER_CHECKED = (
     | _R5_DRIVER_CHECKED
     | _R6_DRIVER_CHECKED
     | _R7_DRIVER_CHECKED
+    | _R8_DRIVER_CHECKED
 )
 
 # Front of the current round's sweep queue: keys that MUST be checked
-# first regardless of grouping. Round 8: the eight keys REWRITTEN by
-# round 7's perf passes AFTER their last driver row (scoped persists,
-# repartition-before-transform, per-row precompute, split-once
-# transforms) — the round-7 judge's only residual risk. All eight have
-# local four-axis parity plus the judge's independent parity re-check
-# (8/8 green, VERDICT.md r7), but the driver row is the contract; these
-# land fresh rows first so the rewrites don't sit stale-green. Three
-# more join them for the ROUND-8 changes made after their own last
-# rows: graph_pagerank (iteration-invariant edges persist),
-# sim_threshold_join_lsh (bucket geometry retune — rows-only key, new
-# knob set changes the emitted pair set), ml_learning_curve
-# (degenerate-input fix; live-fixture output identical, re-checked
-# anyway). dedup_ngram_jaccard's round-8 inverted-index rewrite is
-# covered by its existing slot.
+# first regardless of grouping — code changed AFTER the key's last
+# driver row. Round 9: ``sim_topk_ivf`` (its body was split into
+# _ivf_index/_ivf_candidates/_ivf_topk3 in round 8 to share the fitted
+# index with the probe sweep, AFTER its last driver row in r07; recall
+# floors re-pinned locally, but the driver row is the contract), and
+# ``sim_threshold_join_lsh`` (round 9 derives bucketLength from
+# EMBEDDING_DIM in source instead of the literal 0.1 — numerically the
+# same knob value, re-checked anyway since the emitted pair set is the
+# key's contract). All round-8 _PRIORITY keys landed fresh r08 rows and
+# are folded into _R8_DRIVER_CHECKED.
 _PRIORITY: tuple[str, ...] = (
-    "rec_item_similarity",
-    "dedup_near_minhash",
-    "dedup_ngram_jaccard",
-    "dedup_embedding_cosine",
-    "text_ngrams",
-    "text_bigram_lm",
-    "join_interval_overlap",
-    "sim_threshold_join",
-    "graph_pagerank",
+    "sim_topk_ivf",
     "sim_threshold_join_lsh",
-    "ml_learning_curve",
 )
 
 # SURVEY.md §2 inventory — the judge's coverage checklist. These outrank
@@ -360,6 +373,7 @@ _EXPENSIVE = frozenset(
     stream_watermark_late stream_dedup stream_stateful_counter
     stream_stream_join stream_stream_left_join
     sim_threshold_join sim_topk_ivf sim_topk_ivf_probe_sweep
+    sim_topk_ivf_partitioned
     dedup_clusters rec_item_similarity
     scan_python_datasource sink_python_datasource
     """.split()
@@ -506,24 +520,61 @@ _NEW_R8 = frozenset(
 )
 
 
+# Keys first registered in round 9: the partitioned-IVF layout demo
+# (the round-8 verdict's item 3 — turn the "at scale the corpus is
+# written partitioned by centroid id" narrative into a demonstrated
+# plan). rows-only by design like its ANN siblings; its correctness
+# gate is identity with sim_topk_ivf on the same query batch.
+_NEW_R9 = frozenset(
+    """
+    sim_topk_ivf_partitioned
+    """.split()
+)
+
+
+# Debut tiers in waiting order: a key registered earlier sorts before a
+# key registered later within the same sweep group, so long-waiting keys
+# are never displaced from the 50-key budget by this round's additions.
+# Append one (frozenset, rank) pair per round that debuts keys — ranks
+# need only be monotone, not contiguous.
+_DEBUT_TIERS: tuple[tuple[frozenset, int], ...] = (
+    (_NEW_R4, 1),
+    (_NEW_R5, 2),
+    (_NEW_R5B, 3),
+    (_NEW_R7, 4),
+    (_NEW_R7B, 5),
+    (_NEW_R7C, 6),
+    (_NEW_R8, 7),
+    (_NEW_R9, 8),
+)
+
+
+def _debut_rank(k: str) -> int:
+    """Rank by debut round (0 = registered before any tier began)."""
+    for tier, rank in _DEBUT_TIERS:
+        if k in tier:
+            return rank
+    return 0
+
+
 def _sweep_order(keys: list[str]) -> list[str]:
     """Order keys so a budget-limited driver sweep (50 keys/round, dict
     order) maximizes NEW verification signal each round:
     (0) the explicit priority keys (rewritten since their last driver
     row), in that exact order; (1) §2 keys with no driver row yet;
     (2) extra keys with no driver row; (3) keys already checked in
-    r1–r6. Within groups 1–2: longest-waiting first (pre-existing keys
+    r1–r8. Within groups 1–2: longest-waiting first (pre-existing keys
     before keys added in the latest round), cheap before expensive,
     then registration order (stable, deterministic). Within group 3:
-    STALEST driver record first (r1-checked before r6-checked) — once
+    STALEST driver record first (r1-checked before r8-checked) — once
     every key has a row, the budget left after the unchecked head
     re-verifies the keys whose last driver check is oldest, so
     regressions surface instead of the same recent keys being
-    re-confirmed. Round 8 math: 8 priority (rewritten after their last
-    driver row) + the round-8 debuts + stalest r1 re-checks filling the
-    remainder of the 50-key budget (cumulative coverage is already
-    338/338 after round 7, so every non-priority, non-debut slot is
-    staleness-reduction signal)."""
+    re-confirmed. Round 9 math: 2 priority (code touched after their
+    last driver row) + the round-9 debuts + stalest r1/r2 re-checks
+    filling the remainder of the 50-key budget (cumulative coverage has
+    been 100% since round 7; 60 keys entered round 9 with r1/r2-dated
+    rows, so the tail clears most of that backlog)."""
 
     prio = {k: i for i, k in enumerate(_PRIORITY)}
     last_checked = {}
@@ -536,6 +587,7 @@ def _sweep_order(keys: list[str]) -> list[str]:
             _R5_DRIVER_CHECKED,
             _R6_DRIVER_CHECKED,
             _R7_DRIVER_CHECKED,
+            _R8_DRIVER_CHECKED,
         ),
         start=1,
     ):
@@ -556,28 +608,7 @@ def _sweep_order(keys: list[str]) -> list[str]:
             group(k),
             prio.get(k, 0),
             last_checked.get(k, 0),
-            # debut round: longer-waiting keys before newer additions
-            7
-            if k in _NEW_R8
-            else 6
-            if k in _NEW_R7C
-            else (
-                5
-                if k in _NEW_R7B
-                else (
-                    4
-                    if k in _NEW_R7
-                    else (
-                        3
-                        if k in _NEW_R5B
-                        else (
-                            2
-                            if k in _NEW_R5
-                            else (1 if k in _NEW_R4 else 0)
-                        )
-                    )
-                )
-            ),
+            _debut_rank(k),
             k in _EXPENSIVE,
             indexed[k],
         ),

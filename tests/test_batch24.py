@@ -184,7 +184,20 @@ def test_point_in_polygon_matches_reference_ray_cast(spark):
     fold): identical (custkey, polygon) membership sets, and every
     polygon — including the non-convex chevron — catches at least
     one point. (sf0.01, not sf0.001: the coordinate lattice of the
-    150 smallest keys happens to miss the triangle entirely.)"""
+    150 smallest keys happens to miss the triangle entirely.)
+
+    Convention dependence (round-8 advice): the two formulations
+    compute each edge's x-intercept from OPPOSITE endpoints
+    (pnpoly anchors at vertex i with slope toward j; the engine
+    anchors at the edge's own start vertex), which is mathematically
+    but not bit-identical — a point whose x lies within ~1 ulp of an
+    intercept could classify differently. The exact set-equality below
+    is safe for THIS fixture because the coordinate lattice is
+    0.1-granular ([0, 99.9] in tenths) and the polygon vertices are
+    small integers/halves, so every intercept comparison has slack
+    ≫ 1 ulp. If the polygon constants or the key→coordinate hash ever
+    change, re-check that slack (or exclude points within a guard band
+    of an intercept) before trusting exact equality."""
     from movierecommender_sentimentanalysissytem_spark.operators.joins import (
         _PIP_POLYGONS,
     )

@@ -245,9 +245,16 @@ REPRESENTATIVE = [
     "curation_soft_dedup_weights",
     "sim_distance_metrics",
     "stats_permutation_test",
-    # round-8 staged batch. sim_topk_ivf_probe_sweep excluded: the
-    # KMeans fit on an empty corpus is a documented MLlib error (the
-    # sim_topk_ivf exclusion class).
+    # round-8 staged batch. sim_topk_ivf_probe_sweep excluded — the
+    # KMeans-quantizer exclusion class shared by sim_topk_ivf and
+    # (round 9) sim_topk_ivf_partitioned: MLlib's KMeans.fit on an
+    # empty dataset raises java.lang.IllegalArgumentException
+    # ("requirement failed: Nothing has been added to this summarizer"
+    # from MultivariateOnlineSummarizer, verified against this
+    # container's Spark), i.e. fitting a coarse quantizer on zero rows
+    # is a defined MLlib error, not a graceful empty result — an empty
+    # CORPUS is an upstream-pipeline bug these keys must surface, while
+    # an empty QUERY batch degrades gracefully through the same plans.
     "rec_eval_coverage_at_k",
     "dedup_ngram_containment",
     "stats_permutation_test_paired",

@@ -324,6 +324,17 @@ def test_dau_rolling_semi_join_broadcasts_day_spine(spark):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_ivf_partitioned_scan_carries_dynamic_pruning(spark):
+    """The partitioned-IVF layout (sim_topk_ivf_partitioned) exists to
+    demonstrate the 100 TB probe-by-partition-pruning claim in-plan:
+    the cell-partitioned inverted-list scan must carry a dynamicpruning
+    expression fed by the broadcast probe relation, so only probed
+    cells' directories are read (the probe set is strictly smaller
+    than the cell count — tests/test_vectors.py)."""
+    plan = _plan(spark, "sim_topk_ivf_partitioned")
+    assert "dynamicpruning" in plan.lower()
+
+
 def test_dynamic_partition_pruning_subquery_in_plan(spark):
     """The partitioned fact scan must carry a dynamicpruning expression
     fed by the filtered dim side — the runtime partition-prune."""

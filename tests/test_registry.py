@@ -130,6 +130,7 @@ def test_checked_tail_is_staleness_ordered():
         _R5_DRIVER_CHECKED,
         _R6_DRIVER_CHECKED,
         _R7_DRIVER_CHECKED,
+        _R8_DRIVER_CHECKED,
         queries,
     )
 
@@ -138,7 +139,7 @@ def test_checked_tail_is_staleness_ordered():
         (_R1_DRIVER_CHECKED, _R2_DRIVER_CHECKED,
          _R3_DRIVER_CHECKED, _R4_DRIVER_CHECKED,
          _R5_DRIVER_CHECKED, _R6_DRIVER_CHECKED,
-         _R7_DRIVER_CHECKED),
+         _R7_DRIVER_CHECKED, _R8_DRIVER_CHECKED),
         start=1,
     ):
         for k in checked:

@@ -189,6 +189,117 @@ def test_embedding_dim_matches_shared_constant(spark, sf_dir):
     )
 
 
+def test_ivf_partitioned_matches_in_memory(spark):
+    """sim_topk_ivf_partitioned is the same index + probe + exact-rank
+    pipeline with the inverted lists round-tripped through a
+    cell-partitioned parquet layout — so its output must be IDENTICAL
+    (ids, rounded cosines, ranks) to sim_topk_ivf restricted to the
+    same 2-query batch. This identity is the rows-only key's
+    correctness gate; the parquet float round-trip is exact (array of
+    fp32 written/read bit-identically, kernels widen to fp64 the same
+    way on both paths)."""
+    part = {
+        (r.query_id, r.neighbor_id, r.cos_sim, r.rn)
+        for r in QS["sim_topk_ivf_partitioned"](spark, SF_ORACLE).collect()
+    }
+    mem = {
+        (r.query_id, r.neighbor_id, r.cos_sim, r.rn)
+        for r in QS["sim_topk_ivf"](spark, SF_ORACLE).collect()
+        if r.query_id < 2
+    }
+    assert part and part == mem
+
+
+def test_ivf_partitioned_probes_fewer_cells_than_total(spark):
+    """Partition pruning must have something to prune: the 2-query
+    probe batch's distinct cell set must be strictly smaller than the
+    written partition count (= total cells), i.e. the dynamicpruning
+    expression pinned in tests/test_plans.py genuinely skips
+    directories rather than vacuously selecting all of them."""
+    from pyspark.sql import functions as F
+
+    from movierecommender_sentimentanalysissytem_spark.functions.vector import (
+        _ivf_index,
+    )
+
+    e, assigned, nearest_cells, nprobe = _ivf_index(spark, SF_ORACLE)
+    probed = (
+        e.filter(F.col("vec_id") < 2)
+        .select(F.explode(nearest_cells("vn", nprobe)["cell"]).alias("cell"))
+        .distinct()
+        .count()
+    )
+    total = assigned.select("cell").distinct().count()
+    assert probed < total, f"probes cover all {total} cells — nothing pruned"
+
+
+def test_lsh_bucket_geometry_bounds_join_volume(spark):
+    """Regression pin for the round-8 bucket retune, in the metric that
+    actually drives the join cost. On 12 OR-ed hash tables over a
+    near-isotropic corpus the DISTINCT candidate union is ~95% of all
+    pairs under ANY sane width (measured 94.5% at 0.1 vs 99.96% at
+    0.5 — useless as a regression signal); what the retune improved is
+    the JOIN VOLUME: Σ_buckets |bucket|²/2 per table, the number of
+    (pair, table) rows the collision join materializes. A unit vector's
+    projection spread is ≈ 1/√dim, so width 0.8/√dim keeps the
+    per-table collision fraction ≈ 0.8/(2√π) ≈ 0.22 (measured 0.216),
+    while the old 0.5 ≈ 4σ width collapses each table into 2-3 buckets
+    at ≈ 0.50 (measured 0.499) — 2.3x the join work, the measured
+    101 → 55 s at the 10x smoke corpus. Bounds sit between the two
+    regimes so a drift back toward degenerate geometry goes red here
+    instead of resurfacing as a wall-clock mystery."""
+    from pyspark.ml.feature import BucketedRandomProjectionLSH, Normalizer
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+    from pyspark.sql import functions as F
+
+    from movierecommender_sentimentanalysissytem_spark.functions.vector import (
+        LSH_BUCKET_LENGTH,
+        LSH_NUM_HASH_TABLES,
+    )
+    from movierecommender_sentimentanalysissytem_spark.sources.tables import table
+
+    emb = table(spark, SF_SMALL, "embeddings").select(
+        "vec_id",
+        array_to_vector(F.col("embedding").cast("array<double>")).alias("v"),
+    )
+    unit = Normalizer(inputCol="v", outputCol="unit", p=2.0).transform(emb)
+    n = unit.count()
+    all_pairs = n * (n - 1) / 2
+
+    def per_table_collision_fraction(bucket_length: float) -> float:
+        model = BucketedRandomProjectionLSH(
+            inputCol="unit",
+            outputCol="hashes",
+            bucketLength=bucket_length,
+            numHashTables=LSH_NUM_HASH_TABLES,
+            seed=42,
+        ).fit(unit)
+        buckets = (
+            model.transform(unit)
+            .select("vec_id", F.posexplode("hashes").alias("t", "bv"))
+            .select("t", vector_to_array(F.col("bv"))[0].alias("b"))
+            .groupBy("t", "b")
+            .count()
+        )
+        volume = buckets.agg(
+            F.sum(F.expr("count * (count - 1) / 2")).alias("s")
+        ).collect()[0].s
+        return volume / all_pairs / LSH_NUM_HASH_TABLES
+
+    shipped = per_table_collision_fraction(LSH_BUCKET_LENGTH)
+    assert shipped <= 0.30, (
+        f"shipped LSH geometry does {shipped:.2f} of brute-force work per "
+        f"table (expected ≈ 0.22) — bucket width has degenerated"
+    )
+    # teeth check: the pre-retune width must violate the same bound,
+    # proving the assertion distinguishes the regimes
+    degenerate = per_table_collision_fraction(0.5)
+    assert degenerate >= 0.40, (
+        f"degenerate-width control measured {degenerate:.2f} — the bound "
+        f"no longer separates the regimes, re-derive it"
+    )
+
+
 def test_ivf_probe_sweep_curve(spark):
     """The probe sweep must behave like a tuning curve: candidate
     volume strictly grows with probe width, recall is non-decreasing,
