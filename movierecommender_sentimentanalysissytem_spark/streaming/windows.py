@@ -195,22 +195,30 @@ def _events_stream_schema(ts_type: T.DataType) -> T.StructType:
 def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """readStream over the events parquet with the ns→µs rebuild.
 
-    The file source requires a directory; the fixture is a single file,
-    so it is staged (hard-link or copy) into a temp dir — at production
-    scale the source would already be a partitioned directory tree.
+    The file source requires a directory. At production scale the
+    source already IS a partitioned directory tree, so that shape is
+    used directly; the test fixtures ship events as a SINGLE file,
+    which is staged (hard-link or copy) into a temp dir. The
+    single-file staging used to be unconditional — the round-9 10x
+    scale smoke caught it crashing on any directory-shaped events
+    table (IsADirectoryError), i.e. the streaming keys worked on the
+    fixtures but not on the layout every real corpus has.
     """
     import shutil
     import tempfile
 
     src = os.path.join(sf_dir, "events.parquet")
-    stage = tempfile.mkdtemp(prefix="mrsas_stream_src_")
-    dst = os.path.join(stage, "events.parquet")
-    try:
-        os.link(src, dst)
-    except OSError:
-        shutil.copyfile(src, dst)
+    if os.path.isdir(src):
+        stage = src
+    else:
+        stage = tempfile.mkdtemp(prefix="mrsas_stream_src_")
+        dst = os.path.join(stage, "events.parquet")
+        try:
+            os.link(src, dst)
+        except OSError:
+            shutil.copyfile(src, dst)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    static_ts = dict(spark.read.parquet(dst).dtypes).get("ts")
+    static_ts = dict(spark.read.parquet(stage).dtypes).get("ts")
     if static_ts == "bigint":
         raw = spark.readStream.schema(
             _events_stream_schema(T.LongType())

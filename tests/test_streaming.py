@@ -195,3 +195,36 @@ def test_observe_rate_matches_batch_aggregation(spark):
     assert (g.min_ts, g.max_ts) == (b.min_ts, b.max_ts)
     rate = b.n_rows / max(1.0, float(b.max_ep - b.min_ep))
     assert g.rows_per_event_sec == math.floor(rate * 10000 + 0.5) / 10000
+
+
+def test_stream_source_accepts_directory_shaped_events(spark, tmp_path_factory):
+    """The round-9 10x scale smoke caught _events_stream crashing
+    (IsADirectoryError) whenever the events table is a DIRECTORY of
+    part files — the layout every real corpus has; the fixtures'
+    single-file shape had masked it. Pin both shapes: a 3-part
+    directory copy of the sf0.001 events must stream to the same
+    watermark-finalized windows as the single-file fixture."""
+    import os
+
+    from movierecommender_sentimentanalysissytem_spark.sources.tables import table
+
+    out = str(tmp_path_factory.mktemp("events_dir"))
+    table(spark, SF_SMALL, "events").repartition(3).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(out, "events.parquet"))
+    parts = [
+        f
+        for f in os.listdir(os.path.join(out, "events.parquet"))
+        if f.endswith(".parquet")
+    ]
+    assert len(parts) == 3, "fixture staging: expected a 3-part directory"
+
+    single = {
+        r.bucket: (r.n, r.total_value)
+        for r in QS["stream_watermark_late"](spark, SF_SMALL).collect()
+    }
+    multi = {
+        r.bucket: (r.n, r.total_value)
+        for r in QS["stream_watermark_late"](spark, out).collect()
+    }
+    assert multi == single and multi
