@@ -434,8 +434,11 @@ def _ivf_index(spark: SparkSession, sf_dir: str):
     # vec_id is unique, so the previous window formulation was a full
     # corpus shuffle that co-located nothing — this does the identical
     # top-N with ZERO exchanges before the cell join. At extreme k the
-    # literal grows O(k·d); past ~10^4 cells a deployment would ship
-    # centers via a broadcast variable in a pandas_udf instead.
+    # literal grows O(k·d); past ~10^4 cells a deployment ships the
+    # centers as a broadcast numpy matrix inside an Arrow-batched
+    # pandas_udf instead — implemented as _nearest_cells_pandas below
+    # (same distance-then-cell ordering; assignment identity with this
+    # literal kernel is pinned in tests/test_vectors.py).
     centers_arr = F.array(
         *[
             F.struct(
@@ -464,6 +467,10 @@ def _ivf_index(spark: SparkSession, sf_dir: str):
         )
         return F.slice(F.array_sort(scored), 1, top)
 
+    # expose the fitted centers on the kernel so the extreme-k pandas
+    # variant (and its identity test) can score the SAME quantizer
+    nearest_cells.centers = model.clusterCenters()
+
     # multi-assignment: each corpus vector enters the inverted lists of
     # its IVF_NASSIGN nearest cells — embarrassingly parallel map pass
     assigned = e.select(
@@ -472,6 +479,46 @@ def _ivf_index(spark: SparkSession, sf_dir: str):
         F.explode(nearest_cells("vn", IVF_NASSIGN)["cell"]).alias("cell"),
     )
     return e, assigned, nearest_cells, nprobe
+
+
+def _nearest_cells_pandas(spark: SparkSession, centers, top: int):
+    """The extreme-k variant of the nearest-cell kernel: past ~10^4
+    cells the literal struct array in _ivf_index makes the PLAN O(k·d),
+    so the centers ship as ONE torrent-broadcast numpy matrix and each
+    Arrow batch scores all cells with a vectorized GEMM expansion
+    (||v||² − 2 v·Cᵀ + ||c||², O(batch·k·d) flops but O(k·d) plan
+    bytes). Ordering contract matches the literal kernel exactly:
+    ascending squared distance, ties broken by ascending cell id
+    (numpy stable argsort over cell-ordered columns). Returns a column
+    builder: col_name -> array<int> of the ``top`` nearest cell ids.
+
+    Float caveat, mirrored in the identity test: the JVM fold sums
+    (x−y)² sequentially while the GEMM expansion rounds differently,
+    so assignments could in principle diverge for a point within
+    ~1 ulp of a Voronoi boundary — on real corpora (and the fixtures)
+    boundary margins are ~1e-2, ten orders above that noise."""
+    import numpy as np
+    import pandas as pd
+
+    C = np.asarray(centers, dtype=np.float64)
+    bc = spark.sparkContext.broadcast(C)
+
+    # no inline type hints: `from __future__ import annotations` would
+    # stringify them and pandas_udf's hint parser rejects the strings
+    # (same note as udf_pandas_vectorized)
+    def _nc_batch(vn):
+        Cb = bc.value
+        M = np.vstack(vn.to_numpy()).astype(np.float64)
+        d2 = (
+            (M * M).sum(axis=1)[:, None]
+            - 2.0 * (M @ Cb.T)
+            + (Cb * Cb).sum(axis=1)[None, :]
+        )
+        idx = np.argsort(d2, axis=1, kind="stable")[:, :top]
+        return pd.Series(list(idx.astype("int32")))
+
+    nc = F.pandas_udf(_nc_batch, "array<int>")
+    return lambda unit_col: nc(F.col(unit_col))
 
 
 def _ivf_candidates(e, assigned, nearest_cells, nprobe: int) -> DataFrame:

@@ -379,6 +379,9 @@ FIXTURE_DOMAIN_CONSTANTS = [
      "udfs.udf_arrow_optimized, text_analysis.text_pii_redaction"),
     ("embeddings", "vec_id", 10, True,
      "vector.sim_topk_neighbors, vector.sim_topk_ivf query blocks"),
+    ("embeddings", "vec_id", 2, True,
+     "vector.sim_topk_ivf_partitioned 2-query probe batch (small so "
+     "partition pruning is observable — 10 queries union to ~all cells)"),
     ("embeddings", "vec_id", 0, False,
      "vector.multimodal_columns fixed query vector"),
 ]

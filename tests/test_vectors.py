@@ -233,6 +233,39 @@ def test_ivf_partitioned_probes_fewer_cells_than_total(spark):
     assert probed < total, f"probes cover all {total} cells — nothing pruned"
 
 
+def test_pandas_centroid_kernel_matches_literal_kernel(spark):
+    """The extreme-k nearest-cell path (_nearest_cells_pandas: centers
+    as a broadcast numpy matrix scored by GEMM inside an Arrow batch)
+    must assign every corpus vector to exactly the same top-N cells,
+    in the same order, as the literal-struct-array kernel the plans
+    embed below ~10^4 cells. Same fitted quantizer on both sides
+    (centers exposed on the kernel), N = IVF_NASSIGN and nprobe — the
+    two widths the IVF keys actually use. Boundary-float caveat is in
+    the kernel docstring; fixture margins are ~1e-2, so the comparison
+    is exact and deterministic here."""
+    from pyspark.sql import functions as F
+
+    from movierecommender_sentimentanalysissytem_spark.functions.vector import (
+        _ivf_index,
+        _nearest_cells_pandas,
+    )
+
+    e, assigned, nearest_cells, nprobe = _ivf_index(spark, SF_ORACLE)
+    for top in (2, nprobe):
+        lit = {
+            r.vec_id: list(r.cells)
+            for r in e.select(
+                "vec_id", nearest_cells("vn", top)["cell"].alias("cells")
+            ).collect()
+        }
+        pdk = _nearest_cells_pandas(spark, nearest_cells.centers, top)
+        pd_ = {
+            r.vec_id: list(r.cells)
+            for r in e.select("vec_id", pdk("vn").alias("cells")).collect()
+        }
+        assert pd_ == lit and len(lit) > 0
+
+
 def test_lsh_bucket_geometry_bounds_join_volume(spark):
     """Regression pin for the round-8 bucket retune, in the metric that
     actually drives the join cost. On 12 OR-ed hash tables over a
