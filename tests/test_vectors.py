@@ -159,6 +159,26 @@ def test_ivf_survives_zero_vectors(spark, tmp_path_factory):
     assert set(by_q) >= {0, 1, 2, 4, 5}
 
 
+def test_ivf_empty_query_batch_degrades_gracefully(spark, tmp_path_factory):
+    """Companion to the empty-CORPUS exclusion documented in
+    tests/test_empty_inputs.py (KMeans on zero rows is a defined MLlib
+    error): an empty QUERY batch must flow through the same plans to an
+    EMPTY result with no crash. Corpus of 20 well-formed vectors whose
+    vec_ids all exceed the 10-query cutoff — the quantizer fits, the
+    inverted lists build, the probe relation is empty, and the top-k
+    window over zero candidates returns zero rows."""
+    out = str(tmp_path_factory.mktemp("ivf_noquery"))
+    rows = []
+    for vid in range(20):
+        vec = [0.0] * 64
+        vec[vid % 8] = 1.0
+        rows.append((100 + vid, [float(x) for x in vec], vid % 2))
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{out}/embeddings.parquet")
+    assert QS["sim_topk_ivf"](spark, out).count() == 0
+
+
 @pytest.mark.parametrize("sf_dir", [SF_SMALL, SF_ORACLE, SF_TENTH])
 def test_embedding_dim_matches_shared_constant(spark, sf_dir):
     """Pin the fixture invariant behind EMBEDDING_DIM (round-7 advice):
