@@ -338,6 +338,17 @@ def sim_threshold_join_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 IVF_PROBE_FRAC = 0.375
 IVF_NASSIGN = 2
 
+# Quantizer-fit sampling bound (round 9, found at the 100x smoke): the
+# KMeans fit costs O(n·k·d) per iteration and k = √n, an n^1.5 term —
+# measured 20.8x wall for 100x data (268 s, fit-dominated) while every
+# downstream stage stays √n-shaped. Standard IVF practice trains the
+# coarse quantizer on a bounded sample; with the cap the fit cost is
+# O(cap·√n·d), restoring sub-decade growth. 250k training rows give
+# ≥ ~100 points per cell up to k ≈ 2500 (a ~6M-vector corpus). Corpora
+# at or below the cap — every fixture SF and the driver's — fit on the
+# full corpus, bit-identically to the pre-cap behavior.
+QUANTIZER_FIT_CAP = 250_000
+
 
 def _ivf_shape(n: int) -> tuple[int, int]:
     """Standard IVF sizing: k ≈ sqrt(n) cells (bounded below so tiny
@@ -424,7 +435,14 @@ def _ivf_index(spark: SparkSession, sf_dir: str):
     kmeans = KMeans(
         k=k, seed=42, maxIter=10, featuresCol="v", predictionCol="cell"
     )
-    model = kmeans.fit(e)
+    # Fit on a seeded bounded sample past QUANTIZER_FIT_CAP (see the
+    # knob comment): cells stay k = √n over the FULL corpus and every
+    # vector is still assigned exactly — only the TRAINING set is
+    # sampled, so at/below the cap behavior is bit-identical.
+    fit_input = e if n <= QUANTIZER_FIT_CAP else e.sample(
+        QUANTIZER_FIT_CAP / n, seed=42
+    )
+    model = kmeans.fit(fit_input)
 
     # The fitted centroids live on the driver (k ≈ √n of them) — embed
     # them as ONE literal array of (cell, center) structs so nearest-cell
