@@ -321,16 +321,20 @@ _DRIVER_CHECKED = (
 # first regardless of grouping — code changed AFTER the key's last
 # driver row. Round 9: ``sim_topk_ivf`` (its body was split into
 # _ivf_index/_ivf_candidates/_ivf_topk3 in round 8 to share the fitted
-# index with the probe sweep, AFTER its last driver row in r07; recall
-# floors re-pinned locally, but the driver row is the contract), and
-# ``sim_threshold_join_lsh`` (round 9 derives bucketLength from
-# EMBEDDING_DIM in source instead of the literal 0.1 — numerically the
-# same knob value, re-checked anyway since the emitted pair set is the
-# key's contract). All round-8 _PRIORITY keys landed fresh r08 rows and
-# are folded into _R8_DRIVER_CHECKED.
+# index with the probe sweep, AFTER its last driver row in r07; round 9
+# additionally added the QUANTIZER_FIT_CAP sampling — inert at every
+# driver SF, but the row is the contract), ``sim_threshold_join_lsh``
+# (round 9 derives bucketLength from EMBEDDING_DIM in source instead of
+# the literal 0.1 — numerically the same knob value, re-checked out of
+# rigor since the emitted pair set is the key's contract), and
+# ``sim_topk_ivf_probe_sweep`` (shares _ivf_index, so the fit-cap edit
+# is in its lineage too; equally inert at driver SFs, same rigor rule).
+# All round-8 _PRIORITY keys landed fresh r08 rows and are folded into
+# _R8_DRIVER_CHECKED.
 _PRIORITY: tuple[str, ...] = (
     "sim_topk_ivf",
     "sim_threshold_join_lsh",
+    "sim_topk_ivf_probe_sweep",
 )
 
 # SURVEY.md §2 inventory — the judge's coverage checklist. These outrank
