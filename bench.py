@@ -65,6 +65,10 @@ def _quiesce() -> dict:
             "load1_at_run": None,
             "cooldown_sec": 0.0,
             "guest_quiescent": None,
+            # Legacy alias: BENCH_r08.json and earlier carry this key
+            # name; emit both so cross-round tooling keyed on either
+            # name sees every sample (r9 ADVICE).
+            "quiescent": None,
         }
     waited = 0.0
     load = load_start
@@ -86,6 +90,8 @@ def _quiesce() -> dict:
         "load1_at_run": round(load, 2),
         "cooldown_sec": waited,
         "guest_quiescent": load <= thresh,
+        # Legacy alias for pre-r09 artifacts' key name (r9 ADVICE).
+        "quiescent": load <= thresh,
     }
 
 
@@ -170,11 +176,16 @@ def main() -> None:
     # needs the BASELINE.md band check; drift only catches the decay case.
     calib_end = round(sorted(_calib_run() for _ in range(3))[1], 3)
     drift = round(calib / calib_end, 3) if calib_end else None
-    comparable = (
-        quiesce.get("guest_quiescent") is not False
-        and drift is not None
-        and abs(drift - 1.0) <= 0.25
-    )
+    # comparable gates on BOTH legs: drift inside the band AND the
+    # guest load guard having PASSED. If os.getloadavg() was
+    # unavailable (guest_quiescent None) the quiescence leg never ran,
+    # so emit null rather than silently passing on drift alone
+    # (r9 ADVICE); quiesce_checked says which regime a reader is in.
+    drift_ok = drift is not None and abs(drift - 1.0) <= 0.25
+    if quiesce.get("guest_quiescent") is None:
+        comparable = None
+    else:
+        comparable = quiesce["guest_quiescent"] and drift_ok
     print(f"# calib_end_sec: {calib_end:.3f}s (drift {drift})", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
@@ -190,6 +201,7 @@ def main() -> None:
                 "calib_end_sec": calib_end,
                 "calib_drift": drift,
                 "comparable": comparable,
+                "quiesce_checked": quiesce.get("guest_quiescent") is not None,
                 **quiesce,
             }
         )

@@ -624,11 +624,19 @@ def sim_topk_ivf_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     sim_topk_ivf restricted to the same query batch (same fitted
     index, same probe widths, same dedup → same candidates → same
     exact top-3), asserted in tests/test_vectors.py."""
+    import hashlib
     import os
     import tempfile
 
     e, assigned, nearest_cells, nprobe = _ivf_index(spark, sf_dir)
-    out = os.path.join(tempfile.mkdtemp(prefix="mrsas_ivf_"), "lists_by_cell")
+    # Deterministic per-sf_dir scratch path: repeated invocations
+    # (bench/sweep/layout-smoke run this key several times per session)
+    # overwrite the SAME directory instead of accumulating a fresh
+    # mkdtemp copy of the multi-assigned corpus per call (r9 ADVICE).
+    tag = hashlib.sha1(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    out = os.path.join(
+        tempfile.gettempdir(), f"mrsas_ivf_{tag}", "lists_by_cell"
+    )
     assigned.write.mode("overwrite").partitionBy("cell").parquet(out)
     lists = spark.read.parquet(out)
     probes = e.filter(F.col("vec_id") < 2).select(

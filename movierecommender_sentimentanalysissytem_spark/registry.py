@@ -300,7 +300,38 @@ _R8_DRIVER_CHECKED = frozenset(
     """.split()
 )
 
-# Every key with a non-red driver row (r1 + ... + r8).
+# Keys the driver's round-9 sweep confirmed (CORRECTNESS_r09.json): all
+# 50 rows non-red — 46 hash-green plus the four ANN lineage keys
+# (``sim_topk_ivf``, ``sim_threshold_join_lsh``,
+# ``sim_topk_ivf_probe_sweep`` and the ``sim_topk_ivf_partitioned``
+# debut) rows-only by design (``no_oracle``; recall floors, identity
+# gates and the DPP plan pin are their quality gates). The head covered
+# the three IVF-lineage _PRIORITY keys (QUANTIZER_FIT_CAP / derived
+# bucketLength edits) and the partitioned-IVF debut; the tail cleared
+# the r1 backlog and most of the r2 tail.
+_R9_DRIVER_CHECKED = frozenset(
+    """
+    sim_topk_ivf sim_threshold_join_lsh sim_topk_ivf_probe_sweep
+    sim_topk_ivf_partitioned
+    agg_pivot agg_filtered agg_collect agg_percentile agg_stddev_var
+    agg_corr agg_skew_salted agg_unpivot
+    win_row_number_topk win_rank_dense win_lag_lead win_running_sum
+    win_moving_avg win_range_frame
+    sink_csv_roundtrip sink_json_roundtrip join_lateral
+    agg_approx_count_distinct win_ntile_percent win_first_last
+    sort_multikey limit_offset sample_deterministic
+    set_union_all set_union_distinct set_intersect set_except
+    dedup_exact
+    fn_string fn_string_regexp fn_split_explode fn_date fn_conditional
+    fn_array fn_array_transform fn_map_json fn_hash
+    text_wordcount text_top_terms text_stopword_removal
+    text_doclen_stats text_tfidf text_lexicon_sentiment
+    text_lang_partition_stats
+    sim_cosine_pairwise sim_topk_neighbors
+    """.split()
+)
+
+# Every key with a non-red driver row (r1 + ... + r9).
 # Note the two ML keys inside _R2_DRIVER_CHECKED, sim_threshold_join_lsh
 # in _R4/_R8, sim_topk_ivf in _R5/_R7 and sim_topk_ivf_probe_sweep in
 # _R8 are rows-only records, not hash-greens — rows-only is the
@@ -315,26 +346,37 @@ _DRIVER_CHECKED = (
     | _R6_DRIVER_CHECKED
     | _R7_DRIVER_CHECKED
     | _R8_DRIVER_CHECKED
+    | _R9_DRIVER_CHECKED
 )
 
 # Front of the current round's sweep queue: keys that MUST be checked
 # first regardless of grouping — code changed AFTER the key's last
-# driver row. Round 9: ``sim_topk_ivf`` (its body was split into
-# _ivf_index/_ivf_candidates/_ivf_topk3 in round 8 to share the fitted
-# index with the probe sweep, AFTER its last driver row in r07; round 9
-# additionally added the QUANTIZER_FIT_CAP sampling — inert at every
-# driver SF, but the row is the contract), ``sim_threshold_join_lsh``
-# (round 9 derives bucketLength from EMBEDDING_DIM in source instead of
-# the literal 0.1 — numerically the same knob value, re-checked out of
-# rigor since the emitted pair set is the key's contract), and
-# ``sim_topk_ivf_probe_sweep`` (shares _ivf_index, so the fit-cap edit
-# is in its lineage too; equally inert at driver SFs, same rigor rule).
-# All round-8 _PRIORITY keys landed fresh r08 rows and are folded into
-# _R8_DRIVER_CHECKED.
+# driver row. Round 10: the 13 streaming keys. All of them consume the
+# events table through the shared ``_events_stream`` staging helper
+# (streaming/windows.py), which was rewritten in round 9 (commit
+# 555e28d: directory-shaped events tables are now staged file-by-file
+# instead of crashing with IsADirectoryError) AFTER every one of their
+# latest driver rows (r2 x 6, r3 x 2, r5 x 3, r7 x 2). The change is
+# provably inert on the driver's single-file fixtures (the new isdir
+# branch only activates on directories) and all 10 oracle keys were
+# re-verified locally, but the driver row is the contract, so they are
+# re-rowed out of rigor — the same rule that queued the three IVF keys
+# in round 9 (all landed fresh r9 rows and are folded into
+# _R9_DRIVER_CHECKED).
 _PRIORITY: tuple[str, ...] = (
-    "sim_topk_ivf",
-    "sim_threshold_join_lsh",
-    "sim_topk_ivf_probe_sweep",
+    "stream_tumbling_window",
+    "stream_sliding_window",
+    "stream_session_window",
+    "stream_watermark_late",
+    "stream_dedup",
+    "stream_stateful_counter",
+    "stream_stream_join",
+    "stream_stream_left_join",
+    "stream_session_window_native",
+    "stream_foreach_batch_sink",
+    "stream_static_join",
+    "stream_windowed_topk",
+    "stream_observe_rate",
 )
 
 # SURVEY.md §2 inventory — the judge's coverage checklist. These outrank
@@ -380,6 +422,23 @@ _EXPENSIVE = frozenset(
     sim_topk_ivf_partitioned
     dedup_clusters rec_item_similarity
     scan_python_datasource sink_python_datasource
+    """.split()
+)
+
+
+# Keys whose OUTPUT may legitimately change when the physical layout
+# of the input tables changes (file count / row order within
+# partitions): partition-seeded samplers and the corrupt-file scanner.
+# scripts/layout_smoke.py exempts these from its row-count comparison
+# (they must still execute without error). Kept HERE, next to the
+# registry they annotate, so a key rename/removal breaks the registry
+# test instead of silently desynchronizing a hand-maintained list in
+# the script (r9 ADVICE).
+ORDER_SENSITIVE = frozenset(
+    """
+    sample_deterministic sample_weighted_bernoulli sample_stratified
+    sample_train_test_split sample_k_per_group
+    scan_ignore_corrupt_files
     """.split()
 )
 
@@ -567,18 +626,22 @@ def _sweep_order(keys: list[str]) -> list[str]:
     (0) the explicit priority keys (rewritten since their last driver
     row), in that exact order; (1) §2 keys with no driver row yet;
     (2) extra keys with no driver row; (3) keys already checked in
-    r1–r8. Within groups 1–2: longest-waiting first (pre-existing keys
+    r1–r9. Within groups 1–2: longest-waiting first (pre-existing keys
     before keys added in the latest round), cheap before expensive,
     then registration order (stable, deterministic). Within group 3:
-    STALEST driver record first (r1-checked before r8-checked) — once
+    STALEST driver record first (r1-checked before r9-checked), and
+    within the same staleness round mandated §2 keys before extras
+    (the mandated surface is the judge's checklist, so its freshness
+    outranks an equally-stale extra's) — once
     every key has a row, the budget left after the unchecked head
     re-verifies the keys whose last driver check is oldest, so
     regressions surface instead of the same recent keys being
-    re-confirmed. Round 9 math: 2 priority (code touched after their
-    last driver row) + the round-9 debuts + stalest r1/r2 re-checks
-    filling the remainder of the 50-key budget (cumulative coverage has
-    been 100% since round 7; 60 keys entered round 9 with r1/r2-dated
-    rows, so the tail clears most of that backlog)."""
+    re-confirmed. Round 10 math: 13 priority (the streaming keys whose
+    shared _events_stream helper changed in r9 after their last rows)
+    + the 8 remaining r2-dated keys (four UDF keys, multimodal_columns
+    and the three ML keys) + 29 of the stalest r3 rows filling the
+    50-key budget (cumulative coverage has been 100% since round 7;
+    no debuts are staged this round)."""
 
     prio = {k: i for i, k in enumerate(_PRIORITY)}
     last_checked = {}
@@ -592,6 +655,7 @@ def _sweep_order(keys: list[str]) -> list[str]:
             _R6_DRIVER_CHECKED,
             _R7_DRIVER_CHECKED,
             _R8_DRIVER_CHECKED,
+            _R9_DRIVER_CHECKED,
         ),
         start=1,
     ):
@@ -612,6 +676,7 @@ def _sweep_order(keys: list[str]) -> list[str]:
             group(k),
             prio.get(k, 0),
             last_checked.get(k, 0),
+            k not in _SECTION2,
             _debut_rank(k),
             k in _EXPENSIVE,
             indexed[k],

@@ -36,12 +36,10 @@ from pyspark.sql import SparkSession
 # Keys whose OUTPUT may legitimately change when the physical layout
 # (file count / row order within partitions) changes; they must still
 # execute without error. Everything else must also match row counts.
-ORDER_SENSITIVE = frozenset(
-    """
-    sample_deterministic sample_weighted_bernoulli sample_stratified
-    sample_train_test_split sample_k_per_group
-    scan_ignore_corrupt_files
-    """.split()
+# The list lives next to the registry it annotates (and is pinned to
+# queries() by tests/test_registry.py) so it can't silently drift.
+from movierecommender_sentimentanalysissytem_spark.registry import (  # noqa: E402
+    ORDER_SENSITIVE,
 )
 
 

@@ -131,6 +131,7 @@ def test_checked_tail_is_staleness_ordered():
         _R6_DRIVER_CHECKED,
         _R7_DRIVER_CHECKED,
         _R8_DRIVER_CHECKED,
+        _R9_DRIVER_CHECKED,
         queries,
     )
 
@@ -139,7 +140,8 @@ def test_checked_tail_is_staleness_ordered():
         (_R1_DRIVER_CHECKED, _R2_DRIVER_CHECKED,
          _R3_DRIVER_CHECKED, _R4_DRIVER_CHECKED,
          _R5_DRIVER_CHECKED, _R6_DRIVER_CHECKED,
-         _R7_DRIVER_CHECKED, _R8_DRIVER_CHECKED),
+         _R7_DRIVER_CHECKED, _R8_DRIVER_CHECKED,
+         _R9_DRIVER_CHECKED),
         start=1,
     ):
         for k in checked:
@@ -231,3 +233,23 @@ def test_no_array_or_map_outputs_on_oracle_keys(spark):
         "oracle-bearing keys with non-atomic output columns "
         f"(driver canonicalizer crashes on these): {offenders}"
     )
+
+
+def test_order_sensitive_keys_exist_in_registry():
+    """ORDER_SENSITIVE (the layout smoke's row-count exemption list)
+    must stay tied to the registry: every entry names a registered key
+    (a rename/removal goes red here instead of surfacing as a spurious
+    DIFF in scripts/layout_smoke.py), and every entry has a reason to
+    be exempt — partition-seeded samplers and the corrupt-file scanner
+    are the only layout-dependent families (r9 ADVICE)."""
+    from movierecommender_sentimentanalysissytem_spark.registry import (
+        ORDER_SENSITIVE,
+        queries,
+    )
+
+    unknown = ORDER_SENSITIVE - set(queries())
+    assert not unknown, f"ORDER_SENSITIVE names unregistered keys: {unknown}"
+    assert all(
+        k.startswith(("sample_", "scan_ignore_corrupt"))
+        for k in ORDER_SENSITIVE
+    ), "unexpected family in ORDER_SENSITIVE — document why it is exempt"

@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import os
+
 from movierecommender_sentimentanalysissytem_spark import registry
 from tests.conftest import SF_ORACLE, SF_SMALL, SF_TENTH
 
@@ -344,13 +346,20 @@ def test_lsh_bucket_geometry_bounds_join_volume(spark):
         f"shipped LSH geometry does {shipped:.2f} of brute-force work per "
         f"table (expected ≈ 0.22) — bucket width has degenerated"
     )
-    # teeth check: the pre-retune width must violate the same bound,
-    # proving the assertion distinguishes the regimes
-    degenerate = per_table_collision_fraction(0.5)
-    assert degenerate >= 0.40, (
-        f"degenerate-width control measured {degenerate:.2f} — the bound "
-        f"no longer separates the regimes, re-derive it"
-    )
+    # Teeth check: the pre-retune width must violate the same bound,
+    # proving the assertion distinguishes the regimes. Fitting and
+    # fully transforming a SECOND LSH model roughly doubles this
+    # already-expensive test, so the control runs only when opted in
+    # (MRSAS_SLOW=1); the last measured value is pinned here — 0.499
+    # at width 0.5 on the sf0.001 fixture (seed 42), vs the 0.40
+    # bound — so the per-run assertion above keeps its calibration
+    # without paying the second fit every suite run (r9 ADVICE).
+    if os.environ.get("MRSAS_SLOW") == "1":
+        degenerate = per_table_collision_fraction(0.5)
+        assert degenerate >= 0.40, (
+            f"degenerate-width control measured {degenerate:.2f} — the "
+            f"bound no longer separates the regimes, re-derive it"
+        )
 
 
 def test_ivf_probe_sweep_curve(spark):
