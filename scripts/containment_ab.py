@@ -166,12 +166,25 @@ def main() -> None:
     string_fn = registry.queries()["dedup_ngram_containment"]
     app = _app_id()
 
+    from movierecommender_sentimentanalysissytem_spark.plans.caching import (
+        release_scoped_caches,
+    )
+
     def measure(fn, sf_dir: str, label: str, warm: bool = True):
         """noop-sink the plan; report (wall_s, shuffle_write, rows).
         Runs twice (first run warms page cache / codegen) unless warm
-        is False; metrics come from the SECOND run's stages only."""
+        is False; metrics come from the SECOND run's stages only.
+
+        Scoped caches are released BEFORE every build: hashed_containment
+        is not registry-wrapped, so without this the other variant's
+        still-persisted `sh` survives into this build and the cache
+        manager plan-matches it INTO this plan (nested InMemoryRelation,
+        different join planning). First observed as the hashed variant
+        "gaining" 7x shuffle bytes at 10x — entirely an artifact of the
+        string run's cache being alive during the hashed build."""
         runs = 2 if warm else 1
         for i in range(runs):
+            release_scoped_caches()
             before = _stage_bytes(app)
             t0 = time.time()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
@@ -187,10 +200,12 @@ def main() -> None:
         return wall, wr
 
     def identity(sf_dir: str, label: str) -> None:
+        release_scoped_caches()
         s_rows = {
             (r.doc_a, r.doc_b, r.containment)
             for r in string_fn(spark, sf_dir).collect()
         }
+        release_scoped_caches()
         h_rows = {
             (r.doc_a, r.doc_b, r.containment)
             for r in hashed_containment(spark, sf_dir).collect()
