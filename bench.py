@@ -159,14 +159,34 @@ def main() -> None:
     calib = round(sorted(_calib_run() for _ in range(3))[1], 3)
     print(f"# calib_sec: {calib:.3f}s", file=sys.stderr)
 
+    # Each query runs TWICE: `queries` keeps the FIRST run (the
+    # contract field since round 1 — includes per-query codegen, the
+    # honest cold number), `queries_best2` keeps the min of the two.
+    # Added in round 10 after a session where transient host stalls
+    # hit exactly one query per sample (fn_map_json 15.6 s once,
+    # rec_item_similarity 12.4-12.6 s twice, every OTHER query at
+    # clean-band level, calib probes normal-to-rejecting): a
+    # single-query spike that survives into `value` is
+    # indistinguishable from a plan regression without a second
+    # sample, while min-of-2 is immune to any stall shorter than a
+    # full query. Purely additive — `value`/`queries` semantics are
+    # unchanged for cross-round comparison.
     timings: dict[str, float] = {}
+    timings_best2: dict[str, float] = {}
     for name in HEADLINE:
         fn = qs[name]
         t0 = time.perf_counter()
         df = fn(spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 3)
-        print(f"# {name}: {timings[name]:.3f}s", file=sys.stderr)
+        t1 = time.perf_counter()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        second = time.perf_counter() - t1
+        timings_best2[name] = round(min(timings[name], second), 3)
+        print(
+            f"# {name}: {timings[name]:.3f}s (2nd {second:.3f}s)",
+            file=sys.stderr,
+        )
 
     # Second calibration at the END of the run: decay-phase contamination
     # (bench launched while a prior workload's load is still draining —
@@ -196,6 +216,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "value_best2": round(sum(timings_best2.values()), 3),
+                "queries_best2": timings_best2,
                 "sf": sf,
                 "calib_sec": calib,
                 "calib_end_sec": calib_end,
