@@ -21,7 +21,11 @@ identically AND evaluate deterministically:
 - length()/upper() on the categorical columns, year()/month() on the
   date column;
 - SUM/MIN/MAX/COUNT (+ FILTER-free) over integer expressions, grouped
-  by a bounded-cardinality expression.
+  by a bounded-cardinality expression;
+- (round 10) abs(), greatest()/least() (NULL-skipping in BOTH engines,
+  verified incl. all-NULL), bitwise & and | (two's-complement BIGINT,
+  negative operands agree; ^ excluded — POWER in DuckDB vs XOR in
+  Spark), and [NOT] BETWEEN.
 
 Seeded: query k is a pure function of (seed, k) — a failure message
 names the reproducing seed.
@@ -71,8 +75,30 @@ def _int_expr(rng: random.Random, table: str, depth: int = 0) -> str:
     choices = ["col", "lit", "datepart" if TS_COLS[table] else "col",
                "length"]
     if depth < 2:
-        choices += ["arith", "mod", "case", "coalesce", "nullif"]
+        choices += ["arith", "mod", "case", "coalesce", "nullif",
+                    # round 10: abs over a signed difference,
+                    # greatest/least (NULL-SKIPPING in both engines —
+                    # verified duckdb matches Spark's skip-nulls rule,
+                    # including all-NULL → NULL), and bitwise &/| on
+                    # two's-complement BIGINT (negative operands agree
+                    # cross-engine; ^ stays EXCLUDED — power in DuckDB,
+                    # xor in Spark)
+                    "abs", "gl", "bit"]
     kind = rng.choice(choices)
+    if kind == "abs":
+        a = _int_expr(rng, table, depth + 1)
+        b = _int_expr(rng, table, depth + 1)
+        return f"abs(({a}) - ({b}))"
+    if kind == "gl":
+        fn = rng.choice(["greatest", "least"])
+        a = _int_expr(rng, table, depth + 1)
+        b = _int_expr(rng, table, depth + 1)
+        return f"{fn}(({a}), ({b}))"
+    if kind == "bit":
+        op = rng.choice(["&", "|"])
+        a = _int_expr(rng, table, depth + 1)
+        b = _int_expr(rng, table, depth + 1)
+        return f"(({a}) {op} ({b}))"
     if kind == "col":
         return rng.choice(INT_COLS[table])
     if kind == "lit":
@@ -112,7 +138,15 @@ def _bool_expr(rng: random.Random, table: str, depth: int = 0) -> str:
         b = _bool_expr(rng, table, depth + 1)
         e = f"({a}) {op} ({b})"
         return f"NOT ({e})" if rng.random() < 0.2 else e
-    kind = rng.choice(["cmp", "cmp", "in", "null", "strcmp"])
+    kind = rng.choice(["cmp", "cmp", "in", "null", "strcmp", "between"])
+    if kind == "between":
+        # standard sugar for >= AND <= incl. three-valued NULL
+        # propagation; lo/hi literals keep the range non-degenerate
+        lo = rng.randint(0, 400)
+        hi = lo + rng.randint(0, 600)
+        e = _int_expr(rng, table, depth + 1)
+        neg = "NOT " if rng.random() < 0.25 else ""
+        return f"(({e}) {neg}BETWEEN {lo} AND {hi})"
     if kind == "cmp":
         op = rng.choice(["<", "<=", ">", ">=", "=", "!="])
         return f"({_int_expr(rng, table, depth + 1)}) {op} ({_int_expr(rng, table, depth + 1)})"
