@@ -331,7 +331,39 @@ _R9_DRIVER_CHECKED = frozenset(
     """.split()
 )
 
-# Every key with a non-red driver row (r1 + ... + r9).
+# Keys the driver's round-10 sweep confirmed (CORRECTNESS_r10.json): all
+# 50 rows non-red — 48 hash-green plus ``ml_sentiment_pipeline`` and
+# ``ml_als_recommend`` rows-only by design (``no_oracle``; model-output
+# keys whose quality gates are the accuracy/RMSE floors in
+# tests/test_ml_quality.py). The head covered the 13 round-10 _PRIORITY
+# streaming keys (shared ``_events_stream`` helper rewritten in r9) +
+# the 8 remaining r2-dated keys + ``fn_math`` (the last §2 key on an r3
+# row); the tail re-verified 28 of the stalest r3 rows.
+_R10_DRIVER_CHECKED = frozenset(
+    """
+    stream_tumbling_window stream_sliding_window stream_session_window
+    stream_watermark_late stream_dedup stream_stateful_counter
+    stream_stream_join stream_stream_left_join stream_session_window_native
+    stream_foreach_batch_sink stream_static_join stream_windowed_topk
+    stream_observe_rate
+    multimodal_columns ml_eval_rmse
+    udf_python_scalar udf_pandas_vectorized udaf_pandas_grouped udtf
+    ml_sentiment_pipeline ml_als_recommend
+    fn_math
+    join_range_binned join_null_safe join_asof_forward
+    agg_hll_sketch_union agg_approx_percentile agg_approx_top_k
+    agg_bitmap_distinct agg_string_concat_ordered agg_boolean_family
+    win_gaps_islands win_pattern_sequence
+    sample_train_test_split sample_stratified
+    set_union_schema_evolution
+    subq_scalar subq_in subq_correlated subq_any_all sql_recursive_cte
+    rec_top_items rec_user_activity rec_genre_explode rec_user_topn_window
+    sentiment_distribution rec_item_cooccurrence
+    sink_partitioned_parquet join_bucketed_colocated scd2_history
+    """.split()
+)
+
+# Every key with a non-red driver row (r1 + ... + r10).
 # Note the two ML keys inside _R2_DRIVER_CHECKED, sim_threshold_join_lsh
 # in _R4/_R8, sim_topk_ivf in _R5/_R7 and sim_topk_ivf_probe_sweep in
 # _R8 are rows-only records, not hash-greens — rows-only is the
@@ -347,36 +379,22 @@ _DRIVER_CHECKED = (
     | _R7_DRIVER_CHECKED
     | _R8_DRIVER_CHECKED
     | _R9_DRIVER_CHECKED
+    | _R10_DRIVER_CHECKED
 )
 
 # Front of the current round's sweep queue: keys that MUST be checked
 # first regardless of grouping — code changed AFTER the key's last
-# driver row. Round 10: the 13 streaming keys. All of them consume the
-# events table through the shared ``_events_stream`` staging helper
-# (streaming/windows.py), which was rewritten in round 9 (commit
-# 555e28d: directory-shaped events tables are now staged file-by-file
-# instead of crashing with IsADirectoryError) AFTER every one of their
-# latest driver rows (r2 x 6, r3 x 2, r5 x 3, r7 x 2). The change is
-# provably inert on the driver's single-file fixtures (the new isdir
-# branch only activates on directories) and all 10 oracle keys were
-# re-verified locally, but the driver row is the contract, so they are
-# re-rowed out of rigor — the same rule that queued the three IVF keys
-# in round 9 (all landed fresh r9 rows and are folded into
-# _R9_DRIVER_CHECKED).
+# driver row. Round 11: only ``sim_topk_ivf_partitioned``. Its scratch
+# layout moved from an unbounded per-call mkdtemp to a deterministic
+# per-sf_dir overwrite path in round 10 (r10 ADVICE item 1,
+# functions/vector.py:629-638) AFTER its r9 driver row. The change is
+# output-inert (same partitioned corpus, same plan modulo the path) and
+# its identity-with-sim_topk_ivf gate re-runs in pytest every session,
+# but the driver row is the contract, so it is re-rowed out of rigor —
+# the same rule that queued the 13 streaming keys in round 10 (all
+# landed fresh r10 rows and are folded into _R10_DRIVER_CHECKED).
 _PRIORITY: tuple[str, ...] = (
-    "stream_tumbling_window",
-    "stream_sliding_window",
-    "stream_session_window",
-    "stream_watermark_late",
-    "stream_dedup",
-    "stream_stateful_counter",
-    "stream_stream_join",
-    "stream_stream_left_join",
-    "stream_session_window_native",
-    "stream_foreach_batch_sink",
-    "stream_static_join",
-    "stream_windowed_topk",
-    "stream_observe_rate",
+    "sim_topk_ivf_partitioned",
 )
 
 # SURVEY.md §2 inventory — the judge's coverage checklist. These outrank
@@ -636,12 +654,13 @@ def _sweep_order(keys: list[str]) -> list[str]:
     every key has a row, the budget left after the unchecked head
     re-verifies the keys whose last driver check is oldest, so
     regressions surface instead of the same recent keys being
-    re-confirmed. Round 10 math: 13 priority (the streaming keys whose
-    shared _events_stream helper changed in r9 after their last rows)
-    + the 8 remaining r2-dated keys (four UDF keys, multimodal_columns
-    and the three ML keys) + 29 of the stalest r3 rows filling the
-    50-key budget (cumulative coverage has been 100% since round 7;
-    no debuts are staged this round)."""
+    re-confirmed. Round 11 math: 1 priority (sim_topk_ivf_partitioned,
+    scratch path changed in r10 after its r9 row) + the 16 keys still
+    on r3 rows (cohort_retention, fn_from_json_map, funnel_conversion,
+    merge_upsert, observe_metrics, profile_numeric_histogram,
+    profile_table, sort_zorder_clustering and 8 tpch_q* keys) + 33 of
+    the stalest r4 rows filling the 50-key budget (cumulative coverage
+    has been 100% since round 7; no debuts are staged this round)."""
 
     prio = {k: i for i, k in enumerate(_PRIORITY)}
     last_checked = {}
@@ -656,6 +675,7 @@ def _sweep_order(keys: list[str]) -> list[str]:
             _R7_DRIVER_CHECKED,
             _R8_DRIVER_CHECKED,
             _R9_DRIVER_CHECKED,
+            _R10_DRIVER_CHECKED,
         ),
         start=1,
     ):

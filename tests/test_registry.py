@@ -132,6 +132,7 @@ def test_checked_tail_is_staleness_ordered():
         _R7_DRIVER_CHECKED,
         _R8_DRIVER_CHECKED,
         _R9_DRIVER_CHECKED,
+        _R10_DRIVER_CHECKED,
         queries,
     )
 
@@ -141,7 +142,7 @@ def test_checked_tail_is_staleness_ordered():
          _R3_DRIVER_CHECKED, _R4_DRIVER_CHECKED,
          _R5_DRIVER_CHECKED, _R6_DRIVER_CHECKED,
          _R7_DRIVER_CHECKED, _R8_DRIVER_CHECKED,
-         _R9_DRIVER_CHECKED),
+         _R9_DRIVER_CHECKED, _R10_DRIVER_CHECKED),
         start=1,
     ):
         for k in checked:
@@ -253,3 +254,29 @@ def test_order_sensitive_keys_exist_in_registry():
         k.startswith(("sample_", "scan_ignore_corrupt"))
         for k in ORDER_SENSITIVE
     ), "unexpected family in ORDER_SENSITIVE — document why it is exempt"
+
+
+def test_expensive_tier_keys_exist_in_registry():
+    """_EXPENSIVE (the sweep-budget cost tier: keys measured ≥ ~2 s at
+    sf0.01, sorted after cheap keys within their priority group) must
+    stay tied to the registry exactly like ORDER_SENSITIVE: every entry
+    names a registered key, so a rename/removal goes red here instead
+    of silently de-prioritizing nothing while the real key drifts back
+    into the cheap tier (r10 verdict item 6)."""
+    from movierecommender_sentimentanalysissytem_spark.registry import (
+        _EXPENSIVE,
+        queries,
+    )
+
+    unknown = _EXPENSIVE - set(queries())
+    assert not unknown, f"_EXPENSIVE names unregistered keys: {unknown}"
+    # Every expensive key is one of the documented cost families: model
+    # training, true streaming runs, brute-force/ANN pair scans, the CF
+    # self-join, connected components, or the python-datasource
+    # round-trips. A new family must be documented at the constant.
+    families = (
+        "ml_", "stream_", "sim_", "dedup_clusters", "rec_item_similarity",
+        "scan_python_datasource", "sink_python_datasource",
+    )
+    stray = [k for k in _EXPENSIVE if not k.startswith(families)]
+    assert not stray, f"undocumented family in _EXPENSIVE: {stray}"
