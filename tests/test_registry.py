@@ -280,3 +280,26 @@ def test_expensive_tier_keys_exist_in_registry():
     )
     stray = [k for k in _EXPENSIVE if not k.startswith(families)]
     assert not stray, f"undocumented family in _EXPENSIVE: {stray}"
+
+
+def test_recall_artifact_covers_exactly_the_rows_only_keys():
+    """RECALL.json (scripts/quality_report.py) is the driver-visible
+    quality evidence for the keys the driver can only rows-only-check.
+    Its key set must stay exactly the registry's no-oracle set: a new
+    rows-only key without a quality metric goes red here, as does a
+    stale artifact entry for a key that gained an oracle (r10 verdict
+    item 2). Every recorded metric must also be passing its floor —
+    a failing committed artifact is a regression, not evidence."""
+    import json
+    import os
+
+    path = os.path.join(os.path.dirname(os.path.dirname(__file__)), "RECALL.json")
+    with open(path) as f:
+        artifact = json.load(f)
+    qs = entrymod.queries()
+    rows_only = set(qs) - set(entrymod.oracle_sql())
+    assert set(artifact["keys"]) == rows_only, (
+        set(artifact["keys"]) ^ rows_only
+    )
+    failing = [k for k, v in artifact["keys"].items() if not v["pass"]]
+    assert not failing, f"RECALL.json records failing floors: {failing}"
