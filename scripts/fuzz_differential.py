@@ -25,7 +25,15 @@ identically AND evaluate deterministically:
 - (round 10) abs(), greatest()/least() (NULL-skipping in BOTH engines,
   verified incl. all-NULL), bitwise & and | (two's-complement BIGINT,
   negative operands agree; ^ excluded — POWER in DuckDB vs XOR in
-  Spark), and [NOT] BETWEEN.
+  Spark), and [NOT] BETWEEN;
+- (round 11) an outer-join null-extension probe shape (LEFT/RIGHT/FULL
+  over disjointly-thinned sides, projecting the extended rows directly
+  through IS NULL / COALESCE / cross-side CASE instead of hiding them
+  in aggregates), HAVING over SUM/MIN/MAX aggregate expressions (mod a
+  prime so both keep/drop outcomes occur at any SF) in both the plain
+  grouped and the join shapes, and BETWEEN bounds scaled to the
+  operand's range (mod-reduced operand or key-range-wide bounds) so
+  both predicate outcomes are regularly exercised.
 
 Seeded: query k is a pure function of (seed, k) — a failure message
 names the reproducing seed.
@@ -141,11 +149,23 @@ def _bool_expr(rng: random.Random, table: str, depth: int = 0) -> str:
     kind = rng.choice(["cmp", "cmp", "in", "null", "strcmp", "between"])
     if kind == "between":
         # standard sugar for >= AND <= incl. three-valued NULL
-        # propagation; lo/hi literals keep the range non-degenerate
-        lo = rng.randint(0, 400)
-        hi = lo + rng.randint(0, 600)
+        # propagation. Two bound regimes so BOTH outcomes of the
+        # predicate occur regularly (r10 ADVICE: the original fixed
+        # lo<=1000 bounds were constant-false against raw key columns
+        # like l_orderkey, exercising only the trivial branch):
+        # (a) reduce the operand mod M and draw bounds inside [0, M),
+        # so in-range hits are guaranteed at any scale factor;
+        # (b) raw operand with bounds drawn wide enough to reach into
+        # the key-column range of the sf0.001-sf0.01 fixtures.
         e = _int_expr(rng, table, depth + 1)
         neg = "NOT " if rng.random() < 0.25 else ""
+        if rng.random() < 0.5:
+            m = rng.randint(50, 500)
+            lo = rng.randint(0, m - 1)
+            hi = lo + rng.randint(0, m - 1 - lo)
+            return f"((({e}) % {m}) {neg}BETWEEN {lo} AND {hi})"
+        lo = rng.randint(0, 40000)
+        hi = lo + rng.randint(0, 60000)
         return f"(({e}) {neg}BETWEEN {lo} AND {hi})"
     if kind == "cmp":
         op = rng.choice(["<", "<=", ">", ">=", "=", "!="])
@@ -161,10 +181,38 @@ def _bool_expr(rng: random.Random, table: str, depth: int = 0) -> str:
     return f"upper({col}) {rng.choice(['=', '!='])} upper({col})"
 
 
+def _having_clause(rng: random.Random, table: str) -> str:
+    """HAVING over a random aggregate expression (round 11 — the old
+    grammar only ever emitted ``HAVING COUNT(*) > n``): COUNT
+    thresholds, MIN/MAX comparisons against literals, and SUM reduced
+    mod a prime so both keep/drop outcomes occur regardless of group
+    size (raw SUMs grow with SF and would make a fixed literal
+    constant-true). A SUM over an all-NULL group is NULL, so the
+    comparison's three-valued drop-the-row semantics are exercised
+    too. 30% of the time two predicates combine with AND/OR."""
+
+    def one() -> str:
+        fam = rng.choice(["count", "minmax", "summod"])
+        cmp_ = rng.choice(["<", "<=", ">", ">=", "=", "!="])
+        if fam == "count":
+            return f"COUNT(*) {cmp_} {rng.randint(0, 8)}"
+        if fam == "minmax":
+            fn = rng.choice(["MIN", "MAX"])
+            return f"{fn}({_int_expr(rng, table)}) {cmp_} {rng.randint(0, 800)}"
+        m = rng.choice([101, 1009, 10007])
+        return f"(SUM({_int_expr(rng, table)}) % {m}) {cmp_} {rng.randint(0, m - 1)}"
+
+    if rng.random() < 0.3:
+        return f" HAVING ({one()}) {rng.choice(['AND', 'OR'])} ({one()})"
+    return f" HAVING {one()}"
+
+
 def _join_query(rng: random.Random) -> str:
     """orders ⋈ lineitem with a random join type — outer-join NULL
     semantics and ON-vs-WHERE filter placement are classic
-    cross-engine drift spots, so both are exercised."""
+    cross-engine drift spots, so both are exercised. Half the queries
+    carry a HAVING over the joined aggregates (round 11), so group
+    filters over null-extended inputs are swept too."""
     jt = rng.choice(["JOIN", "LEFT JOIN", "JOIN", "RIGHT JOIN"])
     on_extra = ""
     if rng.random() < 0.4:
@@ -181,11 +229,54 @@ def _join_query(rng: random.Random) -> str:
         fn = rng.choice(["SUM", "MIN", "MAX", "COUNT"])
         src = rng.choice(["lineitem", "orders"])
         aggs.append(f"{fn}({_int_expr(rng, src)}) AS a{i}")
+    having = ""
+    if rng.random() < 0.5:
+        having = _having_clause(rng, rng.choice(["lineitem", "orders"]))
     return (
         f"SELECT {group} AS g, COUNT(*) AS n, {', '.join(aggs)} "
         f"FROM orders {jt} lineitem "
         f"ON l_orderkey = o_orderkey{on_extra}{where} "
-        f"GROUP BY {group}"
+        f"GROUP BY {group}{having}"
+    )
+
+
+def _outer_probe_query(rng: random.Random) -> str:
+    """Outer-join null-extension probed DIRECTLY (round 11): the
+    aggregate `_join_query` shape can mask a wrong null-extended row
+    inside a SUM, so this one projects the extended rows themselves.
+    Both sides are thinned by DISJOINT modular filters, guaranteeing
+    genuine unmatched rows on each side at any scale factor, then
+    LEFT/RIGHT/FULL joined and projected through IS NULL flags,
+    COALESCE over null-extended columns, and a CASE spanning both
+    sides — exactly where an engine disagreeing on which rows get
+    extended (ON-clause filter on the preserved vs null side) or on
+    NULL propagation through the projection would diverge."""
+    jt = rng.choice(["LEFT JOIN", "RIGHT JOIN", "FULL JOIN"])
+    om, lm = rng.randint(2, 7), rng.randint(2, 7)
+    o_filt = f"o_orderkey % {om} = 0"
+    l_filt = f"l_orderkey % {lm} = 1"
+    on_extra = ""
+    if rng.random() < 0.5:
+        side = rng.choice(["lineitem", "orders"])
+        on_extra = f" AND ({_bool_expr(rng, side)})"
+    where = ""
+    r = rng.random()
+    if r < 0.25:
+        where = f" WHERE l_orderkey IS {rng.choice(['NULL', 'NOT NULL'])}"
+    elif r < 0.4:
+        where = f" WHERE COALESCE(l_linenumber, {rng.randint(0, 9)}) < 5"
+    lexpr = _int_expr(rng, "lineitem")
+    oexpr = _int_expr(rng, "orders")
+    return (
+        f"SELECT o_orderkey, l_orderkey, l_linenumber, "
+        f"(l_orderkey IS NULL) AS l_ext, (o_orderkey IS NULL) AS o_ext, "
+        f"COALESCE(({lexpr}), -1) AS lv, COALESCE(({oexpr}), -2) AS ov, "
+        f"(CASE WHEN l_orderkey IS NULL THEN o_custkey "
+        f"      WHEN o_orderkey IS NULL THEN l_partkey "
+        f"      ELSE l_suppkey + o_custkey END) AS mixed "
+        f"FROM (SELECT * FROM orders WHERE {o_filt}) "
+        f"{jt} (SELECT * FROM lineitem WHERE {l_filt}) "
+        f"ON l_orderkey = o_orderkey{on_extra}{where}"
     )
 
 
@@ -420,8 +511,11 @@ def gen_query(seed: int, k: int) -> str:
     table = rng.choice(TABLES)
     shape = rng.choice(
         ["grouped", "grouped", "filtered_scan", "join", "topk", "window",
-         "distinct", "subquery", "rollup", "string", "setop", "nested_agg"]
+         "distinct", "subquery", "rollup", "string", "setop", "nested_agg",
+         "outer_probe"]
     )
+    if shape == "outer_probe":
+        return _outer_probe_query(rng)
     if shape == "nested_agg":
         return _nested_agg_query(rng, table)
     if shape == "rollup":
@@ -458,8 +552,8 @@ def gen_query(seed: int, k: int) -> str:
         fn = rng.choice(["SUM", "MIN", "MAX", "COUNT"])
         aggs.append(f"{fn}({_int_expr(rng, table)}) AS a{i}")
     having = ""
-    if rng.random() < 0.3:
-        having = f" HAVING COUNT(*) > {rng.randint(0, 5)}"
+    if rng.random() < 0.45:
+        having = _having_clause(rng, table)
     where = ""
     if rng.random() < 0.6:
         where = f" WHERE {_bool_expr(rng, table)}"
