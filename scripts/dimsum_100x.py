@@ -62,18 +62,12 @@ def main() -> None:
         dirs.append((f"{r}x", out))
 
     from movierecommender_sentimentanalysissytem_spark import registry
-    from movierecommender_sentimentanalysissytem_spark.functions.dedup import (
-        _spark_h,
-    )
     from movierecommender_sentimentanalysissytem_spark.operators.recommender import (
-        _BASKET_CAP,
-        _DIMSUM_SQRT_GAMMA,
+        dimsum_sampling_lineage,
     )
     from movierecommender_sentimentanalysissytem_spark.plans.caching import (
         release_scoped_caches,
     )
-    from movierecommender_sentimentanalysissytem_spark.sources.tables import table
-    from pyspark.sql import Window
 
     qs = registry.queries()
 
@@ -86,51 +80,12 @@ def main() -> None:
         return time.time() - t0
 
     def sampling_stats(sf_dir: str) -> dict:
-        """Replicates the key's capped-ratings + probs lineage to read
-        off what the sampler did (same expressions as the registered
-        key — rec_item_similarity_dimsum, operators/recommender.py)."""
+        """Reads off what the sampler did via the SAME lineage the
+        registered key runs (dimsum_sampling_lineage — shared helper,
+        r10 ADVICE: the former hand-duplicated expressions here would
+        silently drift if the key's constants or hash changed)."""
         release_scoped_caches()
-        li = table(spark, sf_dir, "lineitem")
-        o = table(spark, sf_dir, "orders")
-        ratings_all = (
-            li.join(o, li.l_orderkey == o.o_orderkey)
-            .select(
-                F.col("o_custkey").alias("u"),
-                F.col("l_partkey").alias("item"),
-                "l_quantity",
-            )
-            .repartition("u")
-            .groupBy("u", "item")
-            .agg(F.sum("l_quantity").cast("bigint").alias("r"))
-        )
-        w_u = Window.partitionBy("u").orderBy(F.desc("r"), F.asc("item"))
-        ratings = (
-            ratings_all.withColumn("rn", F.row_number().over(w_u))
-            .filter(F.col("rn") <= _BASKET_CAP)
-            .drop("rn")
-        ).persist()
-        probs = ratings.groupBy("item").agg(
-            F.least(
-                F.lit(10000).cast("bigint"),
-                F.floor(
-                    10000
-                    * _DIMSUM_SQRT_GAMMA
-                    / F.sqrt(F.sum(F.col("r") * F.col("r")).cast("bigint"))
-                ).cast("bigint"),
-            ).alias("thr"),
-        )
-        keep_bucket = (
-            F.expr(
-                _spark_h(
-                    "dimsum",
-                    "concat(CAST(u AS STRING), ':', CAST(item AS STRING))",
-                )
-            )
-            % 10000
-        )
-        kept = ratings.join(F.broadcast(probs), "item").filter(
-            keep_bucket < F.col("thr")
-        )
+        ratings, probs, kept = dimsum_sampling_lineage(spark, sf_dir)
 
         def pair_volume(entries) -> int:
             per_u = entries.groupBy("u").agg(F.count(F.lit(1)).alias("n"))
@@ -147,7 +102,7 @@ def main() -> None:
             "pairs_exact": pair_volume(ratings),
             "pairs_sampled": pair_volume(kept),
         }
-        ratings.unpersist()
+        release_scoped_caches()
         return stats
 
     print(
