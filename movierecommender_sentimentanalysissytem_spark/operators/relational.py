@@ -11,7 +11,8 @@ the aggregate that follows a scan.
 from __future__ import annotations
 
 import os
-import tempfile
+
+from movierecommender_sentimentanalysissytem_spark.scratch import mkscratch
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -79,7 +80,7 @@ def scan_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
     SQL-checked: the round-trip must reproduce the nation view exactly.
     """
     nation = table(spark, sf_dir, "nation")
-    out = os.path.join(tempfile.mkdtemp(prefix="mrsas_csv_"), "nation_csv")
+    out = os.path.join(mkscratch("mrsas_csv_"), "nation_csv")
     nation.write.mode("overwrite").option("header", "true").csv(out)
     schema = T.StructType(
         [
@@ -106,7 +107,7 @@ def scan_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     Round-trips ``region`` through temp JSON with explicit schema.
     """
     region = table(spark, sf_dir, "region")
-    out = os.path.join(tempfile.mkdtemp(prefix="mrsas_json_"), "region_json")
+    out = os.path.join(mkscratch("mrsas_json_"), "region_json")
     region.write.mode("overwrite").json(out)
     schema = T.StructType(
         [
@@ -134,7 +135,7 @@ def sink_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("o_totalprice"), 4).alias("total"),
         )
     )
-    out = os.path.join(tempfile.mkdtemp(prefix="mrsas_sink_"), "orders_agg")
+    out = os.path.join(mkscratch("mrsas_sink_"), "orders_agg")
     agg.write.mode("overwrite").parquet(out)
     return spark.read.parquet(out).orderBy("o_orderstatus")
 
@@ -278,7 +279,7 @@ def scan_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
     format; same vectorized reader + pushdown machinery as parquet).
     SQL-checked: must reproduce the supplier view exactly."""
     supplier = table(spark, sf_dir, "supplier")
-    out = os.path.join(tempfile.mkdtemp(prefix="mrsas_orc_"), "supplier_orc")
+    out = os.path.join(mkscratch("mrsas_orc_"), "supplier_orc")
     supplier.write.mode("overwrite").orc(out)
     return spark.read.orc(out).select(
         "s_suppkey",
@@ -307,7 +308,7 @@ def sink_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         round4(F.sum("c_acctbal")).alias("total_bal"),
     )
-    out = os.path.join(tempfile.mkdtemp(prefix="mrsas_sink_"), "seg_agg_csv")
+    out = os.path.join(mkscratch("mrsas_sink_"), "seg_agg_csv")
     agg.write.mode("overwrite").option("header", True).csv(out)
     return spark.read.schema(
         "c_mktsegment string, n bigint, total_bal double"
@@ -332,7 +333,7 @@ def sink_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         round4(F.avg("o_totalprice")).alias("avg_price"),
     )
-    out = os.path.join(tempfile.mkdtemp(prefix="mrsas_sink_"), "prio_json")
+    out = os.path.join(mkscratch("mrsas_sink_"), "prio_json")
     agg.write.mode("overwrite").json(out)
     return spark.read.schema(
         "o_orderpriority string, n bigint, avg_price double"
@@ -369,7 +370,7 @@ def scan_text_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
             "\t", F.col("lang"), F.coalesce(F.col("text"), F.lit(""))
         ).alias("value")
     )
-    out = os.path.join(tempfile.mkdtemp(prefix="mrsas_text_"), "docs_txt")
+    out = os.path.join(mkscratch("mrsas_text_"), "docs_txt")
     d.write.mode("overwrite").text(out)
     lines = spark.read.text(out)
     parsed = lines.select(

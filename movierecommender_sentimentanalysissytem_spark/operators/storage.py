@@ -7,7 +7,8 @@ from __future__ import annotations
 
 import glob
 import os
-import tempfile
+
+from movierecommender_sentimentanalysissytem_spark.scratch import mkscratch
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -36,7 +37,7 @@ def sink_partitioned_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
     index; this is the write side of that contract.
     """
     o = table(spark, sf_dir, "orders")
-    out = os.path.join(tempfile.mkdtemp(prefix="mrsas_part_"), "orders_by_status")
+    out = os.path.join(mkscratch("mrsas_part_"), "orders_by_status")
     o.write.mode("overwrite").partitionBy("o_orderstatus").parquet(out)
     return (
         spark.read.parquet(out)
@@ -67,7 +68,7 @@ def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
     the daily fact⋈fact join from the cluster's biggest shuffle into a
     local merge at 100 TB.
     """
-    wh = tempfile.mkdtemp(prefix="mrsas_bkt_")
+    wh = mkscratch("mrsas_bkt_")
     li = table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_extendedprice"
     )
@@ -176,7 +177,7 @@ def scan_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     break on old files). The aggregate proves old rows surface with
     NULL and new rows carry values."""
     o = table(spark, sf_dir, "orders")
-    out = os.path.join(tempfile.mkdtemp(prefix="mrsas_evo_"), "orders_evo")
+    out = os.path.join(mkscratch("mrsas_evo_"), "orders_evo")
     # generation 1: original schema
     o.filter(F.col("o_orderstatus") == "F").select(
         "o_orderkey", "o_orderpriority"
@@ -215,7 +216,7 @@ def maintenance_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFra
     actual file counts are asserted against the declared literals so
     the oracle check fails if compaction misbehaves."""
     o = table(spark, sf_dir, "orders")
-    base = tempfile.mkdtemp(prefix="mrsas_compact_")
+    base = mkscratch("mrsas_compact_")
     small, big = os.path.join(base, "small"), os.path.join(base, "big")
     o.repartition(32).write.mode("overwrite").parquet(small)
     n_small = len(glob.glob(os.path.join(small, "part-*.parquet")))
@@ -443,7 +444,7 @@ def join_dynamic_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFram
     written layout is a temp copy of the fixture (the fixture itself
     is read-only single-file parquet)."""
     li = table(spark, sf_dir, "lineitem")
-    out = os.path.join(tempfile.mkdtemp(prefix="mrsas_dpp_"), "li_by_flag")
+    out = os.path.join(mkscratch("mrsas_dpp_"), "li_by_flag")
     li.write.mode("overwrite").partitionBy("l_returnflag").parquet(out)
     fact = spark.read.parquet(out)
     flags = spark.createDataFrame(
@@ -482,7 +483,7 @@ def scan_ignore_corrupt_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     the check also proves the good file's content arrives complete —
     nothing silently dropped beyond the corrupt member."""
     o = table(spark, sf_dir, "orders")
-    out = os.path.join(tempfile.mkdtemp(prefix="mrsas_corrupt_"), "orders_mix")
+    out = os.path.join(mkscratch("mrsas_corrupt_"), "orders_mix")
     o.filter(F.col("o_orderkey") % 2 == 0).coalesce(1).write.mode(
         "overwrite"
     ).parquet(out)
@@ -537,7 +538,7 @@ def scan_csv_dropmalformed(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.sql.csv.parser.columnPruning.enabled=false, but a session
     conf would leak past this query.)"""
     o = table(spark, sf_dir, "orders")
-    out = os.path.join(tempfile.mkdtemp(prefix="mrsas_csvmal_"), "orders_csv")
+    out = os.path.join(mkscratch("mrsas_csvmal_"), "orders_csv")
     o.filter(F.col("o_orderkey") % 20 == 0).select(
         "o_orderkey", "o_totalprice", "o_orderpriority"
     ).coalesce(1).write.mode("overwrite").option("header", "false").csv(out)
@@ -591,7 +592,7 @@ def scan_json_permissive_corrupt(spark: SparkSession, sf_dir: str) -> DataFrame:
     (raises AnalysisException by design) — the aggregate touches data
     columns too."""
     o = table(spark, sf_dir, "orders")
-    out = os.path.join(tempfile.mkdtemp(prefix="mrsas_jsonmal_"), "orders_js")
+    out = os.path.join(mkscratch("mrsas_jsonmal_"), "orders_js")
     o.filter(F.col("o_orderkey") % 25 == 0).select(
         "o_orderkey", "o_totalprice"
     ).coalesce(1).write.mode("overwrite").json(out)

@@ -384,17 +384,39 @@ _DRIVER_CHECKED = (
 
 # Front of the current round's sweep queue: keys that MUST be checked
 # first regardless of grouping — code changed AFTER the key's last
-# driver row. Round 11: only ``sim_topk_ivf_partitioned``. Its scratch
-# layout moved from an unbounded per-call mkdtemp to a deterministic
-# per-sf_dir overwrite path in round 10 (r10 ADVICE item 1,
-# functions/vector.py:629-638) AFTER its r9 driver row. The change is
-# output-inert (same partitioned corpus, same plan modulo the path) and
-# its identity-with-sim_topk_ivf gate re-runs in pytest every session,
-# but the driver row is the contract, so it is re-rowed out of rigor —
-# the same rule that queued the 13 streaming keys in round 10 (all
-# landed fresh r10 rows and are folded into _R10_DRIVER_CHECKED).
+# driver row. Round 11, two keys:
+# - ``sim_topk_ivf_partitioned``: scratch layout moved from an
+#   unbounded per-call mkdtemp to a deterministic per-sf_dir overwrite
+#   path in round 10 (r10 ADVICE item 1, functions/vector.py:629-638)
+#   AFTER its r9 driver row. Output-inert (same partitioned corpus,
+#   same plan modulo the path) and its identity-with-sim_topk_ivf gate
+#   re-runs in pytest every session.
+# - ``rec_item_similarity_dimsum``: its capped-ratings/probs/kept
+#   construction was factored into the shared dimsum_sampling_lineage
+#   helper in round 11 (r10 ADVICE item 2, so scripts/dimsum_100x.py's
+#   diagnostics cannot drift from the plan) AFTER its r7 driver row.
+#   Pure refactor — plan fingerprint unchanged, parity re-verified
+#   locally, quality pins green.
+# Both changes are provably inert, but the driver row is the contract,
+# so they are re-rowed out of rigor — the same rule that queued the 13
+# streaming keys in round 10 (all landed fresh r10 rows, folded into
+# _R10_DRIVER_CHECKED).
+#
+# Deliberately NOT queued: the ~20 sink/scan/streaming keys whose
+# ``tempfile.mkdtemp`` calls were swapped for ``scratch.mkscratch`` in
+# round 11 (r10 verdict item 7). Unlike the r9 staging fix (a new
+# behavior branch) or the r10 IVF change (different paths), mkscratch
+# IS mkdtemp — same call, same unique fresh directory per invocation —
+# plus an atexit cleanup registration; no plan, path shape, or output
+# can differ within a process lifetime. Queueing 20 keys would also
+# evict the 16 r3-stale + oldest-r4 rows the r10 verdict's item 1
+# explicitly reserves this round's budget for. Verified instead by the
+# full sf0.01 parity matrix + streaming/operator test files this
+# session; the affected keys re-row naturally as their staleness
+# cohorts (r4-r6) reach the sweep head over the next rounds.
 _PRIORITY: tuple[str, ...] = (
     "sim_topk_ivf_partitioned",
+    "rec_item_similarity_dimsum",
 )
 
 # SURVEY.md §2 inventory — the judge's coverage checklist. These outrank
@@ -654,13 +676,15 @@ def _sweep_order(keys: list[str]) -> list[str]:
     every key has a row, the budget left after the unchecked head
     re-verifies the keys whose last driver check is oldest, so
     regressions surface instead of the same recent keys being
-    re-confirmed. Round 11 math: 1 priority (sim_topk_ivf_partitioned,
-    scratch path changed in r10 after its r9 row) + the 16 keys still
-    on r3 rows (cohort_retention, fn_from_json_map, funnel_conversion,
-    merge_upsert, observe_metrics, profile_numeric_histogram,
-    profile_table, sort_zorder_clustering and 8 tpch_q* keys) + 33 of
-    the stalest r4 rows filling the 50-key budget (cumulative coverage
-    has been 100% since round 7; no debuts are staged this round)."""
+    re-confirmed. Round 11 math: 2 priority (sim_topk_ivf_partitioned,
+    scratch path changed in r10 after its r9 row;
+    rec_item_similarity_dimsum, lineage factored into a shared helper
+    after its r7 row) + the 16 keys still on r3 rows (cohort_retention,
+    fn_from_json_map, funnel_conversion, merge_upsert, observe_metrics,
+    profile_numeric_histogram, profile_table, sort_zorder_clustering
+    and 8 tpch_q* keys) + 32 of the stalest r4 rows filling the 50-key
+    budget (cumulative coverage has been 100% since round 7; no debuts
+    are staged this round)."""
 
     prio = {k: i for i, k in enumerate(_PRIORITY)}
     last_checked = {}

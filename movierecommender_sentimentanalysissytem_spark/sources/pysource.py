@@ -189,14 +189,14 @@ def sink_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
     the round trip — and is SQL-checked against the source table.
     """
     import json
-    import tempfile
 
+    from movierecommender_sentimentanalysissytem_spark.scratch import mkscratch
     from movierecommender_sentimentanalysissytem_spark.sources.tables import table
 
     if not _HAS_DS_API:
         raise NotImplementedError("Spark 4 DataSource API unavailable")
     spark.dataSource.register(JsonlSinkDataSource)
-    out = tempfile.mkdtemp(prefix="mrsas_pysink_")
+    out = mkscratch("mrsas_pysink_")
     o = table(spark, sf_dir, "orders").filter(
         F.col("o_orderstatus") == "F"
     ).select("o_orderkey", "o_orderpriority", "o_totalprice")

@@ -205,13 +205,14 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     fixtures but not on the layout every real corpus has.
     """
     import shutil
-    import tempfile
+
+    from movierecommender_sentimentanalysissytem_spark.scratch import mkscratch
 
     src = os.path.join(sf_dir, "events.parquet")
     if os.path.isdir(src):
         stage = src
     else:
-        stage = tempfile.mkdtemp(prefix="mrsas_stream_src_")
+        stage = mkscratch("mrsas_stream_src_")
         dst = os.path.join(stage, "events.parquet")
         try:
             os.link(src, dst)
@@ -451,9 +452,9 @@ def stream_foreach_batch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     SQL-checked: with AvailableNow + one source file there is exactly
     one batch, so the sink's re-aggregation equals the plain batch
     groupBy, which is the oracle."""
-    import tempfile
+    from movierecommender_sentimentanalysissytem_spark.scratch import mkscratch
 
-    out = tempfile.mkdtemp(prefix="mrsas_feb_") + "/by_type"
+    out = mkscratch("mrsas_feb_") + "/by_type"
     e = _events_stream(spark, sf_dir)
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
