@@ -57,6 +57,6 @@ def test_no_bare_mkdtemp_in_engine_package():
         str(p)
         for p in pkg.rglob("*.py")
         if p.name != "scratch.py"
-        and "tempfile.mkdtemp" in p.read_text()
+        and "tempfile.mkdtemp(" in p.read_text()  # call syntax, not prose
     ]
     assert not offenders, f"bare mkdtemp call sites: {offenders}"
