@@ -450,17 +450,26 @@ _SECTION2 = frozenset(
 )
 
 
-# Keys measured ≥ ~2 s at sf0.01 (model training, true streaming runs,
-# brute-force pair scans). Sorted after the cheap keys within their
-# priority group so a TIME-limited sweep still reaches the most keys.
+# Keys measured ≥ ~2 s WARM at sf0.01 (model training, true streaming
+# runs, ANN index builds, iterative graph plans, the CF self-joins,
+# python-datasource round-trips). Sorted after the cheap keys within
+# their priority group so a TIME-limited sweep still reaches the most
+# keys. Membership is measurement-driven: re-baselined round 11 from a
+# fresh full timing audit + warm re-runs of every ≥2 s candidate
+# (added the six warm-confirmed keys below from ml/graph/rec families;
+# dropped sim_threshold_join, which measures 0.4 s warm at sf0.01 —
+# the brute-force contract is quadratic at scale, but this tag prices
+# the DRIVER sweep's SF, not the asymptote).
 _EXPENSIVE = frozenset(
     """
-    ml_sentiment_pipeline ml_als_recommend
+    ml_sentiment_pipeline ml_als_recommend ml_learning_curve
     stream_watermark_late stream_dedup stream_stateful_counter
     stream_stream_join stream_stream_left_join
-    sim_threshold_join sim_topk_ivf sim_topk_ivf_probe_sweep
+    sim_topk_ivf sim_topk_ivf_probe_sweep
     sim_topk_ivf_partitioned
-    dedup_clusters rec_item_similarity
+    dedup_clusters rec_item_similarity rec_item_similarity_dimsum
+    rec_multihop_expansion rec_association_rules
+    graph_pagerank graph_triangle_count
     scan_python_datasource sink_python_datasource
     """.split()
 )

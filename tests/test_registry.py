@@ -271,11 +271,12 @@ def test_expensive_tier_keys_exist_in_registry():
     unknown = _EXPENSIVE - set(queries())
     assert not unknown, f"_EXPENSIVE names unregistered keys: {unknown}"
     # Every expensive key is one of the documented cost families: model
-    # training, true streaming runs, brute-force/ANN pair scans, the CF
-    # self-join, connected components, or the python-datasource
-    # round-trips. A new family must be documented at the constant.
+    # training, true streaming runs, ANN index builds, iterative graph
+    # plans, the CF/recommender self-joins, connected components, or
+    # the python-datasource round-trips. A new family must be
+    # documented at the constant.
     families = (
-        "ml_", "stream_", "sim_", "dedup_clusters", "rec_item_similarity",
+        "ml_", "stream_", "sim_", "dedup_clusters", "rec_", "graph_",
         "scan_python_datasource", "sink_python_datasource",
     )
     stray = [k for k in _EXPENSIVE if not k.startswith(families)]
