@@ -38,7 +38,9 @@ identically AND evaluate deterministically:
 Seeded: query k is a pure function of (seed, k) — a failure message
 names the reproducing seed.
 
-CLI: python scripts/fuzz_differential.py [n_queries] [sf_dir] [seed]
+CLI: python scripts/fuzz_differential.py [n_queries] [sf_dir] [seed] [shape]
+(shape restricts the grammar to one production for targeted sweeps,
+e.g. ``outer_probe`` or ``join``)
 """
 
 from __future__ import annotations
@@ -506,10 +508,10 @@ def _nested_agg_query(rng: random.Random, table: str) -> str:
     )
 
 
-def gen_query(seed: int, k: int) -> str:
+def gen_query(seed: int, k: int, only_shape: str | None = None) -> str:
     rng = random.Random((seed << 16) ^ k)
     table = rng.choice(TABLES)
-    shape = rng.choice(
+    shape = only_shape or rng.choice(
         ["grouped", "grouped", "filtered_scan", "join", "topk", "window",
          "distinct", "subquery", "rollup", "string", "setop", "nested_agg",
          "outer_probe"]
@@ -563,9 +565,12 @@ def gen_query(seed: int, k: int) -> str:
     )
 
 
-def run_differential(spark, sf_dir: str, seeds) -> list[str]:
+def run_differential(spark, sf_dir: str, seeds, only_shape: str | None = None) -> list[str]:
     """Run each generated query through both engines; return mismatch
-    descriptions (empty = all agree)."""
+    descriptions (empty = all agree). ``only_shape`` restricts the
+    grammar to one production (full-density targeted sweeps for a new
+    shape — the mixed sweep gives each of the 13 shapes only ~8%
+    density)."""
     import duckdb
 
     con = duckdb.connect()
@@ -590,7 +595,9 @@ def run_differential(spark, sf_dir: str, seeds) -> list[str]:
 
     failures = []
     for seed, k in seeds:
-        q = gen_query(seed, k)
+        # two-arg call when unrestricted: tests monkeypatch gen_query
+        # with (seed, k) lambdas
+        q = gen_query(seed, k, only_shape) if only_shape else gen_query(seed, k)
         try:
             s_rows = [tuple(r) for r in spark.sql(q).collect()]
             d_rows = [tuple(r) for r in con.sql(q).fetchall()]
@@ -616,6 +623,7 @@ def main() -> int:
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 50
     sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.001"
     seed = int(sys.argv[3]) if len(sys.argv) > 3 else 0
+    only_shape = sys.argv[4] if len(sys.argv) > 4 else None
 
     from pyspark.sql import SparkSession
 
@@ -630,7 +638,7 @@ def main() -> int:
     )
     spark.sparkContext.setLogLevel("ERROR")
     failures = run_differential(
-        spark, sf_dir, [(seed, k) for k in range(n)]
+        spark, sf_dir, [(seed, k) for k in range(n)], only_shape
     )
     for f in failures:
         print("FAIL", f)
