@@ -31,9 +31,12 @@ identically AND evaluate deterministically:
   through IS NULL / COALESCE / cross-side CASE instead of hiding them
   in aggregates), HAVING over SUM/MIN/MAX aggregate expressions (mod a
   prime so both keep/drop outcomes occur at any SF) in both the plain
-  grouped and the join shapes, and BETWEEN bounds scaled to the
+  grouped and the join shapes, BETWEEN bounds scaled to the
   operand's range (mod-reduced operand or key-range-wide bounds) so
-  both predicate outcomes are regularly exercised.
+  both predicate outcomes are regularly exercised, VALUE-based RANGE
+  window frames (COALESCE-wrapped ordering key — a NULL ordering key's
+  RANGE frame is an engine-convention corner the grammar avoids), and
+  explicit GROUPING SETS sublattices with GROUPING() markers.
 
 Seeded: query k is a pure function of (seed, k) — a failure message
 names the reproducing seed.
@@ -317,7 +320,7 @@ def _window_query(rng: random.Random, table: str) -> str:
     )
     fns = []
     for i, fam in enumerate(rng.sample(
-        ["rank", "running", "lag", "ntile"], k=2
+        ["rank", "running", "lag", "ntile", "range_frame"], k=2
     )):
         if fam == "rank":
             fn = rng.choice(["ROW_NUMBER()", "RANK()", "DENSE_RANK()"])
@@ -333,6 +336,23 @@ def _window_query(rng: random.Random, table: str) -> str:
             e = _int_expr(rng, table)
             fns.append(
                 f"LAG({e}, {rng.randint(1, 3)}) OVER ({part}{order}) AS w{i}"
+            )
+        elif fam == "range_frame":
+            # round 11: VALUE-based frames — peers enter by ordering
+            # value, not row position, so tie-breaks are irrelevant
+            # and the frame itself is cross-engine-deterministic. The
+            # ordering expression is COALESCE-wrapped: a NULL ordering
+            # key's RANGE frame is an engine-convention corner the
+            # grammar deliberately avoids (same rule as topk's NULLS
+            # LAST), while NULLs still flow through the AGGREGATED
+            # expression freely.
+            agg = rng.choice(["SUM", "MIN", "MAX", "COUNT"])
+            oexpr = f"COALESCE(({_int_expr(rng, table)}), 0)"
+            e = _int_expr(rng, table)
+            width = rng.randint(0, 500)
+            fns.append(
+                f"{agg}({e}) OVER ({part}ORDER BY {oexpr} ASC "
+                f"RANGE BETWEEN {width} PRECEDING AND CURRENT ROW) AS w{i}"
             )
         else:
             fns.append(
@@ -394,7 +414,6 @@ def _rollup_query(rng: random.Random, table: str) -> str:
     That is a REAL engine divergence, pinned as a known-divergence
     test — not noise for the agreement sweep."""
     cols = rng.sample(STR_COLS[table], k=min(2, len(STR_COLS[table])))
-    op = rng.choice(["ROLLUP", "CUBE"])
     agg = rng.choice(["SUM", "MIN", "MAX", "COUNT"])
     e = _int_expr(rng, table)
     where = ""
@@ -403,9 +422,26 @@ def _rollup_query(rng: random.Random, table: str) -> str:
         f"CAST(GROUPING({c}) AS INTEGER) AS m{i}"
         for i, c in enumerate(cols)
     )
+    form = rng.choice(["ROLLUP", "CUBE", "SETS"])
+    if form == "SETS" and len(cols) == 2:
+        # round 11: explicit GROUPING SETS — a random sublattice
+        # (always including at least one non-empty set; the bare ()
+        # set only alongside others, so the empty-input grand-total
+        # divergence pinned for ROLLUP stays confined to that test)
+        a_, b_ = cols
+        lattice = rng.choice([
+            f"(({a_}), ({a_}, {b_}))",
+            f"(({a_}), ({b_}))",
+            f"(({a_}, {b_}), ({b_}), ())",
+            f"(({a_}), ({a_}, {b_}), ())",
+        ])
+        group = f"GROUPING SETS {lattice}"
+    else:
+        op = form if form != "SETS" else "ROLLUP"
+        group = f"{op}({glist})"
     return (
         f"SELECT {glist}, {marks}, COUNT(*) AS n, {agg}({e}) AS a "
-        f"FROM {table}{where} GROUP BY {op}({glist})"
+        f"FROM {table}{where} GROUP BY {group}"
     )
 
 
