@@ -17,9 +17,13 @@ can never collide) and adds two bounds:
   (atexit), so a sweep/pytest/driver process cleans up after itself;
 - on first use, directories matching the engine's prefix that are
   older than ``STALE_HOURS`` are swept — self-healing for scratch
-  leaked by crashed or SIGKILLed processes from earlier sessions. The
-  age guard makes this safe against any concurrently-running sibling
-  process, whose directories are necessarily younger.
+  leaked by crashed or SIGKILLed processes from earlier sessions.
+  Age alone is NOT a safe liveness proxy (a sibling process running
+  longer than STALE_HOURS — a long driver or bench session — still
+  owns its old directories), so every directory carries an owner-pid
+  marker written at creation and the janitor skips any directory
+  whose recorded owner is still alive; only dirs that are both stale
+  AND ownerless (or markerless, i.e. pre-fix leftovers) are removed.
 
 Lifetime contract for callers: the directory lives until process exit,
 which is always after the driver/sweep collects the query's result.
@@ -38,22 +42,52 @@ import time
 # ever touches matching names.
 PREFIX_TAG = "mrsas_"
 STALE_HOURS = 12.0
+OWNER_MARKER = ".mrsas_owner_pid"
 
 _CREATED: list[str] = []
 _janitor_ran = False
 
 
 def _cleanup() -> None:
-    for d in _CREATED:
-        shutil.rmtree(d, ignore_errors=True)
+    # Drain rather than iterate: idempotent on repeated invocation
+    # (tests call it directly and atexit fires afterwards) and the
+    # list stays memory-bounded in long-lived processes.
+    while _CREATED:
+        shutil.rmtree(_CREATED.pop(), ignore_errors=True)
 
 
 atexit.register(_cleanup)
 
 
+def _owner_alive(d: str) -> bool:
+    """True if the directory's recorded creator process still exists.
+
+    A missing/unreadable marker means "not alive" (pre-marker leftovers
+    from crashed sessions stay sweepable); a recorded pid is probed
+    with signal 0. EPERM means the pid exists under another uid —
+    treat as alive, never delete from under a running process.
+    """
+    try:
+        with open(os.path.join(d, OWNER_MARKER)) as fh:
+            pid = int(fh.read().strip())
+    except (OSError, ValueError):
+        return False
+    try:
+        os.kill(pid, 0)
+    except ProcessLookupError:
+        return False
+    except PermissionError:
+        return True
+    return True
+
+
 def _sweep_stale() -> None:
-    """Remove engine scratch older than STALE_HOURS (leaked by crashed
-    processes of earlier sessions). Runs once per process."""
+    """Remove engine scratch older than STALE_HOURS whose creator
+    process is gone (leaked by crashed/SIGKILLed earlier sessions).
+    The liveness check protects sibling processes that have been
+    running longer than STALE_HOURS — age alone would misclassify
+    their still-in-use directories (r11 ADVICE). Runs once per
+    process."""
     global _janitor_ran
     if _janitor_ran:
         return
@@ -61,7 +95,11 @@ def _sweep_stale() -> None:
     cutoff = time.time() - STALE_HOURS * 3600
     for d in glob.glob(os.path.join(tempfile.gettempdir(), PREFIX_TAG + "*")):
         try:
-            if os.path.isdir(d) and os.path.getmtime(d) < cutoff:
+            if (
+                os.path.isdir(d)
+                and os.path.getmtime(d) < cutoff
+                and not _owner_alive(d)
+            ):
                 shutil.rmtree(d, ignore_errors=True)
         except OSError:
             continue
@@ -71,10 +109,19 @@ def mkscratch(prefix: str) -> str:
     """``tempfile.mkdtemp`` with end-of-process cleanup registration.
 
     ``prefix`` must carry the engine tag so the stale-janitor's scope
-    and the creation scope stay the same set.
+    and the creation scope stay the same set. An owner-pid marker file
+    is dropped inside the fresh directory so future janitors can tell
+    "leaked by a dead process" from "owned by a long-running one";
+    callers see an empty-but-for-one-hidden-file directory, which every
+    engine use writes Spark output INTO (subpaths), never globs flat.
     """
     assert prefix.startswith(PREFIX_TAG), prefix
     _sweep_stale()
     d = tempfile.mkdtemp(prefix=prefix)
+    try:
+        with open(os.path.join(d, OWNER_MARKER), "w") as fh:
+            fh.write(str(os.getpid()))
+    except OSError:
+        pass
     _CREATED.append(d)
     return d

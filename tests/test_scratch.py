@@ -1,9 +1,10 @@
-"""Scratch-directory hygiene (round 11, r10 verdict item 7): the
-sink/scan round-trip keys' temp dirs must be bounded across repeated
-sweeps — end-of-process cleanup for this process's dirs, an age-gated
-janitor for dirs leaked by crashed earlier sessions (526 dirs / ~2 GB
-had accumulated in /tmp before the fix), and a source scan so no new
-call site regresses to bare mkdtemp."""
+"""Scratch-directory hygiene (round 11, r10 verdict item 7; hardened
+round 12 per r11 ADVICE): the sink/scan round-trip keys' temp dirs must
+be bounded across repeated sweeps — end-of-process cleanup for this
+process's dirs, an age+owner-liveness janitor for dirs leaked by
+crashed earlier sessions (526 dirs / ~2 GB had accumulated in /tmp
+before the fix), and a source scan so no new call site regresses to
+bare mkdtemp."""
 
 from __future__ import annotations
 
@@ -20,42 +21,81 @@ def test_mkscratch_registers_for_exit_cleanup():
     assert d in scratch._CREATED
     scratch._cleanup()
     assert not os.path.exists(d)
-    scratch._CREATED.remove(d)
+    # drain semantics: _cleanup empties the registry itself
+    assert d not in scratch._CREATED
 
 
-def test_janitor_sweeps_only_stale_engine_dirs(tmp_path, monkeypatch):
+def test_cleanup_is_idempotent_and_drains():
+    """r11 ADVICE: _cleanup must drain _CREATED so a second invocation
+    (tests call it directly; atexit fires afterwards) is a no-op and
+    the list cannot grow unboundedly in long processes."""
+    d1 = scratch.mkscratch("mrsas_testscratch_")
+    d2 = scratch.mkscratch("mrsas_testscratch_")
+    assert {d1, d2} <= set(scratch._CREATED)
+    scratch._cleanup()
+    assert scratch._CREATED == []
+    scratch._cleanup()  # second call: nothing to re-attempt
+    assert scratch._CREATED == []
+
+
+def test_mkscratch_writes_owner_marker():
+    d = scratch.mkscratch("mrsas_testscratch_")
+    try:
+        marker = os.path.join(d, scratch.OWNER_MARKER)
+        assert os.path.isfile(marker)
+        assert int(open(marker).read()) == os.getpid()
+    finally:
+        scratch._cleanup()
+
+
+def test_janitor_sweeps_only_stale_ownerless_engine_dirs(
+    tmp_path, monkeypatch
+):
     import tempfile
 
     monkeypatch.setattr(tempfile, "gettempdir", lambda: str(tmp_path))
-    stale = tmp_path / "mrsas_old_leak"
+    stale = tmp_path / "mrsas_old_leak"  # no marker: pre-fix leftover
+    stale_dead = tmp_path / "mrsas_old_dead_owner"
+    stale_live = tmp_path / "mrsas_old_live_owner"
     young = tmp_path / "mrsas_recent"
     foreign = tmp_path / "somebody_elses_dir"
-    for d in (stale, young, foreign):
+    for d in (stale, stale_dead, stale_live, young, foreign):
         d.mkdir()
+    # dead owner: a pid far above pid_max-in-practice, guaranteed gone
+    (stale_dead / scratch.OWNER_MARKER).write_text("999999999")
+    # live owner: this very process, "running longer than STALE_HOURS"
+    (stale_live / scratch.OWNER_MARKER).write_text(str(os.getpid()))
     old = time.time() - (scratch.STALE_HOURS + 1) * 3600
-    os.utime(stale, (old, old))
-    os.utime(foreign, (old, old))
+    for d in (stale, stale_dead, stale_live, foreign):
+        os.utime(d, (old, old))
     monkeypatch.setattr(scratch, "_janitor_ran", False)
-    d = scratch.mkscratch("mrsas_testscratch_")
+    scratch.mkscratch("mrsas_testscratch_")
     try:
-        assert not stale.exists(), "stale engine dir must be swept"
+        assert not stale.exists(), "stale markerless engine dir: swept"
+        assert not stale_dead.exists(), "stale dir of dead process: swept"
+        assert stale_live.exists(), (
+            "dir owned by a LIVE process must survive even past "
+            "STALE_HOURS (long bench/driver sessions, r11 ADVICE)"
+        )
         assert young.exists(), "young dir may belong to a live process"
         assert foreign.exists(), "non-engine dirs are never touched"
     finally:
         scratch._cleanup()
-        scratch._CREATED.clear()
         monkeypatch.setattr(scratch, "_janitor_ran", False)
 
 
-def test_no_bare_mkdtemp_in_engine_package():
+def test_no_bare_mkdtemp_in_engine_package_or_scripts():
     """Every temp dir the engine creates must go through mkscratch so
     the cleanup/janitor bounds hold; a new bare tempfile.mkdtemp call
     site reintroduces the unbounded-accumulation leak this module
-    exists to close."""
+    exists to close. Scans scripts/ too (r11 ADVICE): the diagnostic
+    scripts materialize scaled corpora that leak just the same."""
     pkg = pathlib.Path(scratch.__file__).parent
+    scripts = pkg.parent / "scripts"
     offenders = [
         str(p)
-        for p in pkg.rglob("*.py")
+        for root in (pkg, scripts)
+        for p in root.rglob("*.py")
         if p.name != "scratch.py"
         and "tempfile.mkdtemp(" in p.read_text()  # call syntax, not prose
     ]
