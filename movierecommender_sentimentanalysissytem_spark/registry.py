@@ -363,12 +363,43 @@ _R10_DRIVER_CHECKED = frozenset(
     """.split()
 )
 
-# Every key with a non-red driver row (r1 + ... + r10).
+# Keys the driver's round-11 sweep confirmed (CORRECTNESS_r11.json): all
+# 50 rows non-red — 49 hash-green plus ``sim_topk_ivf_partitioned``
+# rows-only by design (``no_oracle``; its identity-with-sim_topk_ivf
+# gate and the RECALL.json recall floor are its quality gates). The
+# head covered the two round-11 _PRIORITY keys (scratch-path /
+# shared-lineage edits after their last rows) + all 16 r3-stale keys;
+# the tail re-verified the 32 oldest r4 rows.
+_R11_DRIVER_CHECKED = frozenset(
+    """
+    sim_topk_ivf_partitioned rec_item_similarity_dimsum
+    sort_zorder_clustering fn_from_json_map merge_upsert
+    funnel_conversion cohort_retention profile_numeric_histogram
+    profile_table tpch_q3_shipping_priority tpch_q10_returned_items
+    tpch_q9_product_profit observe_metrics tpch_q18_large_orders
+    tpch_q14_promo_revenue tpch_q17_small_qty_revenue
+    tpch_q22_dormant_customers tpch_q4_order_priority
+    scan_schema_evolution maintenance_compact_small_files
+    tpch_q16_supplier_cnt tpch_q21_waiting_suppliers
+    tpch_q5_local_volume tpch_q7_volume_shipping tpch_q8_market_share
+    tpch_q12_priority_lines tpch_q13_customer_distribution
+    tpch_q15_top_supplier tpch_q19_disjunctive_filter
+    tpch_q2_min_cost_supplier tpch_q11_important_stock
+    tpch_q20_excess_suppliers stats_median_mad anomaly_zscore
+    win_rolling_distinct skyline_pareto quality_fk_orphans
+    profile_equidepth_histogram dedup_simhash timeseries_gapfill
+    timeseries_locf timeseries_ewma timeseries_multi_rollup fn_bitwise
+    fn_levenshtein fn_null_semantics fn_try_cast fn_variant_json
+    fn_collation_aware fn_nested_struct
+    """.split()
+)
+
+# Every key with a non-red driver row (r1 + ... + r11).
 # Note the two ML keys inside _R2_DRIVER_CHECKED, sim_threshold_join_lsh
-# in _R4/_R8, sim_topk_ivf in _R5/_R7 and sim_topk_ivf_probe_sweep in
-# _R8 are rows-only records, not hash-greens — rows-only is the
-# strongest check available for oracle-less keys, so they are
-# deprioritized the same way.
+# in _R4/_R8, sim_topk_ivf in _R5/_R7, sim_topk_ivf_probe_sweep in
+# _R8 and sim_topk_ivf_partitioned in _R9/_R11 are rows-only records,
+# not hash-greens — rows-only is the strongest check available for
+# oracle-less keys, so they are deprioritized the same way.
 _DRIVER_CHECKED = (
     _R1_DRIVER_CHECKED
     | _R2_DRIVER_CHECKED
@@ -380,44 +411,30 @@ _DRIVER_CHECKED = (
     | _R8_DRIVER_CHECKED
     | _R9_DRIVER_CHECKED
     | _R10_DRIVER_CHECKED
+    | _R11_DRIVER_CHECKED
 )
 
 # Front of the current round's sweep queue: keys that MUST be checked
 # first regardless of grouping — code changed AFTER the key's last
-# driver row. Round 11, two keys:
-# - ``sim_topk_ivf_partitioned``: scratch layout moved from an
-#   unbounded per-call mkdtemp to a deterministic per-sf_dir overwrite
-#   path in round 10 (r10 ADVICE item 1, functions/vector.py:629-638)
-#   AFTER its r9 driver row. Output-inert (same partitioned corpus,
-#   same plan modulo the path) and its identity-with-sim_topk_ivf gate
-#   re-runs in pytest every session.
-# - ``rec_item_similarity_dimsum``: its capped-ratings/probs/kept
-#   construction was factored into the shared dimsum_sampling_lineage
-#   helper in round 11 (r10 ADVICE item 2, so scripts/dimsum_100x.py's
-#   diagnostics cannot drift from the plan) AFTER its r7 driver row.
-#   Pure refactor — plan fingerprint unchanged, parity re-verified
-#   locally, quality pins green.
-# Both changes are provably inert, but the driver row is the contract,
-# so they are re-rowed out of rigor — the same rule that queued the 13
-# streaming keys in round 10 (all landed fresh r10 rows, folded into
-# _R10_DRIVER_CHECKED).
-#
-# Deliberately NOT queued: the ~20 sink/scan/streaming keys whose
-# ``tempfile.mkdtemp`` calls were swapped for ``scratch.mkscratch`` in
-# round 11 (r10 verdict item 7). Unlike the r9 staging fix (a new
-# behavior branch) or the r10 IVF change (different paths), mkscratch
-# IS mkdtemp — same call, same unique fresh directory per invocation —
-# plus an atexit cleanup registration; no plan, path shape, or output
-# can differ within a process lifetime. Queueing 20 keys would also
-# evict the 16 r3-stale + oldest-r4 rows the r10 verdict's item 1
-# explicitly reserves this round's budget for. Verified instead by the
-# full sf0.01 parity matrix + streaming/operator test files this
-# session; the affected keys re-row naturally as their staleness
-# cohorts (r4-r6) reach the sweep head over the next rounds.
-_PRIORITY: tuple[str, ...] = (
-    "sim_topk_ivf_partitioned",
-    "rec_item_similarity_dimsum",
-)
+# driver row. Round 12: EMPTY. Both r11 priority keys landed fresh r11
+# rows (folded into _R11_DRIVER_CHECKED above), and no registered
+# plan's code changed after its latest driver row this round — the
+# round-12 engine diffs are registry bookkeeping (this fold), the
+# scratch.py janitor-liveness hardening (ADVICE r11; mkscratch still
+# returns the same unique fresh directory per invocation, so no plan,
+# path shape, or output can differ within a process lifetime — the
+# same inertness argument that kept the r11 mkscratch swap out of the
+# queue), and script/test-only edits (quality_report guards, fixture
+# fingerprinting). With an empty priority head the full 50-key budget
+# goes to the staleness ladder: the 13 keys still on r4 rows
+# (corpus_mix_rebalance, curation_shard_token_budget,
+# decontaminate_ngram_overlap, embedding_quantize_int8,
+# multimodal_feature_extract, multimodal_frame_sample,
+# pipeline_corpus_funnel, text_fingerprint, text_langid,
+# text_pii_redaction, text_quality_score, text_repetition_filter,
+# text_token_count) + the 37 oldest r5 rows — exactly the composition
+# the r11 verdict's item 1 reserves this round's budget for.
+_PRIORITY: tuple[str, ...] = ()
 
 # SURVEY.md §2 inventory — the judge's coverage checklist. These outrank
 # extra keys in sweep priority.
@@ -685,15 +702,16 @@ def _sweep_order(keys: list[str]) -> list[str]:
     every key has a row, the budget left after the unchecked head
     re-verifies the keys whose last driver check is oldest, so
     regressions surface instead of the same recent keys being
-    re-confirmed. Round 11 math: 2 priority (sim_topk_ivf_partitioned,
-    scratch path changed in r10 after its r9 row;
-    rec_item_similarity_dimsum, lineage factored into a shared helper
-    after its r7 row) + the 16 keys still on r3 rows (cohort_retention,
-    fn_from_json_map, funnel_conversion, merge_upsert, observe_metrics,
-    profile_numeric_histogram, profile_table, sort_zorder_clustering
-    and 8 tpch_q* keys) + 32 of the stalest r4 rows filling the 50-key
-    budget (cumulative coverage has been 100% since round 7; no debuts
-    are staged this round)."""
+    re-confirmed. Round 12 math: 0 priority (no plan code changed after
+    its latest driver row) + the 13 keys still on r4 rows (the LLM-tier
+    curation/text-analysis cohort: corpus_mix_rebalance,
+    curation_shard_token_budget, decontaminate_ngram_overlap,
+    embedding_quantize_int8, multimodal_feature_extract,
+    multimodal_frame_sample, pipeline_corpus_funnel, text_fingerprint,
+    text_langid, text_pii_redaction, text_quality_score,
+    text_repetition_filter, text_token_count) + 37 of the 43 r5 rows
+    filling the 50-key budget (cumulative coverage has been 100% since
+    round 7; no debuts are staged this round)."""
 
     prio = {k: i for i, k in enumerate(_PRIORITY)}
     last_checked = {}
@@ -709,6 +727,7 @@ def _sweep_order(keys: list[str]) -> list[str]:
             _R8_DRIVER_CHECKED,
             _R9_DRIVER_CHECKED,
             _R10_DRIVER_CHECKED,
+            _R11_DRIVER_CHECKED,
         ),
         start=1,
     ):
