@@ -17,11 +17,19 @@ The measurements are deterministic (fixed seeds throughout the engine;
 no timestamps are written) so re-running on unchanged code and fixtures
 reproduces the file byte-for-byte.
 
+The artifact records a content fingerprint (md5 over every parquet
+byte) of the fixture directories it was measured against, and
+tests/test_ml_quality.py recomputes that fingerprint every session —
+so if the driver regenerates /root/testdata, the stale artifact FAILS
+pytest instead of silently misrepresenting the new fixtures (r11
+verdict item 2).
+
 Usage: python scripts/quality_report.py [out_path]
 """
 
 from __future__ import annotations
 
+import hashlib
 import json
 import os
 import sys
@@ -31,6 +39,39 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 SF_SMALL = "/root/testdata/sf0.001"
 SF_ORACLE = "/root/testdata/sf0.01"
 SF_TENTH = "/root/testdata/sf0.1"
+
+# Every fixture directory any measurement in this report reads.
+FINGERPRINTED_DIRS = (SF_SMALL, SF_ORACLE, SF_TENTH)
+
+
+def fixture_fingerprint(dirs=FINGERPRINTED_DIRS) -> dict[str, str]:
+    """Content fingerprint of the fixture tables: per sf-dir, one md5
+    over the bytes of every *.parquet entry (file, or every file under
+    a directory-style parquet, walked in sorted order). Pure content —
+    no mtimes — so regenerating byte-identical fixtures does NOT trip
+    staleness, while any data change does."""
+    fp: dict[str, str] = {}
+    for sf_dir in dirs:
+        h = hashlib.md5()
+        for entry in sorted(os.listdir(sf_dir)):
+            if not entry.endswith(".parquet"):
+                continue
+            path = os.path.join(sf_dir, entry)
+            files = [path]
+            if os.path.isdir(path):
+                files = sorted(
+                    os.path.join(r, f)
+                    for r, _, fs in os.walk(path)
+                    for f in fs
+                    if not f.startswith((".", "_"))
+                )
+            for f in files:
+                h.update(entry.encode())
+                with open(f, "rb") as fh:
+                    for chunk in iter(lambda: fh.read(1 << 20), b""):
+                        h.update(chunk)
+        fp[os.path.basename(sf_dir)] = h.hexdigest()
+    return fp
 
 
 def _pairs(df, ca, cb):
@@ -70,7 +111,9 @@ def build_report(spark) -> dict:
     for sf_dir in (SF_ORACLE, SF_TENTH):
         exact = _pairs(qs["sim_topk_neighbors"](spark, sf_dir), "query_id", "neighbor_id")
         approx = _pairs(qs["sim_topk_ivf"](spark, sf_dir), "query_id", "neighbor_id")
-        ivf[os.path.basename(sf_dir)] = _round(len(exact & approx) / len(exact))
+        ivf[os.path.basename(sf_dir)] = _round(
+            len(exact & approx) / len(exact) if exact else 1.0
+        )
     report["sim_topk_ivf"] = {
         "metric": "recall_at_3_vs_sim_topk_neighbors",
         "value": ivf,
@@ -97,16 +140,17 @@ def build_report(spark) -> dict:
         if r.query_id < 2
     }
     part_pairs = {(q, n) for q, n, _, _ in part}
+    part_recall = (
+        len(exact2 & part_pairs) / len(exact2) if exact2 else 1.0
+    )
     report["sim_topk_ivf_partitioned"] = {
         "metric": "identity_with_sim_topk_ivf_and_recall_at_3",
         "value": {
             "identical_to_in_memory_ivf": bool(part) and part == mem,
-            "recall_at_3_sf0.01": _round(len(exact2 & part_pairs) / len(exact2)),
+            "recall_at_3_sf0.01": _round(part_recall),
         },
         "floor": 0.9,
-        "pass": bool(part)
-        and part == mem
-        and len(exact2 & part_pairs) / len(exact2) >= 0.9,
+        "pass": bool(part) and part == mem and part_recall >= 0.9,
         "ground_truth_key": "sim_topk_ivf",
     }
 
@@ -120,19 +164,28 @@ def build_report(spark) -> dict:
     cands = [r.n_candidates for r in rows]
     recalls = [r.recall_at_3 for r in rows]
     default = [r for r in rows if r.is_default]
+    # Exactly-one-default is checked BEFORE any default[0] access: a
+    # defaultless (or multi-default) sweep records pass=false instead
+    # of crashing the report (r11 ADVICE).
+    default_ok = len(default) == 1
     report["sim_topk_ivf_probe_sweep"] = {
         "metric": "default_probe_recall_and_curve_monotonicity",
         "value": {
             "n_probe_widths": len(rows),
-            "default_recall_at_3": _round(default[0].recall_at_3),
-            "candidates_strictly_grow": cands == sorted(cands) and cands[0] < cands[-1],
+            "n_default_rows": len(default),
+            "default_recall_at_3": (
+                _round(default[0].recall_at_3) if default_ok else None
+            ),
+            "candidates_strictly_grow": cands == sorted(cands)
+            and bool(cands)
+            and cands[0] < cands[-1],
             "recall_non_decreasing": all(
                 b >= a - 1e-9 for a, b in zip(recalls, recalls[1:])
             ),
             "curve": {str(r.nprobe): _round(r.recall_at_3) for r in rows},
         },
         "floor": 0.9,
-        "pass": len(default) == 1
+        "pass": default_ok
         and default[0].recall_at_3 >= 0.9
         and cands == sorted(cands)
         and all(b >= a - 1e-9 for a, b in zip(recalls, recalls[1:])),
@@ -194,8 +247,12 @@ def build_report(spark) -> dict:
             "keys, measured through the same queries() callables the "
             "driver sweeps; regenerate with scripts/quality_report.py. "
             "Floors mirror tests/test_vectors.py and "
-            "tests/test_ml_quality.py."
+            "tests/test_ml_quality.py. _fixture_fingerprint pins the "
+            "exact fixture bytes these numbers were measured on; "
+            "tests/test_ml_quality.py fails if /root/testdata no "
+            "longer matches (then regenerate this artifact)."
         ),
+        "_fixture_fingerprint": fixture_fingerprint(),
         "keys": report,
     }
 

@@ -305,3 +305,36 @@ def test_recall_artifact_covers_exactly_the_rows_only_keys():
     )
     failing = [k for k, v in artifact["keys"].items() if not v["pass"]]
     assert not failing, f"RECALL.json records failing floors: {failing}"
+
+
+def test_recall_artifact_matches_live_fixture_fingerprint():
+    """RECALL.json's numbers are only evidence for the fixture bytes
+    they were measured on. The artifact records a content fingerprint
+    (md5 over every parquet byte per sf dir) at generation time; this
+    test recomputes it against the live /root/testdata, so a driver
+    fixture regeneration turns "remember to re-run quality_report"
+    into a red test instead of a silently stale artifact (r11 verdict
+    item 2). On failure: python scripts/quality_report.py && commit
+    the refreshed RECALL.json."""
+    import importlib.util
+    import json
+    import os
+
+    root = os.path.dirname(os.path.dirname(__file__))
+    spec = importlib.util.spec_from_file_location(
+        "quality_report", os.path.join(root, "scripts", "quality_report.py")
+    )
+    qr = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(qr)
+    with open(os.path.join(root, "RECALL.json")) as f:
+        artifact = json.load(f)
+    recorded = artifact.get("_fixture_fingerprint")
+    assert recorded is not None, (
+        "RECALL.json predates fixture fingerprinting — regenerate it"
+    )
+    live = qr.fixture_fingerprint()
+    assert recorded == live, (
+        "RECALL.json is stale: /root/testdata content changed since the "
+        f"artifact was generated ({recorded} != {live}); re-run "
+        "scripts/quality_report.py and commit the result"
+    )
