@@ -36,7 +36,13 @@ identically AND evaluate deterministically:
   both predicate outcomes are regularly exercised, VALUE-based RANGE
   window frames (COALESCE-wrapped ordering key — a NULL ordering key's
   RANGE frame is an engine-convention corner the grammar avoids), and
-  explicit GROUPING SETS sublattices with GROUPING() markers.
+  explicit GROUPING SETS sublattices with GROUPING() markers;
+- (round 12) correlated scalar subqueries in the SELECT list (Spark's
+  decorrelation rewrite vs DuckDB's dependent join — empty-group
+  COUNT=0 / aggregate=NULL semantics pinned), an uncorrelated scalar
+  comparison in WHERE, and multi-CTE chains where the first CTE is
+  consumed twice (directly + through a second aggregating CTE),
+  probing shared-subplan handling.
 
 Seeded: query k is a pure function of (seed, k) — a failure message
 names the reproducing seed.
@@ -544,14 +550,73 @@ def _nested_agg_query(rng: random.Random, table: str) -> str:
     )
 
 
+def _scalar_subquery_query(rng: random.Random) -> str:
+    """Correlated scalar subqueries in the SELECT list (round 12).
+    Spark decorrelates these into left outer joins + aggregates — an
+    optimizer REWRITE path none of the other shapes reach — while
+    DuckDB executes a dependent join; any disagreement in the rewrite
+    (dropped rows for match-less outer tuples, NULL vs 0 on empty
+    groups, predicate placement) diverges the multiset. COUNT(*) over
+    an empty correlated group must be 0, aggregates over it NULL
+    (COALESCE-pinned so the projected types stay integer in both
+    engines). An uncorrelated scalar comparison in WHERE rides along
+    under a coin flip."""
+    pred = _bool_expr(rng, "orders")
+    agg = rng.choice(["SUM", "MIN", "MAX"])
+    e = _int_expr(rng, "orders")
+    where = ""
+    if rng.random() < 0.5:
+        where = (
+            f" WHERE (c_custkey % 53) < "
+            f"((SELECT COUNT(*) FROM orders WHERE {_bool_expr(rng, 'orders')}) % 37)"
+        )
+    return (
+        f"SELECT c_custkey, "
+        f"(SELECT COUNT(*) FROM orders WHERE o_custkey = c_custkey "
+        f"AND ({pred})) AS n_ord, "
+        f"COALESCE((SELECT {agg}({e}) FROM orders "
+        f"WHERE o_custkey = c_custkey), 0) AS agg_ord "
+        f"FROM customer{where}"
+    )
+
+
+def _cte_query(rng: random.Random, table: str) -> str:
+    """Multi-CTE chains with the first CTE referenced TWICE — once
+    directly, once through the second CTE (round 12). Exercises WITH
+    resolution and common-subplan handling: an engine that caches,
+    inlines, or re-executes the shared CTE inconsistently (predicate
+    pushed into one consumer but not the other, different dedup of the
+    subtree) diverges on the join-back aggregate."""
+    g = rng.choice(STR_COLS[table])
+    e0 = _int_expr(rng, table)
+    e1 = _int_expr(rng, table)
+    agg = rng.choice(["SUM", "MIN", "MAX"])
+    where = ""
+    if rng.random() < 0.7:
+        where = f" WHERE {_bool_expr(rng, table)}"
+    return (
+        f"WITH base AS (SELECT {g} AS g, ({e0}) AS e0, ({e1}) AS e1 "
+        f"FROM {table}{where}), "
+        f"per_g AS (SELECT g, COUNT(*) AS n, {agg}(e0) AS a FROM base "
+        f"GROUP BY g) "
+        f"SELECT b.g, MIN(p.n) AS n, MIN(p.a) AS a, COUNT(*) AS m, "
+        f"SUM(b.e1) AS t "
+        f"FROM base b JOIN per_g p ON b.g = p.g GROUP BY b.g"
+    )
+
+
 def gen_query(seed: int, k: int, only_shape: str | None = None) -> str:
     rng = random.Random((seed << 16) ^ k)
     table = rng.choice(TABLES)
     shape = only_shape or rng.choice(
         ["grouped", "grouped", "filtered_scan", "join", "topk", "window",
          "distinct", "subquery", "rollup", "string", "setop", "nested_agg",
-         "outer_probe"]
+         "outer_probe", "scalar_subquery", "cte"]
     )
+    if shape == "scalar_subquery":
+        return _scalar_subquery_query(rng)
+    if shape == "cte":
+        return _cte_query(rng, table)
     if shape == "outer_probe":
         return _outer_probe_query(rng)
     if shape == "nested_agg":

@@ -73,3 +73,16 @@ def test_known_divergence_rollup_on_empty_input(spark, monkeypatch):
     failures = fz.run_differential(spark, SF_SMALL, [(98, 0)])
     assert len(failures) == 1
     assert "MISMATCH rows 0 vs 1" in failures[0]
+
+
+def test_round12_shapes_agree(spark):
+    """Full-density blocks for the round-12 productions: correlated
+    scalar subqueries (Spark's decorrelation rewrite vs DuckDB's
+    dependent join) and twice-consumed CTE chains. The offline sweeps
+    ran 700 of each at sf0.001/sf0.01 clean; these blocks keep a
+    reproducible pin in the suite."""
+    for shape in ("scalar_subquery", "cte"):
+        failures = fz.run_differential(
+            spark, SF_SMALL, [(2, k) for k in range(12)], only_shape=shape
+        )
+        assert not failures, "\n".join(failures)
