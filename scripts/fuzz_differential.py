@@ -42,7 +42,10 @@ identically AND evaluate deterministically:
   COUNT=0 / aggregate=NULL semantics pinned), an uncorrelated scalar
   comparison in WHERE, and multi-CTE chains where the first CTE is
   consumed twice (directly + through a second aggregating CTE),
-  probing shared-subplan handling.
+  probing shared-subplan handling, and mixed DISTINCT/plain aggregates
+  in one grouped query (Spark's Expand + double-aggregate rewrite vs
+  DuckDB's per-aggregate distinct tables; mod-reduced operands keep
+  the distinct sets collision-dense at any SF).
 
 Seeded: query k is a pure function of (seed, k) — a failure message
 names the reproducing seed.
@@ -605,14 +608,43 @@ def _cte_query(rng: random.Random, table: str) -> str:
     )
 
 
+def _distinct_agg_query(rng: random.Random, table: str) -> str:
+    """DISTINCT aggregates mixed with plain ones in a grouped query
+    (round 12). Spark rewrites mixed distinct/non-distinct aggregates
+    into an Expand + double aggregate; DuckDB keeps per-aggregate
+    distinct hash tables — a disagreement in either rewrite (expanded
+    rows leaking into the plain aggregates, NULL handling in the
+    distinct set) diverges the totals. COUNT(DISTINCT) and
+    SUM(DISTINCT) over mod-reduced expressions keep the distinct sets
+    small enough that both code paths see real collisions at any SF."""
+    g = rng.choice(STR_COLS[table])
+    e0 = _int_expr(rng, table)
+    e1 = _int_expr(rng, table)
+    e2 = _int_expr(rng, table)
+    m = rng.randint(5, 97)
+    fn = rng.choice(["SUM", "MIN", "MAX"])
+    where = ""
+    if rng.random() < 0.5:
+        where = f" WHERE {_bool_expr(rng, table)}"
+    return (
+        f"SELECT {g} AS g, COUNT(*) AS n, "
+        f"COUNT(DISTINCT ({e0}) % {m}) AS nd, "
+        f"SUM(DISTINCT ({e1}) % {m}) AS sd, "
+        f"{fn}({e2}) AS a "
+        f"FROM {table}{where} GROUP BY {g}"
+    )
+
+
 def gen_query(seed: int, k: int, only_shape: str | None = None) -> str:
     rng = random.Random((seed << 16) ^ k)
     table = rng.choice(TABLES)
     shape = only_shape or rng.choice(
         ["grouped", "grouped", "filtered_scan", "join", "topk", "window",
          "distinct", "subquery", "rollup", "string", "setop", "nested_agg",
-         "outer_probe", "scalar_subquery", "cte"]
+         "outer_probe", "scalar_subquery", "cte", "distinct_agg"]
     )
+    if shape == "distinct_agg":
+        return _distinct_agg_query(rng, table)
     if shape == "scalar_subquery":
         return _scalar_subquery_query(rng)
     if shape == "cte":

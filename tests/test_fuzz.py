@@ -81,7 +81,7 @@ def test_round12_shapes_agree(spark):
     dependent join) and twice-consumed CTE chains. The offline sweeps
     ran 700 of each at sf0.001/sf0.01 clean; these blocks keep a
     reproducible pin in the suite."""
-    for shape in ("scalar_subquery", "cte"):
+    for shape in ("scalar_subquery", "cte", "distinct_agg"):
         failures = fz.run_differential(
             spark, SF_SMALL, [(2, k) for k in range(12)], only_shape=shape
         )
