@@ -42,15 +42,29 @@ def _ratings(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("ml_sentiment_pipeline")
 def ml_sentiment_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Tokenizer → HashingTF → IDF → LogisticRegression on documents
-    (label: lang == 'en', the archetype's binary sentiment stand-in).
+    """Tokenizer → unigram+bigram HashingTF → IDF → LogisticRegression
+    on documents (label: lang == 'en', the archetype's binary
+    sentiment stand-in).
 
     rows-checked: returns one prediction row per document with a stable
     (doc_id, label, prediction) schema.
+
+    Feature note (r12 verdict item 5): the fixture's text is drawn
+    from ONE 31-word vocabulary independent of lang (measured: unigram
+    chi2 22.1 at dof 30 vs lang — below the H0 mean), so the
+    GENERALIZATION ceiling is the majority-class share (~0.614) and
+    the unigram-1024 model's 0.632 training accuracy sat a 3-point
+    margin over the 0.6 RECALL floor — erodible by any fixture
+    regeneration, and indistinguishable from a degenerate
+    predict-majority model (0.614). Bigram TF separates the 500
+    distinct texts (training accuracy 0.998 at unchanged
+    maxIter/regParam), so the floor now actually detects a broken
+    pipeline. All stages are deterministic (HashingTF is seedless
+    murmur3; LBFGS from a fixed zero init).
     """
     from pyspark.ml import Pipeline
     from pyspark.ml.classification import LogisticRegression
-    from pyspark.ml.feature import IDF, HashingTF, Tokenizer
+    from pyspark.ml.feature import IDF, HashingTF, NGram, Tokenizer, VectorAssembler
 
     docs = table(spark, sf_dir, "documents").withColumn(
         "label", (F.col("lang") == "en").cast("double")
@@ -58,8 +72,12 @@ def ml_sentiment_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     pipeline = Pipeline(
         stages=[
             Tokenizer(inputCol="text", outputCol="words"),
-            HashingTF(inputCol="words", outputCol="tf", numFeatures=1024),
-            IDF(inputCol="tf", outputCol="features"),
+            NGram(n=2, inputCol="words", outputCol="bigrams"),
+            HashingTF(inputCol="words", outputCol="tf1", numFeatures=4096),
+            HashingTF(inputCol="bigrams", outputCol="tf2", numFeatures=4096),
+            IDF(inputCol="tf1", outputCol="idf1"),
+            IDF(inputCol="tf2", outputCol="idf2"),
+            VectorAssembler(inputCols=["idf1", "idf2"], outputCol="features"),
             LogisticRegression(maxIter=10, regParam=0.01),
         ]
     )

@@ -394,7 +394,34 @@ _R11_DRIVER_CHECKED = frozenset(
     """.split()
 )
 
-# Every key with a non-red driver row (r1 + ... + r11).
+# Keys the driver's round-12 sweep confirmed (CORRECTNESS_r12.json):
+# all 50 rows hash-green — the first all-green, no-rows-only sweep
+# since r6. The head covered the 13 r4-stale keys (the LLM-tier
+# curation/text-analysis cohort); the tail re-verified the 37 oldest
+# r5 rows. The 6 remaining r5 rows head round 13's queue.
+_R12_DRIVER_CHECKED = frozenset(
+    """
+    agg_latest_by_key agg_mode agg_percentile_disc agg_weighted_avg
+    attribution_last_touch corpus_mix_rebalance
+    curation_shard_token_budget decontaminate_ngram_overlap
+    dedup_clusters embedding_quantize_int8 events_time_profile
+    graph_degree_stats join_asof_nearest join_temporal_snapshot
+    multimodal_feature_extract multimodal_frame_sample
+    pipeline_corpus_funnel profile_topk_values quality_benford_digits
+    quality_null_profile quality_outlier_iqr quality_table_checksum
+    rec_rfm_segmentation sample_k_per_group scan_python_datasource
+    scan_text_lines sessionize_batch set_intersect_all
+    sink_python_datasource stats_autocorr_daily stats_chi_square
+    stats_gini_concentration stats_ks_two_sample stats_linear_regression
+    stats_psi_drift stats_t_test_welch subq_not_in_nulls
+    text_fingerprint text_langid text_pii_redaction text_quality_score
+    text_repetition_filter text_token_count tpch_q1_pricing_summary
+    tpch_q6_forecast_revenue udf_arrow_optimized udf_map_in_arrow
+    udtf_table_argument win_rolling_median win_share_of_total
+    """.split()
+)
+
+# Every key with a non-red driver row (r1 + ... + r12).
 # Note the two ML keys inside _R2_DRIVER_CHECKED, sim_threshold_join_lsh
 # in _R4/_R8, sim_topk_ivf in _R5/_R7, sim_topk_ivf_probe_sweep in
 # _R8 and sim_topk_ivf_partitioned in _R9/_R11 are rows-only records,
@@ -412,29 +439,25 @@ _DRIVER_CHECKED = (
     | _R9_DRIVER_CHECKED
     | _R10_DRIVER_CHECKED
     | _R11_DRIVER_CHECKED
+    | _R12_DRIVER_CHECKED
 )
 
 # Front of the current round's sweep queue: keys that MUST be checked
 # first regardless of grouping — code changed AFTER the key's last
-# driver row. Round 12: EMPTY. Both r11 priority keys landed fresh r11
-# rows (folded into _R11_DRIVER_CHECKED above), and no registered
-# plan's code changed after its latest driver row this round — the
-# round-12 engine diffs are registry bookkeeping (this fold), the
-# scratch.py janitor-liveness hardening (ADVICE r11; mkscratch still
-# returns the same unique fresh directory per invocation, so no plan,
-# path shape, or output can differ within a process lifetime — the
-# same inertness argument that kept the r11 mkscratch swap out of the
-# queue), and script/test-only edits (quality_report guards, fixture
-# fingerprinting). With an empty priority head the full 50-key budget
-# goes to the staleness ladder: the 13 keys still on r4 rows
-# (corpus_mix_rebalance, curation_shard_token_budget,
-# decontaminate_ngram_overlap, embedding_quantize_int8,
-# multimodal_feature_extract, multimodal_frame_sample,
-# pipeline_corpus_funnel, text_fingerprint, text_langid,
-# text_pii_redaction, text_quality_score, text_repetition_filter,
-# text_token_count) + the 37 oldest r5 rows — exactly the composition
-# the r11 verdict's item 1 reserves this round's budget for.
-_PRIORITY: tuple[str, ...] = ()
+# driver row. Round 13: ml_sentiment_pipeline — its feature stage
+# gained bigram TF (r12 verdict item 5: training accuracy 0.632 →
+# 0.998, RECALL floor margin 0.03 → ~0.4), so its r10 rows-only row no
+# longer describes the shipped plan. Every other r13 engine diff is
+# plan-inert: registry bookkeeping (this fold), the scratch.py pid<=0
+# marker guard (ADVICE r12; _owner_alive is janitor-only, mkscratch
+# output is unchanged), and script/test-only edits (fuzzer grammar
+# additions, quality_report fingerprint hardening). Sweep head is
+# therefore 1 priority + the 6 keys still on r5 rows
+# (events_transition_matrix, time_to_conversion,
+# timeseries_resample_ohlc, timeseries_mom_growth, fn_url_extract,
+# sim_matmul_topk) + the 43 oldest r6 rows; the staleness floor still
+# moves r5 → r6 this round, and the 4 youngest r6 rows head round 14.
+_PRIORITY: tuple[str, ...] = ("ml_sentiment_pipeline",)
 
 # SURVEY.md §2 inventory — the judge's coverage checklist. These outrank
 # extra keys in sweep priority.
@@ -702,16 +725,13 @@ def _sweep_order(keys: list[str]) -> list[str]:
     every key has a row, the budget left after the unchecked head
     re-verifies the keys whose last driver check is oldest, so
     regressions surface instead of the same recent keys being
-    re-confirmed. Round 12 math: 0 priority (no plan code changed after
-    its latest driver row) + the 13 keys still on r4 rows (the LLM-tier
-    curation/text-analysis cohort: corpus_mix_rebalance,
-    curation_shard_token_budget, decontaminate_ngram_overlap,
-    embedding_quantize_int8, multimodal_feature_extract,
-    multimodal_frame_sample, pipeline_corpus_funnel, text_fingerprint,
-    text_langid, text_pii_redaction, text_quality_score,
-    text_repetition_filter, text_token_count) + 37 of the 43 r5 rows
-    filling the 50-key budget (cumulative coverage has been 100% since
-    round 7; no debuts are staged this round)."""
+    re-confirmed. Round 13 math: 1 priority (ml_sentiment_pipeline —
+    bigram TF added after its r10 row) + the 6 keys still on r5 rows
+    (events_transition_matrix, time_to_conversion,
+    timeseries_resample_ohlc, timeseries_mom_growth, fn_url_extract,
+    sim_matmul_topk) + 43 of the 47 r6 rows filling the 50-key budget
+    (cumulative coverage has been 100% since round 7; no debuts are
+    staged this round; the 4 youngest r6 rows head round 14)."""
 
     prio = {k: i for i, k in enumerate(_PRIORITY)}
     last_checked = {}
@@ -728,6 +748,7 @@ def _sweep_order(keys: list[str]) -> list[str]:
             _R9_DRIVER_CHECKED,
             _R10_DRIVER_CHECKED,
             _R11_DRIVER_CHECKED,
+            _R12_DRIVER_CHECKED,
         ),
         start=1,
     ):

@@ -72,6 +72,12 @@ def _owner_alive(d: str) -> bool:
             pid = int(fh.read().strip())
     except (OSError, ValueError):
         return False
+    if pid <= 0:
+        # os.kill(0, 0) / os.kill(-n, 0) signal a process GROUP and
+        # succeed, so a corrupted marker containing 0 or a negative
+        # number would make the directory permanently unsweepable
+        # (r12 ADVICE). No real owner ever records a non-positive pid.
+        return False
     try:
         os.kill(pid, 0)
     except ProcessLookupError:

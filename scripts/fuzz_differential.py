@@ -47,12 +47,25 @@ identically AND evaluate deterministically:
   DuckDB's per-aggregate distinct tables; mod-reduced operands keep
   the distinct sets collision-dense at any SF).
 
-Seeded: query k is a pure function of (seed, k) — a failure message
-names the reproducing seed.
+- (round 13) window null-semantics — explicit NULLS FIRST/LAST inside
+  window ORDER BY over genuinely-nullable ordering expressions (the
+  engines' DEFAULTS differ: Spark ASC→NULLS FIRST, DuckDB→NULLS LAST),
+  and IGNORE NULLS on LAG/LEAD/FIRST_VALUE/LAST_VALUE cross-checked
+  against an independent DuckDB arg_min/arg_max FILTER formulation
+  (DuckDB 1.0 has no IGNORE NULLS syntax — the first dual-text shape);
+  and correlated EXISTS/NOT EXISTS decorrelation with non-equi and
+  NULLIF-seeded correlated conjuncts, aggregating outers, and
+  nullable [NOT] IN membership.
 
-CLI: python scripts/fuzz_differential.py [n_queries] [sf_dir] [seed] [shape]
+Seeded: query k is a pure function of (seed, k, grammar_version) — a
+failure message names the reproducing seed; documented sweep seeds cite
+the grammar version they ran under (see GRAMMARS).
+
+CLI: python scripts/fuzz_differential.py [n_queries] [sf_dir] [seed]
+[shape] [grammar_version]
 (shape restricts the grammar to one production for targeted sweeps,
-e.g. ``outer_probe`` or ``join``)
+e.g. ``outer_probe`` or ``join``; grammar_version pins the mixed-sweep
+shape list for reproducing historical seeds, default = latest)
 """
 
 from __future__ import annotations
@@ -635,14 +648,231 @@ def _distinct_agg_query(rng: random.Random, table: str) -> str:
     )
 
 
-def gen_query(seed: int, k: int, only_shape: str | None = None) -> str:
+def _window_nulls_query(rng: random.Random, table: str):
+    """Window null-semantics (round 13): the two cross-engine
+    divergence families the curated win_* keys only cover on fixed
+    shapes.
+
+    Sub-mode ``order_nulls`` (same text): explicit NULLS FIRST / NULLS
+    LAST inside the window ORDER BY over a NULLIF-seeded (i.e.
+    genuinely nullable) ordering expression — the engines' DEFAULT
+    null placement differs (Spark ASC→NULLS FIRST, DuckDB→NULLS LAST),
+    so every ordering here is fully explicit and the unique key breaks
+    ties into a total order (the grammar's standing determinism rule).
+
+    Sub-mode ``ignore_nulls`` (dual text): LAG/LEAD(e,1) and
+    FIRST/LAST_VALUE(e) with IGNORE NULLS on the Spark side; DuckDB
+    1.0 cannot parse IGNORE NULLS, so its side states the same
+    semantics independently as arg_min/arg_max(e, key) FILTER (WHERE e
+    IS NOT NULL) over the equivalent ROWS frame (ordering restricted
+    to the unique key ASC, so frame order == key order and arg_min/
+    arg_max over the key are exactly first/last non-null in frame).
+    Agreement therefore checks Spark's IGNORE NULLS implementation
+    against an independent formulation, not just a reparse."""
+    key = UNIQUE_KEY[table].split()[0]
+    part = rng.choice(
+        [f"PARTITION BY {rng.choice(STR_COLS[table])} ",
+         f"PARTITION BY (({rng.choice(INT_COLS[table])}) % {rng.randint(2, 8)}) ",
+         ""]
+    )
+    where = ""
+    if rng.random() < 0.4:
+        where = f" WHERE {_bool_expr(rng, table)}"
+    if rng.random() < 0.5:
+        # -- order_nulls: same text both engines --
+        nullable = (
+            f"NULLIF(({_int_expr(rng, table)}), {rng.randint(0, 50)})"
+        )
+        order = (
+            f"ORDER BY {nullable} {rng.choice(['ASC', 'DESC'])} "
+            f"{rng.choice(['NULLS FIRST', 'NULLS LAST'])}, {key} ASC"
+        )
+        fns = []
+        for i, fam in enumerate(rng.sample(
+            ["rank", "navigate", "running", "edge"], k=2
+        )):
+            if fam == "rank":
+                fn = rng.choice(["ROW_NUMBER()", "RANK()", "DENSE_RANK()"])
+                fns.append(f"{fn} OVER ({part}{order}) AS w{i}")
+            elif fam == "navigate":
+                fn = rng.choice(["LAG", "LEAD"])
+                e = _int_expr(rng, table)
+                fns.append(
+                    f"{fn}({e}, {rng.randint(1, 3)}) "
+                    f"OVER ({part}{order}) AS w{i}"
+                )
+            elif fam == "running":
+                agg = rng.choice(["SUM", "MIN", "MAX", "COUNT"])
+                e = _int_expr(rng, table)
+                fns.append(
+                    f"{agg}({e}) OVER ({part}{order} ROWS BETWEEN "
+                    f"UNBOUNDED PRECEDING AND CURRENT ROW) AS w{i}"
+                )
+            else:
+                fn = rng.choice(["FIRST_VALUE", "LAST_VALUE"])
+                e = _int_expr(rng, table)
+                fns.append(
+                    f"{fn}({e}) OVER ({part}{order} ROWS BETWEEN "
+                    f"UNBOUNDED PRECEDING AND CURRENT ROW) AS w{i}"
+                )
+        return f"SELECT {key}, {', '.join(fns)} FROM {table}{where}"
+    # -- ignore_nulls: dual text --
+    order = f"ORDER BY {key} ASC"
+    s_fns, d_fns = [], []
+    for i in range(2):
+        e = f"NULLIF(({_int_expr(rng, table)}), {rng.randint(0, 50)})"
+        form = rng.choice(["first", "last", "lag", "lead"])
+        if form == "first":
+            s_fns.append(
+                f"FIRST_VALUE({e}) IGNORE NULLS OVER ({part}{order} "
+                f"ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS w{i}"
+            )
+            d_fns.append(
+                f"arg_min({e}, {key}) FILTER (WHERE ({e}) IS NOT NULL) "
+                f"OVER ({part}{order} ROWS BETWEEN UNBOUNDED PRECEDING "
+                f"AND CURRENT ROW) AS w{i}"
+            )
+        elif form == "last":
+            s_fns.append(
+                f"LAST_VALUE({e}) IGNORE NULLS OVER ({part}{order} "
+                f"ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS w{i}"
+            )
+            d_fns.append(
+                f"arg_max({e}, {key}) FILTER (WHERE ({e}) IS NOT NULL) "
+                f"OVER ({part}{order} ROWS BETWEEN UNBOUNDED PRECEDING "
+                f"AND CURRENT ROW) AS w{i}"
+            )
+        elif form == "lag":
+            s_fns.append(
+                f"LAG({e}, 1) IGNORE NULLS OVER ({part}{order}) AS w{i}"
+            )
+            d_fns.append(
+                f"arg_max({e}, {key}) FILTER (WHERE ({e}) IS NOT NULL) "
+                f"OVER ({part}{order} ROWS BETWEEN UNBOUNDED PRECEDING "
+                f"AND 1 PRECEDING) AS w{i}"
+            )
+        else:
+            s_fns.append(
+                f"LEAD({e}, 1) IGNORE NULLS OVER ({part}{order}) AS w{i}"
+            )
+            d_fns.append(
+                f"arg_min({e}, {key}) FILTER (WHERE ({e}) IS NOT NULL) "
+                f"OVER ({part}{order} ROWS BETWEEN 1 FOLLOWING "
+                f"AND UNBOUNDED FOLLOWING) AS w{i}"
+            )
+    return (
+        f"SELECT {key}, {', '.join(s_fns)} FROM {table}{where}",
+        f"SELECT {key}, {', '.join(d_fns)} FROM {table}{where}",
+    )
+
+
+def _exists_corr_query(rng: random.Random) -> str:
+    """Correlated EXISTS / NOT EXISTS decorrelation (round 13): Spark
+    rewrites these into left-semi / left-anti joins (with a
+    BroadcastNestedLoop fallback when the correlated condition is
+    non-equi); DuckDB plans a (dependent) semi/anti join directly. The
+    r12 grammar covered correlated SCALAR subqueries; this production
+    is the matching membership-side gap the r12 verdict names:
+
+    - a non-equi correlated conjunct alongside the key equality
+      (``inner_expr < outer_col``) — the rewrite can no longer ride a
+      pure equi-join;
+    - NULLIF-seeded correlated comparisons, so the correlated
+      predicate itself goes UNKNOWN on real rows (3VL across the
+      subquery boundary — an UNKNOWN match must not satisfy EXISTS,
+      and under NOT EXISTS the row must survive);
+    - an optionally aggregating outer block, so decorrelation composes
+      with a downstream groupBy;
+    - a ``not_in_nulls`` sub-form: [NOT] IN where BOTH sides are
+      nullable expressions (x NOT IN S with NULL ∈ S or x IS NULL
+      filters the row — the classic trap; curated key
+      subq_not_in_nulls pins the fixed shape, this sweeps it)."""
+    outer, inner, okey, ikey = rng.choice(
+        [("customer", "orders", "c_custkey", "o_custkey"),
+         ("orders", "lineitem", "o_orderkey", "l_orderkey")]
+    )
+    form = rng.choice(["exists", "not_exists", "in_nulls", "not_in_nulls"])
+    if form in ("in_nulls", "not_in_nulls"):
+        neg = "NOT " if form == "not_in_nulls" else ""
+        ox = f"NULLIF(({_int_expr(rng, outer)}), {rng.randint(0, 50)})"
+        ix = f"NULLIF(({_int_expr(rng, inner)}), {rng.randint(0, 50)})"
+        where = ""
+        if rng.random() < 0.6:
+            where = f" WHERE {_bool_expr(rng, inner)}"
+        return (
+            f"SELECT {okey} FROM {outer} "
+            f"WHERE ({ox}) {neg}IN (SELECT {ix} FROM {inner}{where})"
+        )
+    neg = "NOT " if form == "not_exists" else ""
+    conds = [f"{inner}.{ikey} = {outer}.{okey}"]
+    if rng.random() < 0.7:
+        conds.append(f"({_bool_expr(rng, inner)})")
+    if rng.random() < 0.7:
+        # non-equi / nullable correlated conjunct
+        ie = _int_expr(rng, inner)
+        if rng.random() < 0.5:
+            ie = f"NULLIF(({ie}), {rng.randint(0, 50)})"
+        op = rng.choice(["<", "<=", ">", ">="])
+        oc = rng.choice(INT_COLS[outer])
+        conds.append(f"(({ie}) % 1000) {op} (({outer}.{oc}) % 1000)")
+    sub = (
+        f"SELECT 1 FROM {inner} WHERE {' AND '.join(conds)}"
+    )
+    if rng.random() < 0.4:
+        g = rng.choice(STR_COLS[outer])
+        e = _int_expr(rng, outer)
+        return (
+            f"SELECT {g} AS g, COUNT(*) AS n, SUM({e}) AS s "
+            f"FROM {outer} WHERE {neg}EXISTS ({sub}) GROUP BY {g}"
+        )
+    e = _int_expr(rng, outer)
+    return (
+        f"SELECT {okey}, ({e}) AS e0 FROM {outer} "
+        f"WHERE {neg}EXISTS ({sub})"
+    )
+
+
+# Mixed-sweep shape lists, by grammar version. The shape draw is
+# rng.choice over this list, and random.choice consumes entropy as a
+# function of len(list) — so APPENDING a shape silently changes the
+# (seed, k) -> query mapping for every historical seed (r12 ADVICE).
+# Documented sweep seeds therefore cite the grammar version they ran
+# under; to reproduce a seed from an earlier round, pass its version
+# (CLI arg 5, or gen_query(grammar=...)). Versions are strict prefixes
+# of each other, newest shapes appended:
+#   v1: rounds ≤11 mixed grammar, 13 shapes (outer_probe debuted r11).
+#   v2: round 12 (+ scalar_subquery, cte, distinct_agg) — seeds
+#       1200-1228 in ROUND12_NOTES.md / SURVEY.md ran under v2.
+#   v3: round 13 (+ window_nulls, exists_corr).
+_MIXED_SHAPES = [
+    "grouped", "grouped", "filtered_scan", "join", "topk", "window",
+    "distinct", "subquery", "rollup", "string", "setop", "nested_agg",
+    "outer_probe", "scalar_subquery", "cte", "distinct_agg",
+    "window_nulls", "exists_corr",
+]
+GRAMMARS = {1: _MIXED_SHAPES[:13], 2: _MIXED_SHAPES[:16], 3: _MIXED_SHAPES}
+GRAMMAR_VERSION = 3
+
+
+def gen_query(
+    seed: int,
+    k: int,
+    only_shape: str | None = None,
+    grammar: int = GRAMMAR_VERSION,
+):
+    """Query k of a sweep is a pure function of (seed, k, grammar).
+    Returns the SQL text, or a (spark_sql, duckdb_sql) pair for shapes
+    whose construct one engine cannot parse (window_nulls' IGNORE
+    NULLS sub-mode: DuckDB 1.0 has no IGNORE NULLS syntax, so the
+    DuckDB side is an independent arg_min/arg_max FILTER formulation
+    of the same semantics — a stronger cross-check than same-text)."""
     rng = random.Random((seed << 16) ^ k)
     table = rng.choice(TABLES)
-    shape = only_shape or rng.choice(
-        ["grouped", "grouped", "filtered_scan", "join", "topk", "window",
-         "distinct", "subquery", "rollup", "string", "setop", "nested_agg",
-         "outer_probe", "scalar_subquery", "cte", "distinct_agg"]
-    )
+    shape = only_shape or rng.choice(GRAMMARS[grammar])
+    if shape == "window_nulls":
+        return _window_nulls_query(rng, rng.choice(sorted(UNIQUE_KEY)))
+    if shape == "exists_corr":
+        return _exists_corr_query(rng)
     if shape == "distinct_agg":
         return _distinct_agg_query(rng, table)
     if shape == "scalar_subquery":
@@ -698,7 +928,13 @@ def gen_query(seed: int, k: int, only_shape: str | None = None) -> str:
     )
 
 
-def run_differential(spark, sf_dir: str, seeds, only_shape: str | None = None) -> list[str]:
+def run_differential(
+    spark,
+    sf_dir: str,
+    seeds,
+    only_shape: str | None = None,
+    grammar: int = GRAMMAR_VERSION,
+) -> list[str]:
     """Run each generated query through both engines; return mismatch
     descriptions (empty = all agree). ``only_shape`` restricts the
     grammar to one production (full-density targeted sweeps for a new
@@ -728,12 +964,19 @@ def run_differential(spark, sf_dir: str, seeds, only_shape: str | None = None) -
 
     failures = []
     for seed, k in seeds:
-        # two-arg call when unrestricted: tests monkeypatch gen_query
-        # with (seed, k) lambdas
-        q = gen_query(seed, k, only_shape) if only_shape else gen_query(seed, k)
+        # positional (seed, k) stays first: tests monkeypatch
+        # gen_query with (seed, k, *a, **kw) lambdas
+        q = (
+            gen_query(seed, k, only_shape, grammar=grammar)
+            if only_shape
+            else gen_query(seed, k, grammar=grammar)
+        )
+        # dual-text shapes return (spark_sql, duckdb_sql); same-text
+        # shapes return one string for both engines
+        s_q, d_q = q if isinstance(q, tuple) else (q, q)
         try:
-            s_rows = [tuple(r) for r in spark.sql(q).collect()]
-            d_rows = [tuple(r) for r in con.sql(q).fetchall()]
+            s_rows = [tuple(r) for r in spark.sql(s_q).collect()]
+            d_rows = [tuple(r) for r in con.sql(d_q).fetchall()]
         except Exception as exc:  # noqa: BLE001
             failures.append(f"seed={seed} k={k} ERROR {exc}\n  {q}")
             continue
@@ -757,6 +1000,7 @@ def main() -> int:
     sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.001"
     seed = int(sys.argv[3]) if len(sys.argv) > 3 else 0
     only_shape = sys.argv[4] if len(sys.argv) > 4 else None
+    grammar = int(sys.argv[5]) if len(sys.argv) > 5 else GRAMMAR_VERSION
 
     from pyspark.sql import SparkSession
 

@@ -19,10 +19,10 @@ reproduces the file byte-for-byte.
 
 The artifact records a content fingerprint (md5 over every parquet
 byte) of the fixture directories it was measured against, and
-tests/test_ml_quality.py recomputes that fingerprint every session —
-so if the driver regenerates /root/testdata, the stale artifact FAILS
-pytest instead of silently misrepresenting the new fixtures (r11
-verdict item 2).
+tests/test_registry.py::test_recall_artifact_matches_live_fixture_fingerprint
+recomputes that fingerprint every session — so if the driver
+regenerates /root/testdata, the stale artifact FAILS pytest instead of
+silently misrepresenting the new fixtures (r11 verdict item 2).
 
 Usage: python scripts/quality_report.py [out_path]
 """
@@ -49,7 +49,11 @@ def fixture_fingerprint(dirs=FINGERPRINTED_DIRS) -> dict[str, str]:
     over the bytes of every *.parquet entry (file, or every file under
     a directory-style parquet, walked in sorted order). Pure content —
     no mtimes — so regenerating byte-identical fixtures does NOT trip
-    staleness, while any data change does."""
+    staleness, while any data change does. Each file's path relative
+    to the sf-dir and its byte size are mixed in as a length-prefixed
+    frame before its contents (r12 ADVICE): without the delimiter,
+    re-splitting a table across part files whose sorted-order
+    concatenation is byte-identical would hash the same."""
     fp: dict[str, str] = {}
     for sf_dir in dirs:
         h = hashlib.md5()
@@ -66,7 +70,8 @@ def fixture_fingerprint(dirs=FINGERPRINTED_DIRS) -> dict[str, str]:
                     if not f.startswith((".", "_"))
                 )
             for f in files:
-                h.update(entry.encode())
+                rel = os.path.relpath(f, sf_dir)
+                h.update(f"{rel}\x00{os.path.getsize(f)}\x00".encode())
                 with open(f, "rb") as fh:
                     for chunk in iter(lambda: fh.read(1 << 20), b""):
                         h.update(chunk)
@@ -249,8 +254,10 @@ def build_report(spark) -> dict:
             "Floors mirror tests/test_vectors.py and "
             "tests/test_ml_quality.py. _fixture_fingerprint pins the "
             "exact fixture bytes these numbers were measured on; "
-            "tests/test_ml_quality.py fails if /root/testdata no "
-            "longer matches (then regenerate this artifact)."
+            "tests/test_registry.py::"
+            "test_recall_artifact_matches_live_fixture_fingerprint "
+            "fails if /root/testdata no longer matches (then "
+            "regenerate this artifact)."
         ),
         "_fixture_fingerprint": fixture_fingerprint(),
         "keys": report,

@@ -44,7 +44,7 @@ def test_harness_detects_known_divergence(spark, monkeypatch):
     monkeypatch.setattr(
         fz,
         "gen_query",
-        lambda seed, k: (
+        lambda seed, k, *a, **kw: (
             "SELECT CAST(CAST(l_orderkey AS DOUBLE) + 0.5 AS INT) AS x "
             "FROM lineitem WHERE l_orderkey = 1"
         ),
@@ -65,7 +65,7 @@ def test_known_divergence_rollup_on_empty_input(spark, monkeypatch):
     monkeypatch.setattr(
         fz,
         "gen_query",
-        lambda seed, k: (
+        lambda seed, k, *a, **kw: (
             "SELECT o_orderstatus, COUNT(*) AS n FROM orders "
             "WHERE o_orderkey < 0 GROUP BY ROLLUP(o_orderstatus)"
         ),
@@ -86,3 +86,40 @@ def test_round12_shapes_agree(spark):
             spark, SF_SMALL, [(2, k) for k in range(12)], only_shape=shape
         )
         assert not failures, "\n".join(failures)
+
+
+def test_round13_shapes_agree(spark):
+    """Full-density pins for the round-13 productions. window_nulls:
+    explicit NULLS FIRST/LAST window ordering over nullable keys (the
+    engines' ASC defaults differ) plus IGNORE NULLS on
+    LAG/LEAD/FIRST_VALUE/LAST_VALUE — the grammar's first DUAL-TEXT
+    shape (DuckDB 1.0 cannot parse IGNORE NULLS; its side restates the
+    semantics as arg_min/arg_max FILTER over equivalent ROWS frames,
+    so agreement checks Spark's implementation against an independent
+    formulation). exists_corr: correlated EXISTS/NOT EXISTS with
+    non-equi and NULLIF-seeded correlated conjuncts, aggregating
+    outers, and nullable [NOT] IN membership."""
+    for shape in ("window_nulls", "exists_corr"):
+        failures = fz.run_differential(
+            spark, SF_SMALL, [(3, k) for k in range(12)], only_shape=shape
+        )
+        assert not failures, "\n".join(failures)
+
+
+def test_grammar_versions_pin_historical_seed_mapping(spark):
+    """ADVICE r12: appending shapes to the mixed grammar changes the
+    (seed, k) -> query mapping for every historical seed. GRAMMARS
+    versions are therefore strict prefixes (v1 ⊂ v2 ⊂ v3, new shapes
+    appended) and documented sweep seeds cite their version. Pins:
+    (1) the prefix property itself; (2) no round-13 shape can be drawn
+    under grammar=2, so r12's documented seeds (1200-1228) remain
+    reproducible by passing grammar=2; (3) a v2 sample block still
+    runs clean through the harness under grammar=2."""
+    assert fz.GRAMMARS[1] == fz.GRAMMARS[3][:13]
+    assert fz.GRAMMARS[2] == fz.GRAMMARS[3][:16]
+    assert {"window_nulls", "exists_corr"} & set(fz.GRAMMARS[2]) == set()
+    assert {"window_nulls", "exists_corr"} <= set(fz.GRAMMARS[3])
+    failures = fz.run_differential(
+        spark, SF_SMALL, [(1204, k) for k in range(8)], grammar=2
+    )
+    assert not failures, "\n".join(failures)

@@ -134,6 +134,7 @@ def test_checked_tail_is_staleness_ordered():
         _R9_DRIVER_CHECKED,
         _R10_DRIVER_CHECKED,
         _R11_DRIVER_CHECKED,
+        _R12_DRIVER_CHECKED,
         queries,
     )
 
@@ -143,7 +144,8 @@ def test_checked_tail_is_staleness_ordered():
          _R3_DRIVER_CHECKED, _R4_DRIVER_CHECKED,
          _R5_DRIVER_CHECKED, _R6_DRIVER_CHECKED,
          _R7_DRIVER_CHECKED, _R8_DRIVER_CHECKED,
-         _R9_DRIVER_CHECKED, _R10_DRIVER_CHECKED, _R11_DRIVER_CHECKED),
+         _R9_DRIVER_CHECKED, _R10_DRIVER_CHECKED, _R11_DRIVER_CHECKED,
+         _R12_DRIVER_CHECKED),
         start=1,
     ):
         for k in checked:

@@ -84,6 +84,105 @@ def test_janitor_sweeps_only_stale_ownerless_engine_dirs(
         monkeypatch.setattr(scratch, "_janitor_ran", False)
 
 
+def test_corrupt_nonpositive_pid_marker_is_sweepable(tmp_path, monkeypatch):
+    """r12 ADVICE: os.kill(0, 0) / os.kill(-n, 0) signal a process
+    GROUP and succeed, so a corrupted marker containing '0' or a
+    negative number would read as a live owner forever, making the
+    directory permanently unsweepable. _owner_alive must treat any
+    non-positive recorded pid as dead (no real owner records one)."""
+    import tempfile
+
+    monkeypatch.setattr(tempfile, "gettempdir", lambda: str(tmp_path))
+    old = time.time() - (scratch.STALE_HOURS + 1) * 3600
+    for name, pid_text in (
+        ("mrsas_zero_pid", "0"),
+        ("mrsas_neg_pid", str(-os.getpid())),
+    ):
+        d = tmp_path / name
+        d.mkdir()
+        (d / scratch.OWNER_MARKER).write_text(pid_text)
+        os.utime(d, (old, old))
+        assert scratch._owner_alive(str(d)) is False
+    monkeypatch.setattr(scratch, "_janitor_ran", False)
+    scratch.mkscratch("mrsas_testscratch_")
+    try:
+        assert not (tmp_path / "mrsas_zero_pid").exists()
+        assert not (tmp_path / "mrsas_neg_pid").exists()
+    finally:
+        scratch._cleanup()
+        monkeypatch.setattr(scratch, "_janitor_ran", False)
+
+
+def test_janitor_cross_process_integration(tmp_path):
+    """r12 verdict item 8: the owner-pid liveness contract end-to-end
+    across REAL process boundaries (the unit tests above fake owners
+    with this process's own pid). Two scenarios in one probe, both
+    with dirs aged past STALE_HOURS:
+    - a stale dir whose owner is a genuinely separate, still-running
+      process (a sleeping child) must SURVIVE a sibling's janitor;
+    - a stale dir created by a second process that has already EXITED
+      must be swept by a later process's janitor.
+    The janitor runs in a THIRD freshly-spawned python process (its
+    _janitor_ran is fresh by construction), with tempfile.gettempdir()
+    redirected into tmp_path via TMPDIR."""
+    import subprocess
+    import sys
+
+    env = dict(os.environ, TMPDIR=str(tmp_path))
+    # scenario A: long-lived sibling — a child that makes a scratch
+    # dir, reports it, then sleeps well past the probe's lifetime
+    live_child = subprocess.Popen(
+        [sys.executable, "-c", (
+            "import sys, time\n"
+            "from movierecommender_sentimentanalysissytem_spark import scratch\n"
+            "print(scratch.mkscratch('mrsas_livechild_'), flush=True)\n"
+            "time.sleep(120)\n"
+        )],
+        stdout=subprocess.PIPE, text=True, env=env,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    )
+    try:
+        live_dir = live_child.stdout.readline().strip()
+        assert os.path.isdir(live_dir)
+        # scenario B: dead sibling — mkscratch with cleanup suppressed
+        # (simulating SIGKILL: atexit never fires), then exit
+        dead_dir = subprocess.run(
+            [sys.executable, "-c", (
+                "import atexit\n"
+                "from movierecommender_sentimentanalysissytem_spark import scratch\n"
+                "atexit.unregister(scratch._cleanup)\n"
+                "print(scratch.mkscratch('mrsas_deadchild_'))\n"
+            )],
+            capture_output=True, text=True, env=env, check=True,
+            cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        ).stdout.strip()
+        assert os.path.isdir(dead_dir)
+        # age both past the janitor's cutoff
+        old = time.time() - (scratch.STALE_HOURS + 1) * 3600
+        for d in (live_dir, dead_dir):
+            os.utime(d, (old, old))
+        # the janitor, in a fresh third process
+        subprocess.run(
+            [sys.executable, "-c", (
+                "from movierecommender_sentimentanalysissytem_spark import scratch\n"
+                "scratch._sweep_stale()\n"
+                "scratch._CREATED.clear()\n"  # keep this process's own dir out of atexit
+            )],
+            capture_output=True, text=True, env=env, check=True,
+            cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        )
+        assert os.path.isdir(live_dir), (
+            "stale dir of a RUNNING sibling process must survive a "
+            "cross-process janitor sweep"
+        )
+        assert not os.path.exists(dead_dir), (
+            "stale dir of an EXITED process must be swept cross-process"
+        )
+    finally:
+        live_child.kill()
+        live_child.wait()
+
+
 def test_no_bare_mkdtemp_in_engine_package_or_scripts():
     """Every temp dir the engine creates must go through mkscratch so
     the cleanup/janitor bounds hold; a new bare tempfile.mkdtemp call
