@@ -19,6 +19,13 @@ QS = registry.queries()
 T0 = dt.datetime(2024, 1, 1, 0, 0, 0)
 
 
+import pytest
+
+# Heavyweight evidence tier: quality sweeps / scaled corpora /
+# multi-second Spark jobs. Fast iteration path: pytest -m "not slow".
+pytestmark = pytest.mark.slow
+
+
 def _write(spark, out: str, name: str, rows, schema: str) -> None:
     spark.createDataFrame(rows, schema).coalesce(1).write.mode(
         "overwrite"

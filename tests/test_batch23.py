@@ -31,6 +31,13 @@ _DOCS_SCHEMA = "doc_id long, text string, lang string, source string, n_chars lo
 _EMB_SCHEMA = "vec_id long, embedding array<float>, label long"
 
 
+import pytest
+
+# Heavyweight evidence tier: quality sweeps / scaled corpora /
+# multi-second Spark jobs. Fast iteration path: pytest -m "not slow".
+pytestmark = pytest.mark.slow
+
+
 def _write(spark, out: str, name: str, rows, schema: str) -> None:
     spark.createDataFrame(rows, schema).coalesce(1).write.mode(
         "overwrite"

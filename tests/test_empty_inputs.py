@@ -263,6 +263,11 @@ REPRESENTATIVE = [
 ]
 
 
+# Heavyweight evidence tier: quality sweeps / scaled corpora /
+# multi-second Spark jobs. Fast iteration path: pytest -m "not slow".
+pytestmark = pytest.mark.slow
+
+
 @pytest.fixture(scope="module")
 def empty_sf(spark, tmp_path_factory):
     """Empty copies of every fixture table (schema preserved)."""

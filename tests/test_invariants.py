@@ -9,6 +9,8 @@ These pin the two properties the engine's scale story leans on hardest:
 
 from __future__ import annotations
 
+import pytest
+
 import random
 
 from pyspark.sql import functions as F
@@ -46,6 +48,7 @@ def test_hash_sample_membership_is_partition_independent(spark):
     assert repart == base
 
 
+@pytest.mark.slow
 def test_binned_range_join_matches_naive_on_random_data(spark):
     """Property check on data the operator was never tuned against:
     the bucket±2 overcover must reproduce the naive theta join exactly,
@@ -440,6 +443,7 @@ def test_fixture_domain_list_matches_source():
     )
 
 
+@pytest.mark.slow
 def test_threshold_coupled_keys_nonempty_at_oracle_sf():
     """Several round-5 keys couple a semantic threshold to the fixture
     distribution (confidence >= 0.2, co-buy count >= 5, Levenshtein

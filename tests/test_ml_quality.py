@@ -11,6 +11,13 @@ from tests.conftest import SF_SMALL
 QS = registry.queries()
 
 
+import pytest
+
+# Heavyweight evidence tier: quality sweeps / scaled corpora /
+# multi-second Spark jobs. Fast iteration path: pytest -m "not slow".
+pytestmark = pytest.mark.slow
+
+
 def test_als_recommendations_shape(spark):
     recs = QS["ml_als_recommend"](spark, SF_SMALL)
     per_user = recs.groupBy("user").count().agg(F.min("count"), F.max("count")).collect()[0]

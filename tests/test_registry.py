@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import pytest
+
 import __spark_entry__ as entrymod
 
 
@@ -199,6 +201,7 @@ def test_continuation_keys_queue_behind_first_wave():
     assert tiers == sorted(tiers), "unchecked block not tier-ordered"
 
 
+@pytest.mark.slow
 def test_no_array_or_map_outputs_on_oracle_keys(spark):
     """Class guard for the r5 driver-red: the driver's pandas
     canonicalizer sorts result cells and crashes on list-typed values

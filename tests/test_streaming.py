@@ -10,6 +10,13 @@ from tests.conftest import SF_SMALL
 QS = registry.queries()
 
 
+import pytest
+
+# Heavyweight evidence tier: quality sweeps / scaled corpora /
+# multi-second Spark jobs. Fast iteration path: pytest -m "not slow".
+pytestmark = pytest.mark.slow
+
+
 def test_stream_watermark_matches_batch_windows(spark):
     batch = {
         r.bucket: (r.n, r.total_value)

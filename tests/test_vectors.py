@@ -4,10 +4,17 @@ from __future__ import annotations
 
 import os
 
+import pytest
+
 from movierecommender_sentimentanalysissytem_spark import registry
 from tests.conftest import SF_ORACLE, SF_SMALL, SF_TENTH
 
 QS = registry.queries()
+
+
+# Heavyweight evidence tier: quality sweeps / scaled corpora /
+# multi-second Spark jobs. Fast iteration path: pytest -m "not slow".
+pytestmark = pytest.mark.slow
 
 
 def _pairs(df, ca, cb):
