@@ -1004,10 +1004,23 @@ def main() -> int:
 
     from pyspark.sql import SparkSession
 
+    import os
+
+    # FUZZ_AQE / FUZZ_SHUFFLE_PARTITIONS mirror parity.py's
+    # PARITY_* knobs (r12's config-robustness axis): every swept
+    # query's agreement should be invariant to the physical-plan
+    # regime (adaptive re-planning on/off, odd shuffle fan-out).
     spark = (
         SparkSession.builder.master("local[8]")
         .appName("fuzz-differential")
-        .config("spark.sql.shuffle.partitions", "8")
+        .config(
+            "spark.sql.shuffle.partitions",
+            os.environ.get("FUZZ_SHUFFLE_PARTITIONS", "8"),
+        )
+        .config(
+            "spark.sql.adaptive.enabled",
+            os.environ.get("FUZZ_AQE", "true"),
+        )
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
