@@ -832,6 +832,87 @@ def _exists_corr_query(rng: random.Random) -> str:
     )
 
 
+def _membership_corr_query(rng: random.Random) -> str:
+    """Correlated [NOT] IN membership (round 13, grammar v4): Spark
+    rewrites correlated IN to a left-semi join and correlated NOT IN
+    to a NULL-AWARE left-anti join — its single trickiest
+    decorrelation. Prototyping this production found a REAL DuckDB 1.0
+    divergence (pinned in tests/test_fuzz.py): DuckDB's CORRELATED IN
+    flattens to an IS-NOT-DISTINCT-FROM semi join, so a NULL outer
+    operand whose key's inner set contains NULL returns TRUE where the
+    standard (and DuckDB's own UNCORRELATED path, and Spark) yields
+    UNKNOWN → row filtered. The truth table was mapped exhaustively on
+    a crafted table: in WHERE context every OTHER corner agrees
+    cross-engine (non-null outer + NULL inner filters either way;
+    correlated NOT IN matches the standard on all corners including
+    NULL outer and empty inner sets). The grammar therefore
+    COALESCE-wraps the outer operand for the IN form only, and leaves
+    both sides NULLIF-nullable for NOT IN. Correlation stays
+    equality-only (non-equi correlated conjuncts inside IN subqueries
+    are not supported by Spark's rewrite; exists_corr covers those).
+
+    The first targeted sweeps (seeds 1316-1317, then 1322-1323) then
+    caught a FOURTH real divergence, also pinned, and bisected to its
+    exact empirical trigger: when the inner operand evaluates NULL on
+    EVERY row that survives the subquery's extra predicate
+    (relation-wide, post-filter) AND such an extra predicate exists,
+    DuckDB 1.0's correlated NOT IN filters EVERY outer row —
+    including keys whose inner set is empty, which the standard
+    (x NOT IN () = TRUE) and Spark keep. Verified non-triggers: bare
+    correlation (no extra pred) is correct even with all-NULL
+    operands at every emptiness mix; mixed NULL/value operands are
+    correct WITH predicates (including per-key-homogeneous NULL
+    patterns); only post-filter relation-wide all-NULL + extra-pred
+    breaks (the mark-join's null flag appears to degrade to a global
+    property on that path). Since a random predicate can always carve
+    out an all-NULL subset, the NOT IN form is made sound BY
+    CONSTRUCTION via two sub-modes: (a) NULLIF-nullable inner operand
+    with bare correlation only, (b) guaranteed-non-null inner operand
+    (COALESCE onto the key column) with a random extra predicate —
+    null-awareness then exercised from the outer side, which agrees
+    cross-engine under predicates."""
+    outer, inner, okey, ikey = rng.choice(
+        [("customer", "orders", "c_custkey", "o_custkey"),
+         ("orders", "lineitem", "o_orderkey", "l_orderkey")]
+    )
+    form = rng.choice(["in", "not_in"])
+    m = rng.randint(5, 97)
+    ox = f"NULLIF(({_int_expr(rng, outer)}) % {m}, {rng.randint(0, 20)})"
+    if form == "in":
+        ox = f"COALESCE({ox}, {rng.randint(0, 20)})"
+    ie = _int_expr(rng, inner)
+    conds = [f"{inner}.{ikey} = {outer}.{okey}"]
+    with_pred = rng.random() < 0.6
+    if form == "not_in" and with_pred:
+        # sub-mode (b): extra predicate requires a provably
+        # never-NULL inner operand (see the docstring's pinned
+        # divergence); the key column is never NULL in the fixtures.
+        ix = f"COALESCE((({ie}) % {m}), ({ikey}) % {m})"
+    else:
+        # sub-mode (a) for not_in (bare correlation), and the IN form
+        # (safe with nullable inners under predicates — value-match
+        # only in WHERE context)
+        ix = f"NULLIF(({ie}) % {m}, {rng.randint(0, 20)})"
+    if with_pred:
+        conds.append(f"({_bool_expr(rng, inner)})")
+    neg = "NOT " if form == "not_in" else ""
+    sub = (
+        f"SELECT {ix} FROM {inner} WHERE {' AND '.join(conds)}"
+    )
+    if rng.random() < 0.4:
+        g = rng.choice(STR_COLS[outer])
+        e = _int_expr(rng, outer)
+        return (
+            f"SELECT {g} AS g, COUNT(*) AS n, SUM({e}) AS s "
+            f"FROM {outer} WHERE ({ox}) {neg}IN ({sub}) GROUP BY {g}"
+        )
+    e = _int_expr(rng, outer)
+    return (
+        f"SELECT {okey}, ({e}) AS e0 FROM {outer} "
+        f"WHERE ({ox}) {neg}IN ({sub})"
+    )
+
+
 # Mixed-sweep shape lists, by grammar version. The shape draw is
 # rng.choice over this list, and random.choice consumes entropy as a
 # function of len(list) — so APPENDING a shape silently changes the
@@ -843,15 +924,21 @@ def _exists_corr_query(rng: random.Random) -> str:
 #   v1: rounds ≤11 mixed grammar, 13 shapes (outer_probe debuted r11).
 #   v2: round 12 (+ scalar_subquery, cte, distinct_agg) — seeds
 #       1200-1228 in ROUND12_NOTES.md / SURVEY.md ran under v2.
-#   v3: round 13 (+ window_nulls, exists_corr).
+#   v3: round 13 (+ window_nulls, exists_corr) — seeds 1300–1314.
+#   v4: round 13 late (+ membership_corr).
 _MIXED_SHAPES = [
     "grouped", "grouped", "filtered_scan", "join", "topk", "window",
     "distinct", "subquery", "rollup", "string", "setop", "nested_agg",
     "outer_probe", "scalar_subquery", "cte", "distinct_agg",
-    "window_nulls", "exists_corr",
+    "window_nulls", "exists_corr", "membership_corr",
 ]
-GRAMMARS = {1: _MIXED_SHAPES[:13], 2: _MIXED_SHAPES[:16], 3: _MIXED_SHAPES}
-GRAMMAR_VERSION = 3
+GRAMMARS = {
+    1: _MIXED_SHAPES[:13],
+    2: _MIXED_SHAPES[:16],
+    3: _MIXED_SHAPES[:18],
+    4: _MIXED_SHAPES,
+}
+GRAMMAR_VERSION = 4
 
 
 def gen_query(
@@ -869,6 +956,8 @@ def gen_query(
     rng = random.Random((seed << 16) ^ k)
     table = rng.choice(TABLES)
     shape = only_shape or rng.choice(GRAMMARS[grammar])
+    if shape == "membership_corr":
+        return _membership_corr_query(rng)
     if shape == "window_nulls":
         return _window_nulls_query(rng, rng.choice(sorted(UNIQUE_KEY)))
     if shape == "exists_corr":

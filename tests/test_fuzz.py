@@ -106,6 +106,84 @@ def test_round13_shapes_agree(spark):
         assert not failures, "\n".join(failures)
 
 
+def test_known_divergence_duckdb_correlated_in_null_semantics(
+    spark, monkeypatch
+):
+    """Found by prototyping the membership_corr production (round 13):
+    DuckDB 1.0 flattens CORRELATED `x IN (subquery)` into an
+    IS-NOT-DISTINCT-FROM semi join, so a NULL outer operand whose
+    key's inner set contains NULL satisfies the predicate — where the
+    SQL standard (NULL IN (…NULL…) = UNKNOWN → WHERE filters the
+    row), DuckDB's own UNCORRELATED path, and Spark all drop it.
+    Fixture-independent inline-table repro; the harness must flag it
+    (Spark 0 rows, DuckDB 1 row). The membership_corr grammar
+    COALESCE-wraps the outer operand of its IN form to stay out of
+    this corner; every other corner of the correlated [NOT] IN truth
+    table was mapped and agrees."""
+    monkeypatch.setattr(
+        fz,
+        "gen_query",
+        lambda seed, k, *a, **kw: (
+            "SELECT o.k, o.x FROM (VALUES (1, 5), (1, CAST(NULL AS INT)))"
+            " AS o(k, x) WHERE o.x IN (SELECT i.val FROM"
+            " (VALUES (1, CAST(NULL AS INT)), (1, 10)) AS i(k, val)"
+            " WHERE i.k = o.k)"
+        ),
+    )
+    failures = fz.run_differential(spark, SF_SMALL, [(97, 0)])
+    assert len(failures) == 1
+    assert "MISMATCH rows 0 vs 1" in failures[0]
+
+
+def test_known_divergence_duckdb_not_in_folded_null_inner(
+    spark, monkeypatch
+):
+    """Found by the first membership_corr targeted sweeps (seeds
+    1316-1317, then 1322-1323 refined the trigger, round 13): when the
+    inner operand evaluates NULL on EVERY row surviving the subquery's
+    extra predicate (relation-wide, post-filter) AND such an extra
+    predicate exists, DuckDB 1.0's correlated NOT IN filters EVERY
+    outer row — including keys whose inner set is EMPTY, which the
+    standard (x NOT IN () = TRUE) and Spark keep. Verified
+    non-triggers: bare correlation is correct even with all-NULL
+    operands; mixed NULL/value operands (even per-key-homogeneous) are
+    correct WITH predicates; a mixed operand whose predicate selects
+    exactly the NULL rows TRIGGERS it — so the property is
+    post-filter and relation-wide, and a random predicate can always
+    carve it out. Fixture-independent inline repro: k=1's inner set is
+    {NULL} (UNKNOWN → filtered, both engines agree), k=3's is empty
+    after the val > 0 predicate (TRUE → Spark keeps (3,), DuckDB drops
+    it). The membership_corr grammar is sound by construction: its
+    NOT IN form pairs nullable inners ONLY with bare correlation, and
+    predicates ONLY with a COALESCE-guaranteed non-null inner."""
+    monkeypatch.setattr(
+        fz,
+        "gen_query",
+        lambda seed, k, *a, **kw: (
+            "SELECT o.k FROM (VALUES (1, 5), (3, 5)) AS o(k, x)"
+            " WHERE o.x NOT IN (SELECT CAST(NULL AS INT) FROM"
+            " (VALUES (1, 10), (3, -1)) AS i(k, val)"
+            " WHERE i.k = o.k AND i.val > 0)"
+        ),
+    )
+    failures = fz.run_differential(spark, SF_SMALL, [(96, 0)])
+    assert len(failures) == 1
+    assert "MISMATCH rows 1 vs 0" in failures[0]
+
+
+def test_membership_corr_shape_agrees(spark):
+    """Full-density pin for the round-13 membership_corr production
+    (grammar v4): correlated IN (COALESCE-guarded outer operand, see
+    the known-divergence test above) and correlated NOT IN — Spark's
+    null-aware left-anti join — with NULLIF-seeded operands on both
+    sides and optionally aggregating outers."""
+    failures = fz.run_differential(
+        spark, SF_SMALL, [(4, k) for k in range(12)],
+        only_shape="membership_corr",
+    )
+    assert not failures, "\n".join(failures)
+
+
 def test_grammar_versions_pin_historical_seed_mapping(spark):
     """ADVICE r12: appending shapes to the mixed grammar changes the
     (seed, k) -> query mapping for every historical seed. GRAMMARS
@@ -115,10 +193,14 @@ def test_grammar_versions_pin_historical_seed_mapping(spark):
     under grammar=2, so r12's documented seeds (1200-1228) remain
     reproducible by passing grammar=2; (3) a v2 sample block still
     runs clean through the harness under grammar=2."""
-    assert fz.GRAMMARS[1] == fz.GRAMMARS[3][:13]
-    assert fz.GRAMMARS[2] == fz.GRAMMARS[3][:16]
+    latest = fz.GRAMMARS[fz.GRAMMAR_VERSION]
+    assert fz.GRAMMARS[1] == latest[:13]
+    assert fz.GRAMMARS[2] == latest[:16]
+    assert fz.GRAMMARS[3] == latest[:18]
     assert {"window_nulls", "exists_corr"} & set(fz.GRAMMARS[2]) == set()
     assert {"window_nulls", "exists_corr"} <= set(fz.GRAMMARS[3])
+    assert "membership_corr" not in set(fz.GRAMMARS[3])
+    assert "membership_corr" in set(fz.GRAMMARS[4])
     failures = fz.run_differential(
         spark, SF_SMALL, [(1204, k) for k in range(8)], grammar=2
     )
