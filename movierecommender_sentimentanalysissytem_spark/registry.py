@@ -421,7 +421,38 @@ _R12_DRIVER_CHECKED = frozenset(
     """.split()
 )
 
-# Every key with a non-red driver row (r1 + ... + r12).
+# Keys the driver's round-13 sweep confirmed (CORRECTNESS_r13.json):
+# all 50 rows non-red — 49 hash-green plus ``ml_sentiment_pipeline``
+# rows-only by design (``no_oracle``; its re-check after the r13 bigram
+# featurization change was the round's one _PRIORITY slot, and its
+# quality gate is the 0.998-accuracy floor in tests/test_ml_quality.py).
+# The head covered that priority + the 6 keys still on r5 rows; the tail
+# re-verified the 43 oldest r6 rows, moving the staleness floor r5 → r6.
+_R13_DRIVER_CHECKED = frozenset(
+    """
+    ml_sentiment_pipeline events_transition_matrix time_to_conversion
+    timeseries_resample_ohlc timeseries_mom_growth fn_url_extract
+    sim_matmul_topk dedup_keep_best fn_array_setops text_word_entropy
+    multimodal_decode_audio multimodal_decode_image
+    quality_duplicate_rate_by_source udf_pandas_iter
+    join_fuzzy_levenshtein geo_grid_proximity_join join_hint_shuffle_hash
+    join_full_outer_using join_asof_tolerance agg_share_of_parent
+    win_topk_with_ties sample_weighted_bernoulli sort_null_ordering
+    set_except_distinct subq_relational_division sql_view_masked
+    sql_parameterized rec_eval_precision_at_k rec_diversity_coverage
+    rec_popularity_time_decay rec_cold_start_backfill
+    maintenance_snapshot_diff join_dynamic_partition_pruning
+    scan_ignore_corrupt_files scan_csv_dropmalformed
+    scan_json_permissive_corrupt tpch_shipping_delay_profile
+    tpch_abc_classification tpch_yoy_customer_growth
+    quality_expectation_suite stats_subsample_ci profile_join_skew
+    quality_key_candidates quality_order_reconcile quality_control_chart
+    quality_fk_matrix stats_mann_whitney stats_spearman_by_group
+    stats_wilson_ci stats_kaplan_meier
+    """.split()
+)
+
+# Every key with a non-red driver row (r1 + ... + r13).
 # Note the two ML keys inside _R2_DRIVER_CHECKED, sim_threshold_join_lsh
 # in _R4/_R8, sim_topk_ivf in _R5/_R7, sim_topk_ivf_probe_sweep in
 # _R8 and sim_topk_ivf_partitioned in _R9/_R11 are rows-only records,
@@ -440,24 +471,21 @@ _DRIVER_CHECKED = (
     | _R10_DRIVER_CHECKED
     | _R11_DRIVER_CHECKED
     | _R12_DRIVER_CHECKED
+    | _R13_DRIVER_CHECKED
 )
 
 # Front of the current round's sweep queue: keys that MUST be checked
 # first regardless of grouping — code changed AFTER the key's last
-# driver row. Round 13: ml_sentiment_pipeline — its feature stage
-# gained bigram TF (r12 verdict item 5: training accuracy 0.632 →
-# 0.998, RECALL floor margin 0.03 → ~0.4), so its r10 rows-only row no
-# longer describes the shipped plan. Every other r13 engine diff is
-# plan-inert: registry bookkeeping (this fold), the scratch.py pid<=0
-# marker guard (ADVICE r12; _owner_alive is janitor-only, mkscratch
-# output is unchanged), and script/test-only edits (fuzzer grammar
-# additions, quality_report fingerprint hardening). Sweep head is
-# therefore 1 priority + the 6 keys still on r5 rows
-# (events_transition_matrix, time_to_conversion,
-# timeseries_resample_ohlc, timeseries_mom_growth, fn_url_extract,
-# sim_matmul_topk) + the 43 oldest r6 rows; the staleness floor still
-# moves r5 → r6 this round, and the 4 youngest r6 rows head round 14.
-_PRIORITY: tuple[str, ...] = ("ml_sentiment_pipeline",)
+# driver row. Round 14: EMPTY — no engine plan changed since every
+# key's latest driver row (the r14 diffs are registry bookkeeping
+# (this fold), fuzzer grammar v5 productions, divergence-ledger docs,
+# and test-tier edits, all plan-inert). Sweep head is therefore pure
+# staleness: the 4 keys still on r6 rows (events_dau_rolling,
+# fn_array_higher_order, stats_anova_oneway, stats_theil_index) + the
+# 45 keys still on r7 rows + the oldest r8 row = the 50-key budget;
+# the staleness floor moves r6 → r7 this round and can reach r8 in
+# round 15.
+_PRIORITY: tuple[str, ...] = ()
 
 # SURVEY.md §2 inventory — the judge's coverage checklist. These outrank
 # extra keys in sweep priority.
@@ -725,13 +753,13 @@ def _sweep_order(keys: list[str]) -> list[str]:
     every key has a row, the budget left after the unchecked head
     re-verifies the keys whose last driver check is oldest, so
     regressions surface instead of the same recent keys being
-    re-confirmed. Round 13 math: 1 priority (ml_sentiment_pipeline —
-    bigram TF added after its r10 row) + the 6 keys still on r5 rows
-    (events_transition_matrix, time_to_conversion,
-    timeseries_resample_ohlc, timeseries_mom_growth, fn_url_extract,
-    sim_matmul_topk) + 43 of the 47 r6 rows filling the 50-key budget
-    (cumulative coverage has been 100% since round 7; no debuts are
-    staged this round; the 4 youngest r6 rows head round 14)."""
+    re-confirmed. Round 14 math: 0 priority (no engine plan changed
+    since its key's latest driver row) + the 4 keys still on r6 rows
+    (events_dau_rolling, fn_array_higher_order, stats_anova_oneway,
+    stats_theil_index) + the 45 keys still on r7 rows + the oldest r8
+    row filling the 50-key budget (cumulative coverage has been 100%
+    since round 7; no debuts are staged this round; the staleness
+    floor moves r6 → r7 and can reach r8 in round 15)."""
 
     prio = {k: i for i, k in enumerate(_PRIORITY)}
     last_checked = {}
@@ -749,6 +777,7 @@ def _sweep_order(keys: list[str]) -> list[str]:
             _R10_DRIVER_CHECKED,
             _R11_DRIVER_CHECKED,
             _R12_DRIVER_CHECKED,
+            _R13_DRIVER_CHECKED,
         ),
         start=1,
     ):

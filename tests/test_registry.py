@@ -137,6 +137,7 @@ def test_checked_tail_is_staleness_ordered():
         _R10_DRIVER_CHECKED,
         _R11_DRIVER_CHECKED,
         _R12_DRIVER_CHECKED,
+        _R13_DRIVER_CHECKED,
         queries,
     )
 
@@ -147,7 +148,7 @@ def test_checked_tail_is_staleness_ordered():
          _R5_DRIVER_CHECKED, _R6_DRIVER_CHECKED,
          _R7_DRIVER_CHECKED, _R8_DRIVER_CHECKED,
          _R9_DRIVER_CHECKED, _R10_DRIVER_CHECKED, _R11_DRIVER_CHECKED,
-         _R12_DRIVER_CHECKED),
+         _R12_DRIVER_CHECKED, _R13_DRIVER_CHECKED),
         start=1,
     ):
         for k in checked:
