@@ -57,6 +57,20 @@ identically AND evaluate deterministically:
   NULLIF-seeded correlated conjuncts, aggregating outers, and
   nullable [NOT] IN membership.
 
+- (round 14, grammar v5) higher-order array functions as dual-text
+  pairs — Spark transform/filter/aggregate/array_* vs DuckDB
+  list_transform/list_filter/list_sum/list_* over arrays built
+  deterministically in-query (ascending-by-construction sequence
+  bounds and non-empty sum operands: the engines diverge on
+  descending sequence bounds and on empty-array sum, both excluded by
+  construction); and date/interval arithmetic — compositions of day
+  arithmetic (same-text date + INT), clamping month arithmetic (Spark
+  add_months vs DuckDB + n * INTERVAL 1 MONTH), date_trunc/last_day/
+  greatest/least, datediff (argument order differs per engine), and
+  EXTRACT(DAY/MONTH/YEAR/QUARTER/DOY) over fixture timestamps plus
+  literal leap-day/month-end anchor dates (dayofweek stays excluded —
+  Spark 1=Sunday vs DuckDB 0=Sunday; months_between is Spark-only).
+
 Seeded: query k is a pure function of (seed, k, grammar_version) — a
 failure message names the reproducing seed; documented sweep seeds cite
 the grammar version they ran under (see GRAMMARS).
@@ -104,6 +118,10 @@ UNIQUE_KEY = {
     "orders": "o_orderkey ASC",
     "customer": "c_custkey ASC",
 }
+
+# Tables carrying a timestamp column (the date_arith shape needs one
+# as its composition base; customer has none).
+TS_COLS_TABLES = tuple(t for t in TABLES if TS_COLS[t])
 
 
 def _int_expr(rng: random.Random, table: str, depth: int = 0) -> str:
@@ -913,6 +931,235 @@ def _membership_corr_query(rng: random.Random) -> str:
     )
 
 
+def _nn_int(rng: random.Random, table: str, bound: int) -> str:
+    """Non-null, non-negative int expression in [0, bound) — same text
+    in both engines. abs() BEFORE the mod keeps the dividend
+    non-negative, so the engines' shared dividend-sign % convention
+    never meets a negative operand; COALESCE removes NULLs (array
+    elements, sequence bounds, and date offsets must be deterministic
+    non-null values or the shapes hit engine-convention corners:
+    DuckDB's list_distinct drops NULLs, generate_series(NULL,..) and
+    a NULL interval multiplier propagate differently per context)."""
+    e = _int_expr(rng, table)
+    return f"(abs(COALESCE(({e}), {rng.randint(0, bound - 1)})) % {bound})"
+
+
+def _array_hof_query(rng: random.Random, table: str):
+    """Higher-order array functions (round 14, grammar v5): the
+    dialect family directly under the curated fn_array /
+    fn_array_transform / fn_array_higher_order keys and the sim_*
+    cosine tier (JVM higher-order folds), previously oracle-checked
+    only on fixed shapes. DUAL-TEXT: Spark's transform/filter/
+    aggregate/array_* map to DuckDB's list_transform/list_filter/
+    list_sum/list_* — same lambda syntax, different function names —
+    so both sides are generated in parallel from one draw sequence.
+
+    Arrays are built deterministically IN-QUERY from key columns
+    (both engines see identical inputs, no fixture array column
+    needed) via two constructors: explicit array(e1..ek) vs
+    list_value(e1..ek), and ascending sequence(lo, lo+n) vs
+    generate_series(lo, lo+n) (both END-INCLUSIVE; lo <= hi is
+    guaranteed by construction because the engines DIVERGE on
+    descending bounds: Spark sequence(5,2) counts down [5,4,3,2],
+    DuckDB generate_series(5,2) is empty). Elements are non-null
+    non-negative (_nn_int), so lambda % arithmetic stays in the
+    engines' shared convention and DuckDB's null-dropping
+    list_distinct matches Spark's null-keeping array_distinct.
+    Sum-reductions pair Spark's aggregate(arr, 0, +) with DuckDB's
+    list_sum and are drawn ONLY over constructed (provably non-empty)
+    arrays: on EMPTY arrays Spark's fold returns the 0 init where
+    list_sum returns NULL — a real divergence the grammar is sound
+    against by construction (post-filter arrays get size/len or
+    direct projection, never a sum)."""
+    key = INT_COLS[table][0]
+
+    def build_array():
+        if rng.random() < 0.5:
+            elems = ", ".join(
+                _nn_int(rng, table, rng.randint(20, 200))
+                for _ in range(rng.randint(2, 4))
+            )
+            return f"array({elems})", f"list_value({elems})"
+        lo = _nn_int(rng, table, 6)
+        n = _nn_int(rng, table, 5)
+        bounds = f"({lo}), ({lo}) + ({n})"
+        return f"sequence({bounds})", f"generate_series({bounds})"
+
+    def lam() -> str:
+        a, b = rng.randint(1, 9), rng.randint(0, 30)
+        m = rng.randint(2, 97)
+        return f"x -> (x * {a} + {b}) % {m}"
+
+    def pred() -> str:
+        p, r = rng.randint(2, 7), rng.randint(0, 6)
+        cmp_ = rng.choice(["=", "!=", "<", ">="])
+        return f"x -> x % {p} {cmp_} {r}"
+
+    s_exprs, d_exprs = [], []
+    for i in range(3):
+        sa, da = build_array()
+        form = rng.choice(
+            ["xform_arr", "xform_first", "filter_size", "filter_arr",
+             "agg_sum", "agg_minmax", "contains", "distinct_size"]
+        )
+        if form == "xform_arr":
+            f_ = lam()
+            s, d = f"transform({sa}, {f_})", f"list_transform({da}, {f_})"
+        elif form == "xform_first":
+            f_ = lam()
+            s = f"element_at(sort_array(transform({sa}, {f_})), 1)"
+            d = f"(list_sort(list_transform({da}, {f_})))[1]"
+        elif form == "filter_size":
+            p_ = pred()
+            s = f"size(filter({sa}, {p_}))"
+            d = f"len(list_filter({da}, {p_}))"
+        elif form == "filter_arr":
+            p_ = pred()
+            s, d = f"filter({sa}, {p_})", f"list_filter({da}, {p_})"
+        elif form == "agg_sum":
+            s = f"aggregate({sa}, CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+            d = f"list_sum({da})"
+        elif form == "agg_minmax":
+            mm = rng.choice(["min", "max"])
+            s, d = f"array_{mm}({sa})", f"list_aggregate({da}, '{mm}')"
+        elif form == "contains":
+            v = _nn_int(rng, table, 40)
+            s = f"array_contains({sa}, ({v}))"
+            d = f"list_contains({da}, ({v}))"
+        else:
+            s = f"size(array_distinct({sa}))"
+            d = f"len(list_distinct({da}))"
+        s_exprs.append(f"{s} AS e{i}")
+        d_exprs.append(f"{d} AS e{i}")
+    where = ""
+    if rng.random() < 0.5:
+        where = f" WHERE {_bool_expr(rng, table)}"
+    return (
+        f"SELECT {key}, {', '.join(s_exprs)} FROM {table}{where}",
+        f"SELECT {key}, {', '.join(d_exprs)} FROM {table}{where}",
+    )
+
+
+# Literal anchor dates for the date_arith shape: month-end, leap-day,
+# year-boundary and century edges — the corners where day-clamping
+# month arithmetic and DOY/quarter extraction actually differ if an
+# engine gets them wrong.
+_DATE_ANCHORS = (
+    "DATE '2020-02-29'", "DATE '2019-01-31'", "DATE '2020-12-31'",
+    "DATE '2000-03-01'", "DATE '1999-12-31'", "DATE '1996-02-29'",
+)
+
+
+def _date_expr(rng: random.Random, table: str, depth: int = 0):
+    """(spark_text, duckdb_text) pair for a composed DATE expression.
+    Same-text components: CAST(ts AS DATE), date + int (day
+    arithmetic in BOTH engines), CAST(date_trunc(unit, d) AS DATE)
+    (Spark returns TIMESTAMP, DuckDB DATE — the cast unifies),
+    last_day, greatest/least. Dual-text: Spark add_months(d, n) vs
+    DuckDB d + n * INTERVAL 1 MONTH (both clamp to month end —
+    verified on Jan 31 + 1 mo and Mar 31 - 1 mo = Feb 29)."""
+    if depth >= 2 or rng.random() < 0.35:
+        if rng.random() < 0.4:
+            a = rng.choice(_DATE_ANCHORS)
+            return a, a
+        col = rng.choice(TS_COLS[table])
+        t = f"CAST({col} AS DATE)"
+        return t, t
+    kind = rng.choice(["add_days", "add_months", "trunc", "last_day", "gl"])
+    ds, dd = _date_expr(rng, table, depth + 1)
+    # offsets must be INT, not BIGINT: Spark's date + n requires
+    # INT/SMALLINT/TINYINT and DuckDB has no +(DATE, BIGINT) overload,
+    # and the fixture key columns (hence _nn_int) are int64
+    if kind == "add_days":
+        n = f"CAST((({_nn_int(rng, table, 400)}) - 200) AS INT)"
+        return f"(({ds}) + {n})", f"(({dd}) + {n})"
+    if kind == "add_months":
+        n = f"CAST((({_nn_int(rng, table, 48)}) - 24) AS INT)"
+        return (
+            f"add_months(({ds}), {n})",
+            f"CAST(({dd}) + {n} * INTERVAL 1 MONTH AS DATE)",
+        )
+    if kind == "trunc":
+        u = rng.choice(["month", "quarter", "year", "week"])
+        return (
+            f"CAST(date_trunc('{u}', ({ds})) AS DATE)",
+            f"CAST(date_trunc('{u}', ({dd})) AS DATE)",
+        )
+    if kind == "last_day":
+        return f"last_day(({ds}))", f"last_day(({dd}))"
+    fn = rng.choice(["greatest", "least"])
+    d2s, d2d = _date_expr(rng, table, depth + 1)
+    return (
+        f"{fn}(({ds}), ({d2s}))",
+        f"{fn}(({dd}), ({d2d}))",
+    )
+
+
+def _date_arith_query(rng: random.Random, table: str):
+    """Date/interval arithmetic (round 14, grammar v5): the dialect
+    family under the curated fn_date key, which is built around the
+    KNOWN traps (dayofweek indexing, date_part naming) but was never
+    swept compositionally. Compositions of day arithmetic, clamping
+    month arithmetic, date_trunc, last_day and greatest/least over
+    the fixture timestamp columns and literal month-end/leap-day
+    anchors; projections mix the composed dates themselves, day
+    differences (Spark datediff(a, b) vs DuckDB datediff('day', b,
+    a) — argument ORDER differs), and EXTRACT parts (DAY/MONTH/YEAR/
+    QUARTER/DOY agree; dayofweek is excluded — Spark is 1=Sunday,
+    DuckDB 0=Sunday, a real indexing divergence the curated key
+    handles explicitly). A grouped sub-mode aggregates COUNT/MIN/MAX
+    over a month-truncation group key. Excluded by construction:
+    months_between (31-day fractional convention exists only in
+    Spark), week-part extraction beyond date_trunc('week') (both
+    truncate to ISO Monday — verified — but WEEK part numbering
+    conventions differ)."""
+    key = INT_COLS[table][0]
+
+    def one_proj(i: int):
+        form = rng.choice(["date", "diff", "extract"])
+        if form == "date":
+            s, d = _date_expr(rng, table)
+            return f"({s}) AS e{i}", f"({d}) AS e{i}"
+        if form == "diff":
+            a_s, a_d = _date_expr(rng, table)
+            b_s, b_d = _date_expr(rng, table)
+            return (
+                f"datediff(({a_s}), ({b_s})) AS e{i}",
+                f"datediff('day', ({b_d}), ({a_d})) AS e{i}",
+            )
+        part = rng.choice(["DAY", "MONTH", "YEAR", "QUARTER", "DOY"])
+        s, d = _date_expr(rng, table)
+        return (
+            f"EXTRACT({part} FROM ({s})) AS e{i}",
+            f"EXTRACT({part} FROM ({d})) AS e{i}",
+        )
+
+    if rng.random() < 0.3:
+        gs, gd = _date_expr(rng, table, depth=1)
+        g_s = f"CAST(date_trunc('month', ({gs})) AS DATE)"
+        g_d = f"CAST(date_trunc('month', ({gd})) AS DATE)"
+        a_s, a_d = _date_expr(rng, table)
+        mm = rng.choice(["MIN", "MAX"])
+        return (
+            f"SELECT {g_s} AS g, COUNT(*) AS n, {mm}(({a_s})) AS m "
+            f"FROM {table} GROUP BY {g_s}",
+            f"SELECT {g_d} AS g, COUNT(*) AS n, {mm}(({a_d})) AS m "
+            f"FROM {table} GROUP BY {g_d}",
+        )
+    s_projs, d_projs = [], []
+    for i in range(3):
+        s, d = one_proj(i)
+        s_projs.append(s)
+        d_projs.append(d)
+    where = ""
+    if rng.random() < 0.5:
+        where = f" WHERE {_bool_expr(rng, table)}"
+    return (
+        f"SELECT {key}, {', '.join(s_projs)} FROM {table}{where}",
+        f"SELECT {key}, {', '.join(d_projs)} FROM {table}{where}",
+    )
+
+
 # Mixed-sweep shape lists, by grammar version. The shape draw is
 # rng.choice over this list, and random.choice consumes entropy as a
 # function of len(list) — so APPENDING a shape silently changes the
@@ -925,20 +1172,23 @@ def _membership_corr_query(rng: random.Random) -> str:
 #   v2: round 12 (+ scalar_subquery, cte, distinct_agg) — seeds
 #       1200-1228 in ROUND12_NOTES.md / SURVEY.md ran under v2.
 #   v3: round 13 (+ window_nulls, exists_corr) — seeds 1300–1314.
-#   v4: round 13 late (+ membership_corr).
+#   v4: round 13 late (+ membership_corr) — seeds 1315+.
+#   v5: round 14 (+ array_hof, date_arith) — seeds 1400+.
 _MIXED_SHAPES = [
     "grouped", "grouped", "filtered_scan", "join", "topk", "window",
     "distinct", "subquery", "rollup", "string", "setop", "nested_agg",
     "outer_probe", "scalar_subquery", "cte", "distinct_agg",
     "window_nulls", "exists_corr", "membership_corr",
+    "array_hof", "date_arith",
 ]
 GRAMMARS = {
     1: _MIXED_SHAPES[:13],
     2: _MIXED_SHAPES[:16],
     3: _MIXED_SHAPES[:18],
-    4: _MIXED_SHAPES,
+    4: _MIXED_SHAPES[:19],
+    5: _MIXED_SHAPES,
 }
-GRAMMAR_VERSION = 4
+GRAMMAR_VERSION = 5
 
 
 def gen_query(
@@ -956,6 +1206,12 @@ def gen_query(
     rng = random.Random((seed << 16) ^ k)
     table = rng.choice(TABLES)
     shape = only_shape or rng.choice(GRAMMARS[grammar])
+    if shape == "array_hof":
+        return _array_hof_query(rng, table)
+    if shape == "date_arith":
+        return _date_arith_query(
+            rng, rng.choice(sorted(TS_COLS_TABLES))
+        )
     if shape == "membership_corr":
         return _membership_corr_query(rng)
     if shape == "window_nulls":
@@ -1067,7 +1323,14 @@ def run_differential(
             s_rows = [tuple(r) for r in spark.sql(s_q).collect()]
             d_rows = [tuple(r) for r in con.sql(d_q).fetchall()]
         except Exception as exc:  # noqa: BLE001
-            failures.append(f"seed={seed} k={k} ERROR {exc}\n  {q}")
+            # dual-text shapes: print each engine's text on its own
+            # line — interpolating the raw tuple makes the repro line
+            # unreadable (r13 ADVICE)
+            repro = (
+                f"  {q}" if s_q is d_q
+                else f"  spark:  {s_q}\n  duckdb: {d_q}"
+            )
+            failures.append(f"seed={seed} k={k} ERROR {exc}\n{repro}")
             continue
         if norm(s_rows) != norm(d_rows):
             sn, dn = norm(s_rows), norm(d_rows)
@@ -1075,11 +1338,15 @@ def run_differential(
                 (i for i, (a, b) in enumerate(zip(sn, dn)) if a != b),
                 min(len(sn), len(dn)),
             )
+            repro = (
+                f"  {q}" if s_q is d_q
+                else f"  spark:  {s_q}\n  duckdb: {d_q}"
+            )
             failures.append(
                 f"seed={seed} k={k} MISMATCH rows {len(sn)} vs {len(dn)}, "
                 f"first diff at {diff}: "
                 f"{sn[diff] if diff < len(sn) else '<none>'} vs "
-                f"{dn[diff] if diff < len(dn) else '<none>'}\n  {q}"
+                f"{dn[diff] if diff < len(dn) else '<none>'}\n{repro}"
             )
     return failures
 
@@ -1090,6 +1357,22 @@ def main() -> int:
     seed = int(sys.argv[3]) if len(sys.argv) > 3 else 0
     only_shape = sys.argv[4] if len(sys.argv) > 4 else None
     grammar = int(sys.argv[5]) if len(sys.argv) > 5 else GRAMMAR_VERSION
+    if grammar not in GRAMMARS:
+        # fail with the valid version list instead of a bare KeyError
+        # deep inside gen_query (r13 ADVICE)
+        print(
+            f"unknown grammar version {grammar!r}; "
+            f"valid: {sorted(GRAMMARS)}",
+            file=sys.stderr,
+        )
+        return 2
+    if only_shape and only_shape not in _MIXED_SHAPES:
+        print(
+            f"unknown shape {only_shape!r}; "
+            f"valid: {sorted(set(_MIXED_SHAPES))}",
+            file=sys.stderr,
+        )
+        return 2
 
     from pyspark.sql import SparkSession
 

@@ -50,8 +50,10 @@ def fixture_fingerprint(dirs=FINGERPRINTED_DIRS) -> dict[str, str]:
     a directory-style parquet, walked in sorted order). Pure content —
     no mtimes — so regenerating byte-identical fixtures does NOT trip
     staleness, while any data change does. Each file's path relative
-    to the sf-dir and its byte size are mixed in as a length-prefixed
-    frame before its contents (r12 ADVICE): without the delimiter,
+    to the sf-dir and its byte size are mixed in before its contents
+    as a NUL-delimited relative path plus the decimal byte size (r12
+    ADVICE; unambiguous because paths cannot contain NUL — keep that
+    property if the framing ever changes): without the delimiter,
     re-splitting a table across part files whose sorted-order
     concatenation is byte-identical would hash the same."""
     fp: dict[str, str] = {}
@@ -198,7 +200,17 @@ def build_report(spark) -> dict:
     }
 
     # --- ml_als_recommend: rank-8 ALS training RMSE must beat the
-    # global-mean predictor (same bound as test_als_model_rmse_reasonable).
+    # PER-ITEM-MEAN predictor (same bound as
+    # test_als_model_rmse_reasonable; strengthened from the
+    # global-mean floor per the r13 verdict's degenerate-model gap
+    # analysis). Baseline ladder measured round 14 at SF_SMALL:
+    # global-mean 14.165, per-user-mean 13.992, per-item-mean 13.864
+    # (the strongest degenerate predictor — one constant per item,
+    # exactly what a broken factorization collapses to), ALS 8.610 —
+    # a 38% margin over the strongest baseline, so the floor has
+    # teeth without flake risk. The near-random synthetic ratings
+    # keep all three baselines close; a real-taste corpus would
+    # separate them further.
     from pyspark.ml.recommendation import ALS
     from pyspark.sql.window import Window
 
@@ -213,23 +225,33 @@ def build_report(spark) -> dict:
         F.pow(
             F.col("rating") - F.avg("rating").over(Window.partitionBy()), 2
         ).alias("se_mean"),
+        F.pow(
+            F.col("rating")
+            - F.avg("rating").over(Window.partitionBy("item")),
+            2,
+        ).alias("se_item_mean"),
     ).agg(
         F.sqrt(F.avg("se")).alias("rmse"),
         F.sqrt(F.avg("se_mean")).alias("rmse_mean"),
+        F.sqrt(F.avg("se_item_mean")).alias("rmse_item_mean"),
     ).collect()[0]
     recs = qs["ml_als_recommend"](spark, SF_SMALL)
     per_user = recs.groupBy("user").count().agg(
         F.min("count").alias("lo"), F.max("count").alias("hi")
     ).collect()[0]
     report["ml_als_recommend"] = {
-        "metric": "train_rmse_vs_global_mean_predictor",
+        "metric": "train_rmse_vs_item_mean_predictor",
         "value": {
             "rmse": _round(err.rmse),
             "rmse_global_mean": _round(err.rmse_mean),
+            "rmse_item_mean": _round(err.rmse_item_mean),
             "recs_per_user": [per_user.lo, per_user.hi],
         },
-        "floor": "rmse < rmse_global_mean and exactly 5 recs/user",
-        "pass": err.rmse < err.rmse_mean and per_user.lo == per_user.hi == 5,
+        "floor": "rmse < rmse_item_mean and exactly 5 recs/user",
+        "pass": (
+            err.rmse < err.rmse_item_mean
+            and per_user.lo == per_user.hi == 5
+        ),
         "ground_truth_key": None,
     }
 

@@ -171,6 +171,27 @@ def test_known_divergence_duckdb_not_in_folded_null_inner(
     assert "MISMATCH rows 1 vs 0" in failures[0]
 
 
+def test_round14_shapes_agree(spark):
+    """Full-density pins for the round-14 productions (grammar v5).
+    array_hof: higher-order array functions as DUAL-TEXT pairs —
+    Spark transform/filter/aggregate/array_* vs DuckDB
+    list_transform/list_filter/list_sum/list_* — over arrays built
+    deterministically in-query (array()/list_value(),
+    sequence()/generate_series() with ascending-by-construction
+    bounds: the engines DIVERGE on descending bounds and on
+    empty-array sum, both guarded by construction). date_arith:
+    compositions of day arithmetic, clamping month arithmetic
+    (add_months vs + n*INTERVAL 1 MONTH), date_trunc, last_day,
+    datediff (argument order differs) and EXTRACT over the fixture
+    timestamp columns and literal leap-day/month-end anchors."""
+    for shape in ("array_hof", "date_arith"):
+        failures = fz.run_differential(
+            spark, SF_SMALL, [(5, k) for k in range(12)],
+            only_shape=shape,
+        )
+        assert not failures, "\n".join(failures)
+
+
 def test_membership_corr_shape_agrees(spark):
     """Full-density pin for the round-13 membership_corr production
     (grammar v4): correlated IN (COALESCE-guarded outer operand, see
@@ -199,8 +220,11 @@ def test_grammar_versions_pin_historical_seed_mapping(spark):
     assert fz.GRAMMARS[3] == latest[:18]
     assert {"window_nulls", "exists_corr"} & set(fz.GRAMMARS[2]) == set()
     assert {"window_nulls", "exists_corr"} <= set(fz.GRAMMARS[3])
+    assert fz.GRAMMARS[4] == latest[:19]
     assert "membership_corr" not in set(fz.GRAMMARS[3])
     assert "membership_corr" in set(fz.GRAMMARS[4])
+    assert {"array_hof", "date_arith"} & set(fz.GRAMMARS[4]) == set()
+    assert {"array_hof", "date_arith"} <= set(fz.GRAMMARS[5])
     failures = fz.run_differential(
         spark, SF_SMALL, [(1204, k) for k in range(8)], grammar=2
     )

@@ -142,6 +142,21 @@ def test_janitor_cross_process_integration(tmp_path):
         cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
     )
     try:
+        # read with a deadline: if the child dies before printing
+        # (import error, env issue) a bare readline() would hang the
+        # test instead of failing fast (r13 ADVICE)
+        import selectors
+
+        sel = selectors.DefaultSelector()
+        sel.register(live_child.stdout, selectors.EVENT_READ)
+        assert sel.select(timeout=30), (
+            "live child produced no output within 30s; "
+            f"alive={live_child.poll() is None}"
+        )
+        sel.close()
+        assert live_child.poll() is None, (
+            f"live child exited early (rc={live_child.returncode})"
+        )
         live_dir = live_child.stdout.readline().strip()
         assert os.path.isdir(live_dir)
         # scenario B: dead sibling — mkscratch with cleanup suppressed
