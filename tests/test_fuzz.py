@@ -14,6 +14,8 @@ from __future__ import annotations
 import sys
 from pathlib import Path
 
+import pytest
+
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "scripts"))
 
 import fuzz_differential as fz  # noqa: E402
@@ -21,6 +23,24 @@ import fuzz_differential as fz  # noqa: E402
 from tests.conftest import SF_SMALL  # noqa: E402
 
 
+# Suite-growth budget (r14): fuzz pins are split into two tiers.
+# FAST tier — the 20-query mixed block, a 3-query smoke pin per
+# curated shape (strict subsets of the full-density blocks: same
+# (grammar, k) prefix), the grammar-version pin, and the four
+# divergence pins — deterministic coverage of every production at
+# ~1/4 the cost. SLOW tier — the 40-query mixed block and the
+# 12-query full-density per-shape blocks, which re-run in the full
+# gate (plain `pytest tests/`).
+def _pin_shapes(spark, grammar, shapes, n):
+    for shape in shapes:
+        failures = fz.run_differential(
+            spark, SF_SMALL, [(grammar, k) for k in range(n)],
+            only_shape=shape,
+        )
+        assert not failures, "\n".join(failures)
+
+
+@pytest.mark.slow
 def test_fixed_seed_block_agrees(spark):
     failures = fz.run_differential(
         spark, SF_SMALL, [(0, k) for k in range(40)]
@@ -75,19 +95,22 @@ def test_known_divergence_rollup_on_empty_input(spark, monkeypatch):
     assert "MISMATCH rows 0 vs 1" in failures[0]
 
 
+def test_round12_shapes_smoke(spark):
+    """Fast-tier 3-query prefix of test_round12_shapes_agree."""
+    _pin_shapes(spark, 2, ("scalar_subquery", "cte", "distinct_agg"), 3)
+
+
+@pytest.mark.slow
 def test_round12_shapes_agree(spark):
     """Full-density blocks for the round-12 productions: correlated
     scalar subqueries (Spark's decorrelation rewrite vs DuckDB's
     dependent join) and twice-consumed CTE chains. The offline sweeps
     ran 700 of each at sf0.001/sf0.01 clean; these blocks keep a
     reproducible pin in the suite."""
-    for shape in ("scalar_subquery", "cte", "distinct_agg"):
-        failures = fz.run_differential(
-            spark, SF_SMALL, [(2, k) for k in range(12)], only_shape=shape
-        )
-        assert not failures, "\n".join(failures)
+    _pin_shapes(spark, 2, ("scalar_subquery", "cte", "distinct_agg"), 12)
 
 
+@pytest.mark.slow
 def test_round13_shapes_agree(spark):
     """Full-density pins for the round-13 productions. window_nulls:
     explicit NULLS FIRST/LAST window ordering over nullable keys (the
@@ -99,11 +122,12 @@ def test_round13_shapes_agree(spark):
     formulation). exists_corr: correlated EXISTS/NOT EXISTS with
     non-equi and NULLIF-seeded correlated conjuncts, aggregating
     outers, and nullable [NOT] IN membership."""
-    for shape in ("window_nulls", "exists_corr"):
-        failures = fz.run_differential(
-            spark, SF_SMALL, [(3, k) for k in range(12)], only_shape=shape
-        )
-        assert not failures, "\n".join(failures)
+    _pin_shapes(spark, 3, ("window_nulls", "exists_corr"), 12)
+
+
+def test_round13_shapes_smoke(spark):
+    """Fast-tier 3-query prefix of test_round13_shapes_agree."""
+    _pin_shapes(spark, 3, ("window_nulls", "exists_corr"), 3)
 
 
 def test_known_divergence_duckdb_correlated_in_null_semantics(
@@ -171,6 +195,7 @@ def test_known_divergence_duckdb_not_in_folded_null_inner(
     assert "MISMATCH rows 1 vs 0" in failures[0]
 
 
+@pytest.mark.slow
 def test_round14_shapes_agree(spark):
     """Full-density pins for the round-14 productions (grammar v5).
     array_hof: higher-order array functions as DUAL-TEXT pairs —
@@ -184,25 +209,27 @@ def test_round14_shapes_agree(spark):
     (add_months vs + n*INTERVAL 1 MONTH), date_trunc, last_day,
     datediff (argument order differs) and EXTRACT over the fixture
     timestamp columns and literal leap-day/month-end anchors."""
-    for shape in ("array_hof", "date_arith"):
-        failures = fz.run_differential(
-            spark, SF_SMALL, [(5, k) for k in range(12)],
-            only_shape=shape,
-        )
-        assert not failures, "\n".join(failures)
+    _pin_shapes(spark, 5, ("array_hof", "date_arith"), 12)
 
 
+def test_round14_shapes_smoke(spark):
+    """Fast-tier 3-query prefix of test_round14_shapes_agree."""
+    _pin_shapes(spark, 5, ("array_hof", "date_arith"), 3)
+
+
+@pytest.mark.slow
 def test_membership_corr_shape_agrees(spark):
     """Full-density pin for the round-13 membership_corr production
     (grammar v4): correlated IN (COALESCE-guarded outer operand, see
     the known-divergence test above) and correlated NOT IN — Spark's
     null-aware left-anti join — with NULLIF-seeded operands on both
     sides and optionally aggregating outers."""
-    failures = fz.run_differential(
-        spark, SF_SMALL, [(4, k) for k in range(12)],
-        only_shape="membership_corr",
-    )
-    assert not failures, "\n".join(failures)
+    _pin_shapes(spark, 4, ("membership_corr",), 12)
+
+
+def test_membership_corr_shape_smoke(spark):
+    """Fast-tier 3-query prefix of test_membership_corr_shape_agrees."""
+    _pin_shapes(spark, 4, ("membership_corr",), 3)
 
 
 def test_grammar_versions_pin_historical_seed_mapping(spark):
