@@ -732,11 +732,11 @@ def min_label_components(pairs: DataFrame, max_rounds: int = 10) -> DataFrame:
         )
         .distinct()
     )
-    # Materialize sym BEFORE the first checkpoint so its cache-buffer
-    # RDD is never mis-attributed to a generation's capture set (see
-    # scoped_local_checkpoint's attribution note) — the in-loop early
-    # release below must never drop the edge cache.
-    sym.count()
+    # sym is materialized by scoped_persist's eager count BEFORE the
+    # first checkpoint, so its cache-buffer RDD is never mis-attributed
+    # to a generation's capture set (see scoped_local_checkpoint's
+    # attribution note) — the in-loop early release below must never
+    # drop the edge cache.
     # Each generation is eagerly local-checkpointed: the jump step
     # references the label frame twice, so WITHOUT lineage truncation
     # the logical plan doubles per round and analysis OOMs the driver

@@ -18,7 +18,6 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
 
 from movierecommender_sentimentanalysissytem_spark.functions.rounding import round4
 from movierecommender_sentimentanalysissytem_spark.registry import query
@@ -149,18 +148,31 @@ def ml_eval_rmse(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.avg("l_quantity").alias("r"))
     )
-    # Per-item mean as a window over the single ratings lineage: no
-    # second aggregation, no ratings⋈item_mean shuffle join, and no
-    # double computation of the lineitem⋈orders upstream (the join
-    # formulation recomputed it once per branch). Two shuffles total:
-    # groupBy(u, i), then the window repartition on i.
-    wi = Window.partitionBy("i")
-    pred = F.sum("r").over(wi) / F.count(F.lit(1)).over(wi)
-    return ratings.withColumn("pred", pred).agg(
-        F.count(F.lit(1)).alias("n"),
-        round4(F.sqrt(F.avg(F.pow(F.col("r") - F.col("pred"), 2)))).alias(
-            "rmse"
-        ),
+    # Algebraic form (r14, guide §2.3/§2.4): for the per-item-mean
+    # predictor, Σ_rows(r - m_i)² = Σ_i(Σr² - (Σr)²/n_i), so RMSE
+    # reduces to per-item sufficient statistics (n, Σr, Σr²) + a 1-row
+    # global fold. The previous window formulation (pred over
+    # partitionBy(i)) shuffled EVERY ratings row on i and sorted it;
+    # this one map-side partial-aggregates before the i-exchange and
+    # needs no sort/window at all — at 100 TB it removes a full sort
+    # of the ratings table. Equivalence to the oracle's per-row
+    # AVG(POW(r - pred, 2)) was verified value-exact after the stable
+    # 4-dp round at sf0.001/0.01/0.1 (the cancellation error of the
+    # Σr² - (Σr)²/n form is ~1e-14 relative here, 10 orders below the
+    # rounding granularity); greatest(0, ·) guards the sqrt against a
+    # tiny negative fold when items are near-constant — it never binds
+    # otherwise.
+    per_item = ratings.groupBy("i").agg(
+        F.count(F.lit(1)).alias("n_i"),
+        F.sum("r").alias("s_i"),
+        F.sum(F.col("r") * F.col("r")).alias("ss_i"),
+    )
+    mse = F.sum(
+        F.col("ss_i") - F.col("s_i") * F.col("s_i") / F.col("n_i")
+    ) / F.sum("n_i")
+    return per_item.agg(
+        F.sum("n_i").alias("n"),
+        round4(F.sqrt(F.greatest(F.lit(0.0), mse))).alias("rmse"),
     )
 
 

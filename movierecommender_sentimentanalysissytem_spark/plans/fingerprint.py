@@ -43,19 +43,59 @@ _COUNTED = (
 )
 
 
+_NODE_RE = re.compile(
+    r"^[:+\-| ]*\*?\s*\(?\d*\)?\s*([A-Za-z][\w ]*?)\s*\((\d+)\)"
+)
+
+
+def _content_col(raw: str) -> int:
+    j = 0
+    while j < len(raw) and raw[j] in ":+-| ":
+        j += 1
+    return j
+
+
 def fingerprint(plan: str) -> dict[str, int]:
     """Summarize a ``explain("formatted")`` string into node counts.
 
     Only the tree section is parsed (the detail blocks repeat node
-    names); node ids and arguments are ignored.
+    names); arguments are ignored. Two normalizations keep the counts
+    meaningful in the presence of cached subplans (r14):
+
+    - every node is counted ONCE per plan id — an InMemoryRelation's
+      inner plan is printed verbatim under each of its references
+      (with the SAME node ids), so without the dedup a 4-reference
+      cache inflated every inner operator 4x and drowned real
+      regressions in reference-count noise;
+    - ``== Initial Plan ==`` sections are skipped — a MATERIALIZED
+      cache (scoped_persist is eager since r14) prints its
+      AdaptiveSparkPlan as final+initial plan pairs, and the initial
+      copy duplicates the final one with fresh node ids.
     """
     tree = plan.split("\n\n")[0]
+    lines = tree.splitlines()
     counts: dict[str, int] = {}
-    for raw in tree.splitlines():
-        m = re.match(r"^[:+\-| ]*\*?\(?\d*\)?\s*([A-Za-z][\w ]*?)\s*\(\d+\)", raw)
+    seen_ids: set[str] = set()
+    i, n = 0, len(lines)
+    while i < n:
+        raw = lines[i]
+        col = _content_col(raw)
+        if raw[col:].startswith("== Initial Plan =="):
+            # the section's nodes print at column >= the marker's own
+            # (the first child is aligned UNDER the "=="), so consume
+            # until a real dedent
+            i += 1
+            while i < n and _content_col(lines[i]) >= col:
+                i += 1
+            continue
+        i += 1
+        m = _NODE_RE.match(raw)
         if not m:
             continue
-        name = m.group(1).strip()
+        name, node_id = m.group(1).strip(), m.group(2)
+        if node_id in seen_ids:
+            continue
+        seen_ids.add(node_id)
         for prefix in _COUNTED:
             if name.startswith(prefix):
                 # normalize join subtypes (Inner/LeftOuter/...) away:

@@ -110,7 +110,9 @@ AdaptiveSparkPlan (9)
                :- Sort (3)
                :  +- Exchange (2)
                :     +- Scan parquet  (1)
-               +- Sort (3)
+               +- Sort (10)
+                  +- Exchange (2)
+                     +- Scan parquet  (1)
 
 (1) Scan parquet
 Output: [a]
@@ -119,10 +121,69 @@ Output: [a]
 Arguments: SinglePartition
 """
     fp = fingerprint(plan)
+    # ids dedup repeated references: the shared Exchange (2) / Scan (1)
+    # subtree under both join sides is ONE physical subtree, printed
+    # twice — counting it per reference (the pre-r14 behavior) inflated
+    # every cached/reused lineage by its fan-out and drowned real
+    # regressions in reference-count noise.
     assert fp == {
         "HashAggregate": 2,
         "Exchange": 2,
         "SortMergeJoin": 1,
         "Sort": 2,
         "Scan parquet": 1,
+    }
+
+
+def test_fingerprint_skips_initial_plan_and_dedups_cache_references():
+    """A MATERIALIZED InMemoryRelation (scoped_persist is eager since
+    r14) prints its inner AdaptiveSparkPlan as a Final+Initial pair
+    under EVERY reference. The fingerprint must count the final inner
+    plan once and ignore the Initial copy (fresh ids, same shape)."""
+    from movierecommender_sentimentanalysissytem_spark.plans.fingerprint import (
+        fingerprint,
+    )
+
+    plan = """== Physical Plan ==
+AdaptiveSparkPlan (20)
++- HashAggregate (19)
+   +- Exchange (18)
+      +- SortMergeJoin Inner (17)
+         :- InMemoryTableScan (1)
+         :     +- InMemoryRelation (2)
+         :           +- AdaptiveSparkPlan (12)
+                        +- == Final Plan ==
+                           ResultQueryStage (11)
+                           +- * HashAggregate (10)
+                              +- ShuffleQueryStage (9)
+                                 +- Exchange (8)
+                                    +- * Scan parquet  (7)
+                        +- == Initial Plan ==
+                           HashAggregate (6)
+                           +- Exchange (5)
+                              +- Scan parquet  (7)
+         +- InMemoryTableScan (13)
+               +- InMemoryRelation (14)
+                     +- AdaptiveSparkPlan (12)
+                        +- == Final Plan ==
+                           ResultQueryStage (11)
+                           +- * HashAggregate (10)
+                              +- ShuffleQueryStage (9)
+                                 +- Exchange (8)
+                                    +- * Scan parquet  (7)
+                        +- == Initial Plan ==
+                           HashAggregate (6)
+                           +- Exchange (5)
+                              +- Scan parquet  (7)
+
+(7) Scan parquet
+Output: [a]
+"""
+    fp = fingerprint(plan)
+    assert fp == {
+        "HashAggregate": 2,  # outer (19) + cached final (10), once
+        "Exchange": 2,  # outer (18) + cache-build (8), once
+        "SortMergeJoin": 1,
+        "InMemoryTableScan": 2,  # two genuine references
+        "Scan parquet": 1,  # inside the cache, built once
     }

@@ -140,6 +140,45 @@ def test_scoped_caches_do_not_accumulate_across_sweep(spark):
     assert jsc.getPersistentRDDs().size() <= baseline
 
 
+def test_scoped_persist_materializes_eagerly(spark):
+    """scoped_persist must populate the cache at persist time (r14):
+    AQE submits independent query stages of one action concurrently,
+    and every stage that scans a not-yet-materialized InMemoryRelation
+    recomputes the full lineage itself — so a lazy cache dedups nothing
+    exactly where it matters (multi-consumer plans). Eager is the
+    default; eager=False opts out."""
+    from movierecommender_sentimentanalysissytem_spark.plans.caching import (
+        release_scoped_caches,
+        scoped_persist,
+    )
+
+    jsc = spark.sparkContext._jsc.sc()
+
+    def fully_cached_ids():
+        return {
+            i.id()
+            for i in jsc.getRDDStorageInfo()
+            if i.numCachedPartitions() == i.numPartitions() > 0
+        }
+
+    release_scoped_caches()
+    before = fully_cached_ids()
+    lazy = scoped_persist(
+        spark.range(0, 10_000, 1, 4).selectExpr("id", "id * 3 AS v"),
+        eager=False,
+    )
+    assert fully_cached_ids() == before, "eager=False must not run a job"
+    eager = scoped_persist(
+        spark.range(0, 10_000, 1, 4).selectExpr("id", "id * 7 AS v")
+    )
+    assert fully_cached_ids() - before, (
+        "scoped_persist(eager=True) returned before the cache was "
+        "fully materialized"
+    )
+    del lazy, eager
+    release_scoped_caches()
+
+
 def test_range_binned_join_is_hash_not_nested_loop(spark):
     """The binned range join must plan as a hash equi-join on the
     bucket — never a nested-loop/cartesian — or the rewrite is
@@ -182,9 +221,16 @@ def test_interval_overlap_is_hash_join_not_nested_loop(spark):
     """The binned interval-overlap rewrite exists to turn an
     inequality-only self-join (nested loop at any scale) into a hash
     equi-join on (customer, bin) with the exact predicate as a join
-    filter — the plan must show the hash join and no loop join."""
+    filter — the plan must show the hash join and no loop join.
+    (Any equi-join strategy qualifies: since r14's eager scoped_persist
+    the materialized cache carries real stats, so at test SF the
+    planner picks a BroadcastHashJoin over the old SortMergeJoin.)"""
     plan = _plan(spark, "join_interval_overlap")
-    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+    assert (
+        "SortMergeJoin" in plan
+        or "ShuffledHashJoin" in plan
+        or "BroadcastHashJoin" in plan
+    )
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
 
