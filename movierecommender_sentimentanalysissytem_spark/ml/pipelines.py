@@ -24,6 +24,39 @@ from movierecommender_sentimentanalysissytem_spark.registry import query
 from movierecommender_sentimentanalysissytem_spark.sources.tables import table
 
 
+def _drop_training_summary(py_model) -> None:
+    """Clear the training summary an MLlib model retains after fit().
+
+    The summary holds the fitting DataFrame and through it the
+    SparkSession. Spark 4's ``classic.SparkSession`` has a LAZY
+    ``observationManager`` field of a non-Serializable class: while it
+    is uninitialized, Java serialization of the session writes a null
+    and succeeds, but after ANY ``Dataset.observe()`` query has run in
+    the session, every task closure that embeds the model (e.g.
+    ``model.transform``'s prediction UDF) dies with
+    ``Task not serializable: ObservationManager`` (reproduced r14:
+    observe_metrics → ml_sentiment_pipeline in one session). The model
+    does not need its summary to predict, so drop it. ``setSummary`` is
+    private[spark] — reflection is the only seam; field absent (no
+    summary support / renamed upstream) is a no-op.
+    """
+    jm = getattr(py_model, "_java_obj", None)
+    if jm is None:
+        return
+    from pyspark import SparkContext
+
+    jvm = SparkContext._active_spark_context._jvm
+    none = getattr(getattr(jvm.scala, "None$"), "MODULE$")
+    cls = jm.getClass()
+    while cls is not None:
+        for fld in cls.getDeclaredFields():
+            if "trainingSummary" in fld.getName():
+                fld.setAccessible(True)
+                fld.set(jm, none)
+                return
+        cls = cls.getSuperclass()
+
+
 def _ratings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Derived ratings fixture (FIXTURES.md): user=o_custkey,
     item=l_partkey, rating=l_quantity, averaged per (user, item)."""
@@ -81,6 +114,10 @@ def ml_sentiment_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     model = pipeline.fit(docs)
+    # the LogisticRegressionModel's training summary would otherwise
+    # ride along in every prediction-task closure — see
+    # _drop_training_summary for why that is fatal after observe()
+    _drop_training_summary(model.stages[-1])
     return model.transform(docs).select("doc_id", "label", "prediction")
 
 

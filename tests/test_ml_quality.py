@@ -67,6 +67,23 @@ def test_sentiment_pipeline_beats_chance(spark):
     assert acc > 0.6, acc
 
 
+def test_sentiment_pipeline_survives_observe_poisoned_session(spark):
+    """Regression pin (r14): Spark 4's SparkSession holds a LAZY
+    non-Serializable ObservationManager — after any observe() query
+    initializes it, a task closure embedding an MLlib model whose
+    training summary references the session dies with 'Task not
+    serializable'. ml_sentiment_pipeline must therefore strip the
+    summary before transform; this test runs an observe key FIRST and
+    then fully materializes the pipeline in the same session (the
+    failing path needs a real job, not just collect-side planning)."""
+    QS["observe_metrics"](spark, SF_SMALL).write.format("noop").mode(
+        "overwrite"
+    ).save()
+    QS["ml_sentiment_pipeline"](spark, SF_SMALL).write.format("noop").mode(
+        "overwrite"
+    ).save()
+
+
 def test_dimsum_estimator_recovers_structured_similarity(
     spark, tmp_path_factory
 ):
