@@ -286,13 +286,14 @@ def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # Compact cache: hashed shingle SET per doc — the only state the
     # signature branch and both Jaccard-verify sides need.
-    # eager=False: hv materializes THROUGH the m cache's eager count
-    # below — m's lineage reads every hv partition in a single map
-    # stage (the one before the band-key exchange), so hv's blocks are
-    # fully populated by one job with no concurrent-stage race, and
-    # the later Jaccard-verify sides read the warm cache. One job and
-    # one extra hv pass cheaper than counting both caches (r14 A/B:
-    # 1.81 -> 1.65 s warm at sf0.1, identical output).
+    # NOTE (r14): a chained-materialization variant (hv eager=False,
+    # populated through m's count — one job instead of two) measured
+    # 1.81 -> 1.65 s warm at sf0.1 with identical output, but the one
+    # full bench run carrying it hung in this query with every stage-
+    # task failing "Block rdd_N does not exist" under heavy host load
+    # (see OPTIMIZATION_r14.md). Causation unproven, but the win is
+    # ~0.15 s and a bench hang is unaffordable — keep both caches
+    # independently eager.
     hv = scoped_persist(
         d.select(
             "doc_id",
@@ -300,8 +301,7 @@ def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
                 f"array_distinct(transform({_SPARK_SHINGLES_W},"
                 f" s -> {_SPARK_BASE}))"
             ).alias("hvals"),
-        ),
-        eager=False,
+        )
     )
     sig = hv.select(
         "doc_id",
