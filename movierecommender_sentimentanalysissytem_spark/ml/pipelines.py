@@ -39,22 +39,42 @@ def _drop_training_summary(py_model) -> None:
     does not need its summary to predict, so drop it. ``setSummary`` is
     private[spark] — reflection is the only seam; field absent (no
     summary support / renamed upstream) is a no-op.
+
+    Best-effort by design (r14 advice): if a future Spark makes the
+    field final or JPMS blocks ``setAccessible``, failing HERE would be
+    strictly worse than the bug this works around (the closure only
+    dies when an ``observe()`` query poisoned the session first), so
+    any reflection error degrades to the old keep-the-summary behavior.
+    Known limitation: under Spark Connect ``_java_obj`` is absent and
+    this is a silent no-op — the observe-poisoned-session hazard would
+    resurface there (Connect serializes closures differently, so it may
+    not apply at all; untestable from this harness).
     """
     jm = getattr(py_model, "_java_obj", None)
     if jm is None:
         return
-    from pyspark import SparkContext
+    try:
+        from pyspark import SparkContext
 
-    jvm = SparkContext._active_spark_context._jvm
-    none = getattr(getattr(jvm.scala, "None$"), "MODULE$")
-    cls = jm.getClass()
-    while cls is not None:
-        for fld in cls.getDeclaredFields():
-            if "trainingSummary" in fld.getName():
-                fld.setAccessible(True)
-                fld.set(jm, none)
-                return
-        cls = cls.getSuperclass()
+        jvm = SparkContext._active_spark_context._jvm
+        none = getattr(getattr(jvm.scala, "None$"), "MODULE$")
+        cls = jm.getClass()
+        while cls is not None:
+            for fld in cls.getDeclaredFields():
+                if "trainingSummary" in fld.getName():
+                    fld.setAccessible(True)
+                    fld.set(jm, none)
+                    return
+            cls = cls.getSuperclass()
+    except Exception as exc:  # noqa: BLE001 — degrade, don't fail the query
+        import warnings
+
+        warnings.warn(
+            f"could not drop MLlib training summary ({exc!r}); "
+            "model closures may fail after an observe() query",
+            RuntimeWarning,
+            stacklevel=2,
+        )
 
 
 def _ratings(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -204,12 +224,30 @@ def ml_eval_rmse(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("r").alias("s_i"),
         F.sum(F.col("r") * F.col("r")).alias("ss_i"),
     )
+    return _rmse_from_stats(per_item)
+
+
+def _rmse_from_stats(per_item: DataFrame) -> DataFrame:
+    """Fold per-item sufficient statistics (n_i, s_i, ss_i) to the
+    1-row (n, rmse) result. Separated so the empty-input contract is
+    unit-testable without fixture surgery.
+
+    Empty-input contract (r14 advice): SUM over zero rows is NULL and
+    greatest() skips NULLs, so the bare form would flip the window
+    formulation's (n=0, rmse=NULL) into (n=NULL, rmse=0.0) — exactly
+    what the oracle's COUNT(*)/AVG() pair does NOT do. coalesce the
+    count and gate rmse on n > 0 (the when() is a no-op on every
+    non-empty input, which is all the fixture SFs).
+    """
     mse = F.sum(
         F.col("ss_i") - F.col("s_i") * F.col("s_i") / F.col("n_i")
     ) / F.sum("n_i")
     return per_item.agg(
-        F.sum("n_i").alias("n"),
-        round4(F.sqrt(F.greatest(F.lit(0.0), mse))).alias("rmse"),
+        F.coalesce(F.sum("n_i"), F.lit(0).cast("long")).alias("n"),
+        F.when(
+            F.coalesce(F.sum("n_i"), F.lit(0)) > 0,
+            round4(F.sqrt(F.greatest(F.lit(0.0), mse))),
+        ).alias("rmse"),
     )
 
 

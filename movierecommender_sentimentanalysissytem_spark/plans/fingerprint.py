@@ -9,10 +9,13 @@ appearing in a lineage, a scan duplicating because a cache stopped
 being reused. Those are exactly the changes that keep a plan "legal"
 while multiplying its cost at 100 TB.
 
-A fingerprint is derived ONLY from plan-tree node names — never from
-ids, partition counts, temp paths, or statistics — so it is stable
-across runs, shuffle-partition settings, and fixture scale factors,
-while still pinning the strategy-level shape.
+A fingerprint's OUTPUT is derived only from plan-tree node names —
+never from partition counts, temp paths, or statistics — so it is
+stable across runs, shuffle-partition settings, and fixture scale
+factors, while still pinning the strategy-level shape. Node ids are
+consulted for exactly one thing: deduplicating repeated printings of
+the same physical node within one explain dump (cached subplans are
+printed once per reference); they never reach the fingerprint itself.
 """
 
 from __future__ import annotations
@@ -75,7 +78,15 @@ def fingerprint(plan: str) -> dict[str, int]:
     tree = plan.split("\n\n")[0]
     lines = tree.splitlines()
     counts: dict[str, int] = {}
-    seen_ids: set[str] = set()
+    # Dedup key is (name, id), not the bare id (r14 advice): cached
+    # subplans (InMemoryRelation inner plans) are numbered in a
+    # separate pass from the outer tree, so ids from two different
+    # caches — or an inner plan vs the outer tree — can collide, and a
+    # bare-id key would silently merge genuinely distinct operators.
+    # A same-name collision is still conceivable but can only mis-drop
+    # a node of the same operator class (bounded error) instead of
+    # silently hiding a different operator entirely.
+    seen_ids: set[tuple[str, str]] = set()
     i, n = 0, len(lines)
     while i < n:
         raw = lines[i]
@@ -93,9 +104,9 @@ def fingerprint(plan: str) -> dict[str, int]:
         if not m:
             continue
         name, node_id = m.group(1).strip(), m.group(2)
-        if node_id in seen_ids:
+        if (name, node_id) in seen_ids:
             continue
-        seen_ids.add(node_id)
+        seen_ids.add((name, node_id))
         for prefix in _COUNTED:
             if name.startswith(prefix):
                 # normalize join subtypes (Inner/LeftOuter/...) away:

@@ -476,16 +476,44 @@ _DRIVER_CHECKED = (
 
 # Front of the current round's sweep queue: keys that MUST be checked
 # first regardless of grouping — code changed AFTER the key's last
-# driver row. Round 14: EMPTY — no engine plan changed since every
-# key's latest driver row (the r14 diffs are registry bookkeeping
-# (this fold), fuzzer grammar v5 productions, divergence-ledger docs,
-# and test-tier edits, all plan-inert). Sweep head is therefore pure
-# staleness: the 4 keys still on r6 rows (events_dau_rolling,
-# fn_array_higher_order, stats_anova_oneway, stats_theil_index) + the
-# 45 keys still on r7 rows + the oldest r8 row = the 50-key budget;
-# the staleness floor moves r6 → r7 this round and can reach r8 in
-# round 15.
-_PRIORITY: tuple[str, ...] = ()
+# driver row. Rounds 14-15 (optimization rounds) changed the EXECUTED
+# PLANS of every eager-scoped_persist consumer (plans/caching.py
+# eager materialization, r14) plus the ml_eval_rmse sufficient-
+# statistics rewrite, the ml_sentiment_pipeline summary strip, and the
+# r15 optimization targets (dedup_near_minhash signature fold,
+# rec_item_similarity, sim_topk_ivf_probe_sweep shared assignment) —
+# none of which have a driver oracle row NEWER than the change. The
+# local 3x full-registry parity covers them, but the staleness-ladder
+# discipline puts plan-changed keys at the head of the driver sweep
+# (r14 verdict item 1).
+_PRIORITY: tuple[str, ...] = (
+    "ml_eval_rmse",
+    "rec_item_similarity",
+    "dedup_near_minhash",
+    "dedup_clusters",
+    "dedup_ngram_jaccard",
+    "dedup_ngram_containment",
+    "dedup_embedding_cosine",
+    "graph_pagerank",
+    "graph_triangle_count",
+    "rec_multihop_expansion",
+    "rec_association_rules",
+    "rec_item_similarity_dimsum",
+    "ml_learning_curve",
+    "ml_sentiment_pipeline",
+    "sim_topk_ivf_probe_sweep",
+    "sim_topk_ivf",
+    "sim_topk_ivf_partitioned",
+    "sim_threshold_join_lsh",
+    "join_interval_overlap",
+    "quality_benford_digits",
+    "stats_permutation_test",
+    "stats_permutation_test_paired",
+    "text_bigram_lm",
+    "text_collocation_llr",
+    "tpch_q11_important_stock",
+    "tpch_q15_top_supplier",
+)
 
 # SURVEY.md §2 inventory — the judge's coverage checklist. These outrank
 # extra keys in sweep priority.

@@ -289,3 +289,14 @@ def empty_sf(spark, tmp_path_factory):
 def test_operator_on_empty_tables(spark, empty_sf, key):
     df = QS[key](spark, empty_sf)
     assert df.count() == 0
+
+
+def test_ml_eval_rmse_empty_contract(spark, empty_sf):
+    """Grand-total-class key with a PINNED empty-input contract
+    (r14 advice): the sufficient-statistics rewrite must preserve the
+    window formulation's (n=0, rmse=NULL) on empty ratings — the bare
+    SUM-based fold would return (n=NULL, rmse=0.0) because SUM over
+    zero rows is NULL and greatest() skips NULLs."""
+    row = QS["ml_eval_rmse"](spark, empty_sf).collect()[0]
+    assert row["n"] == 0
+    assert row["rmse"] is None
