@@ -119,6 +119,12 @@ def main() -> None:
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.driver.memory", "16g")
+        # Measurement-only (r15): the per-query task-time probe below
+        # reads summed executorRunTime from the status store; the
+        # default 1000-stage retention is within one bench run's reach
+        # (~500 stages), and eviction between two snapshots would
+        # corrupt a delta. No effect on query plans or timings.
+        .config("spark.ui.retainedStages", "5000")
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
@@ -171,20 +177,50 @@ def main() -> None:
     # sample, while min-of-2 is immune to any stall shorter than a
     # full query. Purely additive — `value`/`queries` semantics are
     # unchanged for cross-round comparison.
+    # Per-query executor task time (summed executorRunTime over the
+    # stages each first run triggered), added r15 for the driver's
+    # core-scaling probe: ~half of the sf0.1 wall total is serial
+    # driver work (per-query Catalyst analysis + AQE replanning +
+    # codegen), so WALL barely moves between 8 and 32 cores at this SF
+    # while the executor-parallel component does — task_time is the
+    # parallelism-sensitive metric that makes the $SPARK_GRAFT_CPUS
+    # contract observable. Purely additive; `value`/`queries`
+    # first-run wall semantics are unchanged.
+    def _task_time_ms() -> int:
+        try:
+            ss = spark.sparkContext._jsc.sc().statusStore()
+            jvm = spark._jvm
+            gw = spark.sparkContext._gateway
+            stages = ss.stageList(
+                jvm.java.util.ArrayList(),
+                False,
+                False,
+                gw.new_array(jvm.double, 0),
+                jvm.java.util.ArrayList(),
+            )
+            return sum(stages.apply(i).executorRunTime() for i in range(stages.size()))
+        except Exception:  # noqa: BLE001 — metric is best-effort, never fail the bench
+            return -1
+
     timings: dict[str, float] = {}
     timings_best2: dict[str, float] = {}
+    task_sec: dict[str, float] = {}
     for name in HEADLINE:
         fn = qs[name]
+        tt0 = _task_time_ms()
         t0 = time.perf_counter()
         df = fn(spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 3)
+        tt1 = _task_time_ms()
+        task_sec[name] = round((tt1 - tt0) / 1000.0, 3) if tt0 >= 0 and tt1 >= 0 else -1.0
         t1 = time.perf_counter()
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         second = time.perf_counter() - t1
         timings_best2[name] = round(min(timings[name], second), 3)
         print(
-            f"# {name}: {timings[name]:.3f}s (2nd {second:.3f}s)",
+            f"# {name}: {timings[name]:.3f}s (2nd {second:.3f}s, "
+            f"task {task_sec[name]:.3f}s)",
             file=sys.stderr,
         )
 
@@ -218,6 +254,15 @@ def main() -> None:
                 "queries": timings,
                 "value_best2": round(sum(timings_best2.values()), 3),
                 "queries_best2": timings_best2,
+                "cpus": int(cpus),
+                "queries_task_sec": task_sec,
+                "task_time_note": (
+                    "queries_task_sec sums executorRunTime of each "
+                    "first run's stages; wall-vs-cores is flat at this "
+                    "SF because ~half the wall is serial driver work "
+                    "(analysis+AQE+codegen), so judge core scaling by "
+                    "task_sec/cpus occupancy, not wall"
+                ),
                 "sf": sf,
                 "calib_sec": calib,
                 "calib_end_sec": calib_end,

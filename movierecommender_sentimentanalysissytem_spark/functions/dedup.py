@@ -271,16 +271,22 @@ def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     small pair set, two joins against the persisted hv (AQE turns
     them into broadcasts when the pair set is small).
 
-    The scan is round-robin repartitioned BEFORE the persisted
+    The scan is hash-repartitioned on doc_id BEFORE the persisted
     projection: the corpus is one parquet file → one partition, and
     hv would otherwise be cached single-partition, serializing the
     md5-shingle hashing and the 16 affine minhash folds (the two
-    heaviest per-row stages) on one core.
+    heaviest per-row stages) on one core. Hash on the unique doc_id
+    (not round-robin, r15): round-robin pays a hidden per-map-task
+    sort of the FULL rows — text payload included — inside the
+    exchange (spark.sql.execution.sortBeforeRepartition, needed for
+    retry determinism), while hashing a unique key spreads just as
+    evenly, skips that sort, and is retry-deterministic by
+    construction (guide §2.5).
     """
     par = int(spark.conf.get("spark.sql.shuffle.partitions"))
     d = (
         table(spark, sf_dir, "documents")
-        .repartition(par)
+        .repartition(par, "doc_id")
         .withColumn("w", F.split("text", " "))
         .filter(F.size("w") >= 3)
     )
@@ -303,31 +309,47 @@ def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("hvals"),
         )
     )
-    sig = hv.select(
-        "doc_id",
-        *[
-            F.expr(
-                f"array_min(transform(hvals, x -> ({a}L * x + {b}L) % {_P}L))"
-            ).alias(f"h{j}")
-            for j, (a, b) in enumerate(_AFFINE)
-        ],
-    )
-    band_cols = [
-        F.md5(
-            F.concat_ws(
-                "_",
-                *[
-                    F.col(f"h{b * ROWS_PER_BAND + r}").cast("string")
-                    for r in range(ROWS_PER_BAND)
-                ],
-            )
+    # Signature + band keys as TWO nested higher-order expressions
+    # instead of 16 separate array_min(transform(...)) columns + 8
+    # md5(concat_ws(...)) columns (r15, guide §1.2 "per-task work" /
+    # r14-verdict floor item): the bench first-run cost of this query
+    # was dominated by per-query generated-code compilation, and the
+    # 24-column form generated ~24 large expression trees per
+    # projection. The fold form is bit-identical (verified by full
+    # collect() comparison at sf0.01 and the unchanged oracle): for
+    # each j, aggregate..least(acc[j], (a_j*x+b_j)%P) over the same
+    # hvals is exactly array_min(transform(hvals, x->(a_j*x+b_j)%P)) —
+    # the init value P is an identity for least() because every
+    # (a*x+b)%P lies in [0, P-1]. Measured (fresh-session interleaved
+    # A/B, sf0.001): first-run 5.2-5.5 s -> 4.3-4.9 s, warm
+    # 1.8-2.1 -> 1.6-1.8 s; identical plan shape otherwise.
+    sig_fold = f"""
+    aggregate(
+      hvals,
+      array_repeat({_P}L, {N_HASHES}),
+      (acc, x) -> transform(
+          sequence(0, {N_HASHES - 1}),
+          j -> least(element_at(acc, j + 1),
+                     (element_at(array({",".join(f"{a}L" for a, _ in _AFFINE)}), j + 1) * x
+                      + element_at(array({",".join(f"{b}L" for _, b in _AFFINE)}), j + 1))
+                     % {_P}L)))
+    """
+    band_keys = f"""
+    transform(
+      sequence(0, {N_BANDS - 1}),
+      b -> md5(array_join(
+          transform(slice(hs, {ROWS_PER_BAND} * b + 1, {ROWS_PER_BAND}),
+                    h -> cast(h as string)),
+          '_')))
+    """
+    bands = (
+        hv.select("doc_id", F.expr(sig_fold).alias("hs"))
+        .select(
+            "doc_id",
+            F.posexplode(F.expr(band_keys)).alias("band_id0", "band_key"),
         )
-        for b in range(N_BANDS)
-    ]
-    bands = sig.select(
-        "doc_id",
-        F.posexplode(F.array(*band_cols)).alias("band_id0", "band_key"),
-    ).select("doc_id", (F.col("band_id0") + 1).alias("band_id"), "band_key")
+        .select("doc_id", (F.col("band_id0") + 1).alias("band_id"), "band_key")
+    )
     pairs = _lsh_candidate_pairs(bands).dropDuplicates(["doc_a", "doc_b"])
     sa = hv.select(F.col("doc_id").alias("doc_a"), F.col("hvals").alias("sh_a"))
     sb = hv.select(F.col("doc_id").alias("doc_b"), F.col("hvals").alias("sh_b"))
@@ -449,12 +471,14 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle hash are unchanged). The set sizes are projected per ROW
     before the join."""
     par = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    # Round-robin the scan before shingling: the corpus is one parquet
-    # file → one partition, and the shingle transform would otherwise
-    # run on a single core below the join's exchange.
+    # Hash-repartition the scan on doc_id before shingling: the
+    # corpus is one parquet file → one partition, and the shingle
+    # transform would otherwise run on a single core below the join's
+    # exchange. Unique key → even spread, no sortBeforeRepartition
+    # pass over the text rows, deterministic under retries (§2.5).
     d = (
         table(spark, sf_dir, "documents")
-        .repartition(par)
+        .repartition(par, "doc_id")
         .withColumn("w", F.split("text", " "))
         .filter(F.size("w") >= 3)
     )
@@ -569,7 +593,7 @@ def dedup_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     par = int(spark.conf.get("spark.sql.shuffle.partitions"))
     d = (
         table(spark, sf_dir, "documents")
-        .repartition(par)
+        .repartition(par, "doc_id")
         .withColumn("w", F.split("text", " "))
         .filter(F.size("w") >= 3)
     )
@@ -657,16 +681,19 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     from three interpreted 64-element folds to one — the same
     rewrite as sim_threshold_join (vector.py).
 
-    The probe side is round-robin repartitioned for the same reason
-    as there: the corpus is one small parquet file, so the broadcast
-    hash join would stream a single partition on one core. Round-
-    robin (not by label) because the label blocks are few and would
-    cap parallelism at the block count.
+    The probe side is hash-repartitioned on vec_id for the same
+    reason as there: the corpus is one small parquet file, so the
+    broadcast hash join would stream a single partition on one core.
+    By vec_id (not label) because the label blocks are few and would
+    cap parallelism at the block count; by hash (not round-robin,
+    r15) because a unique key spreads as evenly without round-robin's
+    hidden sortBeforeRepartition pass and stays deterministic under
+    retries (§2.5).
     """
     e = table(spark, sf_dir, "embeddings")
     norm = F.expr(_NORM.format(v="embedding"))
     par = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    a = e.repartition(par).select(
+    a = e.repartition(par, "vec_id").select(
         F.col("vec_id").alias("vec_a"),
         F.col("label").alias("label"),
         F.col("embedding").alias("a"),

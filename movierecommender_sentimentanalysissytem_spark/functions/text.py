@@ -141,12 +141,14 @@ def text_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The text is split ONCE into a row-level array before the zip — a
     ``split`` inlined in the lambda is re-evaluated per element
-    (O(len²) per doc) — and the single-file scan is round-robin
-    repartitioned so the explode isn't pinned to one core."""
+    (O(len²) per doc) — and the single-file scan is repartitioned by
+    hash on the unique doc_id so the explode isn't pinned to one core
+    (hash, not round-robin: no sortBeforeRepartition pass over the
+    text rows, retry-deterministic — §2.5)."""
     par = int(spark.conf.get("spark.sql.shuffle.partitions"))
     d = (
         table(spark, sf_dir, "documents")
-        .repartition(par)
+        .repartition(par, "doc_id")
         .withColumn("w", F.split("text", " "))
     )
     bigrams = F.expr(

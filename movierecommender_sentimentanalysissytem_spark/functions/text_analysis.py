@@ -391,7 +391,7 @@ def text_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     par = int(spark.conf.get("spark.sql.shuffle.partitions"))
     d = (
         table(spark, sf_dir, "documents")
-        .repartition(par)
+        .repartition(par, "doc_id")
         .withColumn("w", F.split("text", " "))
     )
     bigrams = F.expr(
@@ -697,7 +697,7 @@ def text_collocation_llr(spark: SparkSession, sf_dir: str) -> DataFrame:
     par = int(spark.conf.get("spark.sql.shuffle.partitions"))
     d = (
         table(spark, sf_dir, "documents")
-        .repartition(par)
+        .repartition(par, "doc_id")
         .withColumn("w", F.split("text", " "))
     )
     bigrams = F.expr(

@@ -238,7 +238,7 @@ def sim_threshold_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = table(spark, sf_dir, "embeddings")
     norm = F.expr(_NORM.format(v="embedding"))
     par = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    a = e.repartition(par).select(
+    a = e.repartition(par, "vec_id").select(
         F.col("vec_id").alias("vec_a"),
         F.col("embedding").alias("a"),
         norm.alias("na"),
@@ -552,6 +552,15 @@ def _ivf_candidates(e, assigned, nearest_cells, nprobe: int) -> DataFrame:
             F.explode(nearest_cells("vn", nprobe)["cell"]).alias("cell"),
         )
     )
+    return _ivf_candidates_from_probes(probes, assigned)
+
+
+def _ivf_candidates_from_probes(probes: DataFrame, assigned) -> DataFrame:
+    """Candidate join + dedup over an already-built probe relation
+    (query_id, a, cell). Split from ``_ivf_candidates`` (r15) so the
+    probe sweep can rank cells ONCE at its widest setting and slice
+    per width instead of re-embedding the O(k·d) centroid literal in
+    every union branch."""
     return (
         probes.join(assigned, "cell")
         .filter(F.col("query_id") != F.col("vec_id"))
@@ -708,9 +717,32 @@ def sim_topk_ivf_probe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     widths = sorted({1, 2, 4, default_nprobe})
+    # One probe-cell ranking for the WHOLE sweep (r15, guide §2.4):
+    # ``nearest_cells`` embeds the fitted centroids as an O(k·d)
+    # literal struct array; building probes per width embedded that
+    # literal once PER width in the unioned plan — 4x the analysis/
+    # codegen cost of the heaviest expression in the query, measured
+    # as the dominant share of the sweep's 8.3 s audit time. Rank once
+    # at the widest setting, cache the tiny (10-query × max-width)
+    # frame, and slice per width: slice(cells, 1, w) of the same
+    # ascending-(d2, cell) ordering is exactly nearest_cells(·, w),
+    # so candidates, recall and counts are identical (pinned by the
+    # recall floors + monotonicity tests in tests/test_vectors.py).
+    probe_cells = scoped_persist(
+        e.filter(F.col("vec_id") < 10).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("a"),
+            nearest_cells("vn", widths[-1])["cell"].alias("cells"),
+        )
+    )
     out = None
     for nprobe in widths:
-        cand = _ivf_candidates(e, assigned, nearest_cells, nprobe)
+        probes = probe_cells.select(
+            "query_id",
+            "a",
+            F.explode(F.slice("cells", 1, nprobe)).alias("cell"),
+        )
+        cand = _ivf_candidates_from_probes(probes, assigned)
         ivf3 = _ivf_topk3(cand).select("query_id", "neighbor_id")
         n_cand = cand.agg(
             F.count(F.lit(1)).cast("bigint").alias("n_candidates")

@@ -459,8 +459,21 @@ def rec_item_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= _BASKET_CAP)
         .drop("rn")
     )
-    norms = ratings.groupBy("item").agg(
-        F.sqrt(F.sum(F.col("r") * F.col("r"))).alias("nrm")
+    # The norm aggregate feeds BOTH join sides (na on item_a, nb on
+    # item_b). Without its own persist, AQE's broadcast conversion of
+    # those joins builds two independent BroadcastExchanges and each
+    # re-runs the groupBy(item) over the ratings cache — exchange
+    # reuse cannot kick in because the reusable shuffle exchange was
+    # replaced by two broadcast builds (r15 stage profile: two ~1 s
+    # stages each scanning the 5.6 MB cache and aggregating 389k rows
+    # twice). Persisting the tiny per-item aggregate (one row per
+    # item) computes it once; measured interleaved at sf0.1: warm runs
+    # 6.0-10.1 s -> 3.1-4.7 s, output identical. At 100 TB this is one
+    # pass over the ratings table instead of two.
+    norms = scoped_persist(
+        ratings.groupBy("item").agg(
+            F.sqrt(F.sum(F.col("r") * F.col("r"))).alias("nrm")
+        )
     )
     a = ratings.select("u", F.col("item").alias("item_a"), F.col("r").alias("ra"))
     b = ratings.select("u", F.col("item").alias("item_b"), F.col("r").alias("rb"))

@@ -513,6 +513,10 @@ _PRIORITY: tuple[str, ...] = (
     "text_collocation_llr",
     "tpch_q11_important_stock",
     "tpch_q15_top_supplier",
+    # r15 hash-repartition (round-robin → unique-key hash) consumers
+    # not already listed above
+    "text_ngrams",
+    "sim_threshold_join",
 )
 
 # SURVEY.md §2 inventory — the judge's coverage checklist. These outrank
