@@ -629,7 +629,14 @@ def ml_learning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = None
     for frac in (1, 2, 3):
-        train = (
+        # Persisted per fraction (r15): train feeds the item-mean
+        # aggregate AND the global-mean aggregate, and the broadcast
+        # build of the latter re-ran the whole slice aggregation over
+        # the base cache (stage profile: twin ~10-15 s task-time
+        # stages per fraction at sf0.1). Same eager-persist pattern as
+        # rec_item_similarity's norms; values bit-identical (a cache
+        # is a value barrier, no arithmetic change).
+        train = scoped_persist(
             base.filter(F.col("fold") < frac)
             .groupBy("u", "i")
             .agg((F.sum("sq").cast("double") / F.sum("nl")).alias("r"))

@@ -1256,7 +1256,13 @@ def rec_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     baskets = scoped_persist(baskets)
     n = baskets.agg(F.count_distinct("u").alias("n_baskets"))
-    ic = baskets.groupBy("item").agg(F.count(F.lit(1)).alias("c"))
+    # Like rec_item_similarity's norms (r15): ic feeds BOTH rule-side
+    # joins (ca on antecedent, cc on consequent), and AQE's broadcast
+    # conversion builds two independent BroadcastExchanges that each
+    # re-aggregate the baskets cache (stage profile: two ~12-15 s
+    # task-time stages emitting the identical 389k partial rows).
+    # Persist the tiny per-item count so it is computed once.
+    ic = scoped_persist(baskets.groupBy("item").agg(F.count(F.lit(1)).alias("c")))
     a = baskets.select("u", F.col("item").alias("ia"))
     b = baskets.select("u", F.col("item").alias("ib"))
     pairs_half = scoped_persist(

@@ -253,8 +253,13 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the persists Catalyst re-derives the order-key self-join 3x and
     # the oriented edge build 3x on top of it.
     und = scoped_persist(_supplier_cooccurrence_edges(spark, sf_dir))
-    # degree of each vertex over the undirected edge set
-    deg = (
+    # degree of each vertex over the undirected edge set — persisted
+    # (r15): deg feeds BOTH broadcast sides (da, db), and the two
+    # explicit BroadcastExchanges each re-ran the union+groupBy over
+    # the und cache (stage profile: twin ~14-20 s task-time stages
+    # emitting identical 61.7k partial rows). One row per vertex —
+    # tiny cache, one aggregation pass.
+    deg = scoped_persist(
         und.select(F.col("a").alias("x"))
         .unionAll(und.select(F.col("b").alias("x")))
         .groupBy("x")

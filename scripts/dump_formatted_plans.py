@@ -43,6 +43,10 @@ def main() -> int:
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.ui.enabled", "false")
+        # building a query is no longer plan-only: eager scoped
+        # persists materialize caches during the build, and the
+        # default 1g driver heap OOMs on the heavier keys (r15)
+        .config("spark.driver.memory", "16g")
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
